@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.reference.{SpikeDetector, SpikeParams}
+
+/** Oracle-checked queries covering the reference's own operator surface
+  * (SURVEY.md §2.1), bound to the driver-generated testdata tables.
+  * Each entry has a matching DuckDB SQL in [[oracles]] producing
+  * identical rows with identical column names (driver contract).
+  *
+  * The reference's `histogram` input is derived deterministically from
+  * `events` (see [[RefHistogram]]) so both engines analyze the same
+  * rows. All queries end in a total ORDER BY for hash determinism.
+  */
+object ReferenceQueries {
+
+  private val P = SpikeParams() // hha.conf:26–30 defaults
+
+  private def hist(s: SparkSession, d: String): (DataFrame, Long) = {
+    val t = RefHistogram.tmax(s, d)
+    (RefHistogram.derive(Tables.events(s, d), t), t)
+  }
+
+  private def curStart(t: Long): Long = t - RefHistogram.CurWindowSec
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 #1,3,5 — parquet scan, time filter, projection + sort/limit
+    "r01_scan_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    }),
+
+    // §2.1 #3,7 — current-window filter + truncating-avg hash aggregate
+    "r02_avg_truncate" -> ((s, d) => {
+      val (h, t) = hist(s, d)
+      SpikeDetector.aggregateWindow(h.filter(col("timestamp") > curStart(t)))
+        .orderBy("num_protocol", "type_proto", "dst_ip")
+    }),
+
+    // §2.1 #8,9,10 — native /24 mask + roll-up re-aggregation
+    "r03_net_rollup" -> ((s, d) => {
+      val (h, t) = hist(s, d)
+      SpikeDetector.rollupNet(
+        SpikeDetector.aggregateWindow(h.filter(col("timestamp") > curStart(t))))
+        .orderBy("num_protocol", "type_proto", "dst_net")
+    }),
+
+    // §2.1 #11,13,14,15 — 3-key left join, when/otherwise clamp, na.fill
+    "r04_join_baseline" -> ((s, d) => {
+      val (h, t) = hist(s, d)
+      val cur = SpikeDetector.aggregateWindow(h.filter(col("timestamp") > curStart(t)))
+      val prev = SpikeDetector.prefixPrev(
+        SpikeDetector.aggregateWindow(h.filter(col("timestamp") < curStart(t))))
+      SpikeDetector.joinBaseline(cur, prev, "dst_ip", P.limitNewData,
+          P.quotientAmplification, requirePrevAboveLimit = true)
+        .orderBy("num_protocol", "type_proto", "dst_ip")
+    }),
+
+    // §2.1 #16,17 + full pipeline — spike filters + positional union
+    "r05_spike_pipeline" -> ((s, d) => {
+      val (h, t) = hist(s, d)
+      SpikeDetector.detect(h,
+          currentPredicate = col("timestamp") > curStart(t),
+          previousPredicate = col("timestamp") < curStart(t),
+          params = P)
+        .orderBy("num_protocol", "type_proto", "dst_ip", "sum_val")
+    }),
+
+    // §2.1 #19 — TTL dedup, SQL-expressible bucketed variant: at most
+    // one row per key per 300 s bucket (first event wins). The exact
+    // sequential-TTL variant lives in graft.reference.AlertDedup.
+    "r06_ttl_dedup_bucket" -> ((s, d) => {
+      val tsSec = Tables.tsSec
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          (tsSec - (tsSec % 300)).as("bucket"))
+        .groupBy("user_id", "event_type", "bucket")
+        .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_suppressed"))
+        .orderBy("user_id", "event_type", "bucket")
+    }),
+
+    // §2.1 #20 — watch-list membership as a broadcast semi-join
+    "r07_watchlist_semijoin" -> ((s, d) => {
+      val watch = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("user_id"))
+      Tables.events(s, d)
+        .join(broadcast(watch), Seq("user_id"), "left_semi")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    })
+  )
+
+  private val H = RefHistogram.sqlCtes
+  private val W = RefHistogram.CurWindowSec
+  private val aggCur =
+    s"""SELECT num_protocol, type_proto, CAST(trunc(avg(CountPkt)) AS INTEGER) AS sum_val, dst_ip
+       |FROM histogram WHERE timestamp > (SELECT t FROM tmax) - $W
+       |GROUP BY num_protocol, type_proto, dst_ip""".stripMargin
+  private val aggPrev =
+    s"""SELECT num_protocol AS prev_num_protocol, type_proto AS prev_type_proto,
+       |       CAST(trunc(avg(CountPkt)) AS INTEGER) AS prev_sum_val, dst_ip AS prev_dst_ip
+       |FROM histogram WHERE timestamp < (SELECT t FROM tmax) - $W
+       |GROUP BY num_protocol, type_proto, dst_ip""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "r01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+
+    "r02_avg_truncate" ->
+      s"""$H
+         |SELECT * FROM ($aggCur)
+         |ORDER BY num_protocol, type_proto, dst_ip""".stripMargin,
+
+    "r03_net_rollup" ->
+      s"""$H, cur AS ($aggCur)
+         |SELECT num_protocol, type_proto,
+         |       CAST(trunc(avg(sum_val)) AS INTEGER) AS sum_val,
+         |       dst_ip & 4294967040 AS dst_net
+         |FROM cur GROUP BY num_protocol, type_proto, dst_ip & 4294967040
+         |ORDER BY num_protocol, type_proto, dst_net""".stripMargin,
+
+    "r04_join_baseline" ->
+      s"""$H, cur AS ($aggCur), prev AS ($aggPrev)
+         |SELECT c.num_protocol, c.type_proto, c.sum_val, c.dst_ip,
+         |       COALESCE(p.prev_sum_val, ${P.limitNewData}) AS prev_sum_val,
+         |       COALESCE(CASE WHEN p.prev_sum_val / c.sum_val > ${P.quotientAmplification}
+         |                      AND p.prev_sum_val > ${P.limitNewData}
+         |                     THEN ${P.limitNewData} ELSE p.prev_sum_val END,
+         |                ${P.limitNewData}) AS prev_sum_val2
+         |FROM cur c LEFT JOIN prev p
+         |  ON c.num_protocol = p.prev_num_protocol
+         | AND c.type_proto = p.prev_type_proto
+         | AND c.dst_ip = p.prev_dst_ip
+         |ORDER BY num_protocol, type_proto, dst_ip""".stripMargin,
+
+    "r05_spike_pipeline" ->
+      s"""$H, cur AS ($aggCur), prev AS ($aggPrev),
+         |cur_net AS (
+         |  SELECT num_protocol, type_proto,
+         |         CAST(trunc(avg(sum_val)) AS INTEGER) AS sum_val,
+         |         dst_ip & 4294967040 AS dst_net
+         |  FROM cur GROUP BY num_protocol, type_proto, dst_ip & 4294967040),
+         |prev_net AS (
+         |  SELECT prev_num_protocol, prev_type_proto,
+         |         CAST(trunc(avg(prev_sum_val)) AS INTEGER) AS prev_sum_val,
+         |         prev_dst_ip & 4294967040 AS prev_dst_net
+         |  FROM prev GROUP BY prev_num_protocol, prev_type_proto, prev_dst_ip & 4294967040),
+         |j_ip AS (
+         |  SELECT c.num_protocol, c.type_proto, c.sum_val, c.dst_ip,
+         |         COALESCE(CASE WHEN p.prev_sum_val / c.sum_val > ${P.quotientAmplification}
+         |                        AND p.prev_sum_val > ${P.limitNewData}
+         |                       THEN ${P.limitNewData} ELSE p.prev_sum_val END,
+         |                  ${P.limitNewData}) AS prev_sum_val2
+         |  FROM cur c LEFT JOIN prev p
+         |    ON c.num_protocol = p.prev_num_protocol
+         |   AND c.type_proto = p.prev_type_proto
+         |   AND c.dst_ip = p.prev_dst_ip),
+         |j_net AS (
+         |  SELECT c.num_protocol, c.type_proto, c.sum_val, c.dst_net,
+         |         COALESCE(CASE WHEN p.prev_sum_val / c.sum_val > ${P.quotientAmplification}
+         |                       THEN ${P.limitNewDataNet} ELSE p.prev_sum_val END,
+         |                  ${P.limitNewDataNet}) AS prev_sum_val2
+         |  FROM cur_net c LEFT JOIN prev_net p
+         |    ON c.num_protocol = p.prev_num_protocol
+         |   AND c.type_proto = p.prev_type_proto
+         |   AND c.dst_net = p.prev_dst_net),
+         |spikes AS (
+         |  SELECT num_protocol, type_proto, prev_sum_val2 AS sum_val, dst_ip
+         |  FROM j_ip WHERE sum_val / prev_sum_val2 > ${P.quotientAmplification}
+         |  UNION ALL
+         |  SELECT num_protocol, type_proto, prev_sum_val2 AS sum_val, dst_net AS dst_ip
+         |  FROM j_net WHERE sum_val / prev_sum_val2 > ${P.quotientAmplification})
+         |SELECT * FROM spikes ORDER BY num_protocol, type_proto, dst_ip, sum_val""".stripMargin,
+
+    "r06_ttl_dedup_bucket" ->
+      """SELECT user_id, event_type,
+        |       b AS bucket, min(event_id) AS first_event_id, count(*) AS n_suppressed
+        |FROM (SELECT user_id, event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) - (CAST(floor(epoch(ts)) AS BIGINT) % 300) AS b
+        |      FROM events)
+        |GROUP BY user_id, event_type, b
+        |ORDER BY user_id, event_type, bucket""".stripMargin,
+
+    "r07_watchlist_semijoin" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY event_id""".stripMargin
+  )
+}
