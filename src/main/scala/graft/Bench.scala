@@ -14,9 +14,10 @@ object Bench {
       .master(s"local[$cpus]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM+Spark warmup outside the timed region (driver measures steady
-    // state, not classloading).
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+    // JVM+Spark warmup outside the timed region: run EVERY query once so
+    // each table's first scan and each plan's codegen happen before the
+    // timed loop (driver measures steady state, not classloading).
+    SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

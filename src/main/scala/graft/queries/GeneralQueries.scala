@@ -44,10 +44,10 @@ object GeneralQueries {
   val oracles: Map[String, String] = Map(
     "q01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(qty) AS sum_qty,
-        |       sum(price_c) AS sum_base_price_c,
-        |       sum(price_c * (100 - disc_c)) AS sum_disc_price_e4,
-        |       sum(price_c * (100 - disc_c) * (100 + tax_c)) AS sum_charge_e6,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |       CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+        |       CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_e4,
+        |       CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS sum_charge_e6,
         |       count(*) AS count_order
         |FROM (SELECT l_returnflag, l_linestatus,
         |             CAST(round(l_quantity) AS BIGINT) AS qty,

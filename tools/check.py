@@ -43,7 +43,12 @@ def main():
         bad_cols = []
         for c in got.columns:
             a, b = got[c], want[c]
-            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            if a.dtype.kind != b.dtype.kind and 'O' not in (a.dtype.kind, b.dtype.kind):
+                # int-vs-float etc. — the driver's hash gate treats this as
+                # a mismatch even when values agree; mirror that here.
+                bad_cols.append(f"{c} (dtype mismatch: spark={a.dtype} oracle={b.dtype})")
+                continue
+            if a.dtype.kind == 'f' and b.dtype.kind == 'f':
                 eq = np.isclose(a.astype(float), b.astype(float),
                                 rtol=0, atol=0, equal_nan=True)
             else:
