@@ -1,21 +1,35 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
 
 /** General operator-inventory queries (SURVEY.md §2.2): aggregations,
-  * joins, windows, sorts, set ops, scalar functions — over the
-  * TPC-H-ish testdata, each with a DuckDB oracle.
+  * joins (broadcast/semi/anti/range/as-of), windows, rollup/cube/
+  * grouping-sets, set ops, pivot, string/date/json/array scalar
+  * functions — over the TPC-H-ish testdata, each with a DuckDB oracle.
   *
-  * Cross-engine determinism rule: double columns are converted to
-  * exact integer units (cents etc.) *per row* before aggregation, so
-  * sums are order-independent bigints and hash identically in Spark
-  * and DuckDB regardless of reduction order.
+  * Cross-engine determinism rules (see also tools/check.py):
+  *   - money/metric doubles are quantized to exact integer units per
+  *     row BEFORE aggregation (`round(x*10^s)` for decimal-valued money,
+  *     `floor` for arbitrary reals) so sums are order-independent
+  *     bigints that hash identically in Spark and DuckDB;
+  *   - every aggregate in the oracle is CAST(... AS BIGINT) — DuckDB
+  *     sum(BIGINT) yields HUGEINT which pandas renders float64;
+  *   - window orderings always end in a unique key so ranks are total;
+  *   - column names match the Spark side exactly (driver sorts columns
+  *     by name before hashing).
+  *
+  * Scale notes are per-query in comments; the common theme: dimension
+  * joins are broadcast, fact-fact joins shuffle on their equi-keys with
+  * AQE handling skew, and aggregations are partial (map-side) by
+  * construction since all are hash aggregates over low-cardinality keys.
   */
 object GeneralQueries {
 
   /** round-to-cents as exact bigint: round(x * 10^s) */
-  private def asInt(c: org.apache.spark.sql.Column, scale: Int) =
+  private def asInt(c: Column, scale: Int): Column =
     round(c * math.pow(10, scale).toLong).cast("long")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -38,8 +52,222 @@ object GeneralQueries {
             .as("sum_charge_e6"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.2 joins — star join: 2 fact-fact shuffle joins + 2 broadcast
+    // dims. At 100 TB the lineitem⋈orders shuffle is the only big
+    // exchange; nation/region broadcast (25/5 rows at any SF).
+    "q02_nation_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        asInt(col("l_extendedprice"), 2).as("price_c"),
+        asInt(col("l_discount"), 2).as("disc_c"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("price_c") * (lit(100L) - col("disc_c"))).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // §2.2 sorts/limits — top-k per group via row_number window; at
+    // scale this is a single shuffle on the partition key and each
+    // group's sort is local (no global sort of the fact table).
+    "q03_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), asInt(col("o_totalprice"), 2).as("price_c"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // §2.2 window functions — running frame + lag + rank in one pass
+    // (one shuffle on o_custkey; all three windows share the sort).
+    "q04_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("ord_sec"), col("o_orderkey"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"),
+          asInt(col("o_totalprice"), 2).as("price_c"))
+        .withColumn("running_c", sum("price_c").over(wr))
+        .withColumn("prev_c", lag("price_c", 1).over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // §2.2 grouping — ROLLUP with grouping_id
+    "q05_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), asInt(col("l_quantity"), 0).as("qty"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
+    // §2.2 grouping — CUBE with grouping_id
+    "q06_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"), asInt(col("o_totalprice"), 2).as("price_c"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(sum("price_c").as("sum_price_c"), count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    }),
+
+    // §2.2 aggregations — exact distinct count (expands to a two-phase
+    // agg; partials keep the shuffle proportional to distinct keys).
+    "q07_distinct_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(min("value") * 100).cast("long").as("min_value_c"),
+          round(max("value") * 100).cast("long").as("max_value_c"))
+        .orderBy("event_type")
+    }),
+
+    // §2.2 set ops — INTERSECT then EXCEPT (both distinct semantics)
+    "q08_setops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y94 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y95 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      val pend = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+      y94.intersect(y95).except(pend).orderBy("o_custkey")
+    }),
+
+    // §2.2 joins — left-semi + left-anti as one tagged union; the
+    // probe side is broadcast when small, else a shuffled semi-join
+    // that never materializes the match multiplicity.
+    "q09_semi_anti" -> ((s, d) => {
+      val bigli = Tables.lineitem(s, d).filter(col("l_quantity") > 49).select("l_partkey")
+      val p = Tables.part(s, d)
+      val semi = p.join(bigli, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), lit("has_big").as("tag"))
+      val anti = p.join(bigli, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), lit("no_big").as("tag"))
+      semi.union(anti).orderBy("p_partkey")
+    }),
+
+    // §2.2 joins — equi + range predicate (band join): equi key carries
+    // the shuffle, the range is a post-join filter, so no cross product.
+    "q10_range_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("osec"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").cast("long").as("ssec"),
+          asInt(col("l_quantity"), 0).as("qty"))
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("ssec") >= col("osec") && col("ssec") < col("osec") + lit(30L * 86400))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_early"), sum("qty").as("qty_early"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.2 joins — backward as-of join (operators.AsOfJoin: one shuffle
+    // union + running window, no range explosion). Right side is
+    // pre-deduped on (key, time) for a deterministic match.
+    "q11_asof_join" -> ((s, d) => {
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      val l = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"))
+      AsOfJoin.backward(l, r, Seq("user_id"), "evt_sec", "ord_sec")
+        .orderBy("event_id")
+    }),
+
+    // §2.2 scalar functions — string suite (all codegen'd built-ins)
+    "q12_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_u"),
+        substring(col("p_name"), 1, 8).as("name_pre"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("long").as("brand_num"),
+        concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+        .orderBy("p_partkey")
+    }),
+
+    // §2.2 scalar functions — date suite + monthly aggregation
+    "q13_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          quarter(col("o_orderdate")).as("q"),
+          asInt(col("o_totalprice"), 2).as("price_c"))
+        .groupBy("month_sec", "y", "m", "q")
+        .agg(sum("price_c").as("rev_c"), count(lit(1)).as("n"))
+        .orderBy("month_sec")
+    }),
+
+    // §2.2 scalar functions — JSON extraction over events.props
+    "q14_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // §2.2 scalar functions — array higher-order functions over the
+    // embedding column, quantized with floor (tie-free cross-engine).
+    "q15_array_funcs" -> ((s, d) => {
+      val q = transform(col("embedding"), x => floor(x.cast("double") * 1000000))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("sum_e6"),
+        array_min(q).as("min_e6"),
+        array_max(q).as("max_e6"),
+        element_at(q, 1).as("first_e6"))
+        .orderBy("vec_id")
+    }),
+
+    // §2.2 grouping — GROUPING SETS via the SQL surface
+    "q16_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), asInt(col("l_quantity"), 0).as("qty"))
+        .createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, sum(qty) AS sum_qty, count(*) AS n
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // §2.2 pivot — conditional aggregation to fixed columns
+    "q17_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
     })
   )
+
+  private val PRICE_C = "CAST(round(l_extendedprice*100) AS BIGINT)"
+  private val DISC_C = "CAST(round(l_discount*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
     "q01_tpch_q1" ->
@@ -56,6 +284,162 @@ object GeneralQueries {
         |             CAST(round(l_tax * 100) AS BIGINT) AS tax_c
         |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_nation_revenue" ->
+      s"""SELECT n_name,
+         |       CAST(sum($PRICE_C * (100 - $DISC_C)) AS BIGINT) AS revenue_e4,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q03_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, price_c FROM (
+        |  SELECT o_orderpriority,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |         o_orderkey,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q04_window_running" ->
+      """SELECT o_custkey, o_orderkey, ord_sec, price_c,
+        |       CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY ord_sec, o_orderkey
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c,
+        |       lag(price_c) OVER (PARTITION BY o_custkey ORDER BY ord_sec, o_orderkey) AS prev_c,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY ord_sec, o_orderkey) AS BIGINT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |      FROM orders)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q05_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n,
+        |       CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_quantity) AS BIGINT) AS qty
+        |      FROM lineitem)
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q06_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(sum(price_c) AS BIGINT) AS sum_price_c, count(*) AS n,
+        |       CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM (SELECT o_orderstatus, o_orderpriority,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q07_distinct_agg" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events,
+        |       CAST(round(min(value)*100) AS BIGINT) AS min_value_c,
+        |       CAST(round(max(value)*100) AS BIGINT) AS max_value_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q08_setops" ->
+      """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q09_semi_anti" ->
+      """SELECT p_partkey, 'has_big' AS tag FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49)
+        |UNION ALL
+        |SELECT p_partkey, 'no_big' AS tag FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q10_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_early,
+        |       CAST(sum(qty) AS BIGINT) AS qty_early
+        |FROM (SELECT l_orderkey, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ssec,
+        |             CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem) li
+        |JOIN (SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec
+        |      FROM orders) o
+        |  ON li.l_orderkey = o.o_orderkey
+        | AND li.ssec >= o.osec AND li.ssec < o.osec + 2592000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q11_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.evt_sec, r.ord_sec, r.o_orderkey
+        |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec
+        |      FROM events) l
+        |ASOF LEFT JOIN (
+        |      SELECT o_custkey AS user_id, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |             max(o_orderkey) AS o_orderkey
+        |      FROM orders GROUP BY 1, 2) r
+        |  ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec
+        |ORDER BY event_id""".stripMargin,
+
+    "q12_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS name_u,
+        |       substr(p_name, 1, 8) AS name_pre,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+        |       p_type || '|' || p_brand AS type_brand,
+        |       string_split(p_name, ' ')[1] AS first_word,
+        |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q13_date_funcs" ->
+      """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
+        |       CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2, 3, 4 ORDER BY month_sec""".stripMargin,
+
+    "q14_json" ->
+      """SELECT event_type,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       count(CASE WHEN k > 50 THEN 1 END) AS n_big,
+        |       count(*) AS n
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, x) -> a + x) AS sum_e6,
+        |       list_min(q) AS min_e6,
+        |       list_max(q) AS max_e6,
+        |       q[1] AS first_e6
+        |FROM (SELECT vec_id, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q16_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_quantity) AS BIGINT) AS qty
+        |      FROM lineitem)
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q17_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
