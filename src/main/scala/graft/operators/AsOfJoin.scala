@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Requires (keys, rightTime) unique on the right side — pre-aggregate
   * the right side first to make the match deterministic.
+  *
+  * The whole right row (time + payload) is carried as ONE struct, so a
+  * matched row's NULL payload column stays NULL instead of inheriting
+  * a value from an older right row (mixed-row results).
   */
 object AsOfJoin {
 
@@ -37,17 +41,30 @@ object AsOfJoin {
     val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
 
+    val clash = rightPayload.toSet.intersect(leftPayload.toSet + leftTime)
+    require(clash.isEmpty,
+      s"asof: right payload columns collide with left columns: ${clash.mkString(", ")} — rename one side")
+    val reserved = Set("_t", "_side", "_r")
+    val resClash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(resClash.isEmpty,
+      s"asof: column names ${resClash.mkString(", ")} are reserved by the operator — rename them")
+
+    // one struct holds the entire matched right row
+    val rStructFields = (rightTime +: rightPayload.toSeq)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rStructFields.map(c => right.schema(right.schema.fieldIndex(c))))
+
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_t"), lit(1).as("_side")) ++
-        leftPayload.map(col) ++
-        (rightTime +: rightPayload.toSeq).map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*
+        leftPayload.map(col) :+
+        lit(null).cast(rStructType).as("_r"): _*
     )
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (col(rightTime) +: rightPayload.map(col).toSeq): _*
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rStructFields.map(col): _*).as("_r"): _*
     )
 
     val w = Window
@@ -55,13 +72,11 @@ object AsOfJoin {
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (rightTime +: rightPayload.toSeq).foldLeft(l.union(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-
-    carried
+    l.union(r)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(keys.map(col) ++ Seq(col("_t").as(leftTime)) ++
-        leftPayload.map(col) ++ (rightTime +: rightPayload.toSeq).map(col): _*)
+        leftPayload.map(col) ++
+        rStructFields.map(c => col("_r").getField(c).as(c)): _*)
   }
 }

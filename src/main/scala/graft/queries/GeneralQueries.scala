@@ -33,7 +33,10 @@ object GeneralQueries {
     round(c * math.pow(10, scale).toLong).cast("long")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.2 aggregations — TPC-H Q1 pricing summary (sum/avg/count)
+    // §2.2 aggregations — TPC-H Q1 pricing summary (sum/avg/count).
+    // int64 headroom: sum_charge_e6 terms are ~1e13, exact below ~9e5
+    // rows/group per 1e18 — i.e. ~1e12 rows/group at these magnitudes;
+    // switch to decimal(38,0) beyond that.
     "q01_tpch_q1" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -57,6 +60,9 @@ object GeneralQueries {
     // §2.2 joins — star join: 2 fact-fact shuffle joins + 2 broadcast
     // dims. At 100 TB the lineitem⋈orders shuffle is the only big
     // exchange; nation/region broadcast (25/5 rows at any SF).
+    // int64 headroom: revenue_e4 accumulates ~1e9-per-row terms, so
+    // per-nation sums stay exact only below ~9e9 rows/nation; past
+    // that aggregate in decimal(38,0) (sum(cast(x as decimal(38,0)))).
     "q02_nation_revenue" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
         col("l_orderkey"),
@@ -142,10 +148,10 @@ object GeneralQueries {
     // §2.2 set ops — INTERSECT then EXCEPT (both distinct semantics)
     "q08_setops" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val y94 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
-      val y95 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
       val pend = o.filter(col("o_orderstatus") === "P").select("o_custkey")
-      y94.intersect(y95).except(pend).orderBy("o_custkey")
+      y96.intersect(y97).except(pend).orderBy("o_custkey")
     }),
 
     // §2.2 joins — left-semi + left-anti as one tagged union; the

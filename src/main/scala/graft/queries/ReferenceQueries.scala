@@ -96,6 +96,23 @@ object ReferenceQueries {
     })
   )
 
+  /** Bench-only plan variants — no oracle entry (same answers as their
+    * oracle twins; different physical plan). r05's materialized path is
+    * what a deployment runs: `cur`/`prev` are each consumed by the ip
+    * branch AND the net roll-up, so caching them halves the fact-table
+    * scans (the reference's `recreateDF` hack, done idiomatically).
+    */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r05_spike_pipeline_mat" -> ((s, d) => {
+      val (h, t) = hist(s, d)
+      SpikeDetector.detect(h,
+          currentPredicate = col("timestamp") > curStart(t),
+          previousPredicate = col("timestamp") < curStart(t),
+          params = P,
+          materialize = true)
+    })
+  )
+
   private val H = RefHistogram.sqlCtes
   private val W = RefHistogram.CurWindowSec
   private val aggCur =
