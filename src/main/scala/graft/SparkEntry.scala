@@ -17,13 +17,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ReferenceQueries.all("r05_spike_pipeline")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-training-data pipeline x-series (dedup, similarity, text).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.all ++ GeneralQueries.all
+    ReferenceQueries.all ++ GeneralQueries.all ++ LlmQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles ++ GeneralQueries.oracles
+    ReferenceQueries.oracles ++ GeneralQueries.oracles ++ LlmQueries.oracles
 }

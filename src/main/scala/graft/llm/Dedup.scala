@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Document deduplication operators (builder brief: exact hash dedup,
+  * MinHash+LSH near-dup, n-gram jaccard). Each is a `DataFrame =>
+  * DataFrame` with an explicit scale story — crucially, NOTHING here
+  * ever compares all pairs: exact dedup shuffles on a 60-bit content
+  * hash, near-dup candidates come from an LSH band-bucket equi-join,
+  * and exact jaccard uses a sparse inverted-index join.
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash: keep the lowest-id row per
+    * distinct content, annotated with the duplicate count.
+    *
+    * Scale: one shuffle on the 60-bit hash (uniform — no skew unless
+    * one document dominates, which IS the duplicate being removed;
+    * AQE skew-split covers that). Never compares texts pairwise:
+    * hash collisions across distinct texts are ~n²/2^60.
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(idCol)
+    docs
+      .withColumn("fp", hash60(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs over word-bigram
+    * shingles. Emits (doc_a < doc_b, n_match, est_jaccard_e6) for
+    * pairs sharing at least one LSH band whose estimated jaccard
+    * (matching signature positions / k) clears `minEstE6`.
+    *
+    * Scale: the signature is a narrow per-row expression (no shuffle);
+    * candidates come from an equi-join on (band, bandKey) — the only
+    * shuffle, proportional to Σ bucket² rather than n². Band keys are
+    * 60-bit hashes, so buckets hold genuinely-similar docs plus
+    * vanishing chance collisions; a hot bucket (mass-duplicated doc)
+    * is exactly the skew AQE splits. The groupBy(doc_a, doc_b)
+    * deduplicates multi-band hits before the signature compare.
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        minEstE6: Long = 250000L,
+                        materialize: Boolean = true): DataFrame = {
+    // No size(sh)>0 guard: it would be pushed below the repartition
+    // and rebuild the shingle array once more on the unsplit input.
+    // A <2-token doc yields an all-null signature whose pairs score
+    // n_match=0 and die at the threshold — same output, no recompute.
+    val sigd = docs
+      .select(col(idCol), wordShingles(tokens(col(textCol))).as("sh"))
+      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
+      .select(col(idCol), minhashSigFromHashes(col("hs")).as("sig"))
+
+    val banded0 = sigd.select(
+      col(idCol), col("sig"),
+      posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band", "bkey")))
+    // The self-join consumes the (cpu-heavy) signature pipeline twice;
+    // cache it like SpikeDetector materializes its window aggregates.
+    val banded = if (materialize) banded0.cache() else banded0
+
+    val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"),
+      col("band").as("band_b"), col("bkey").as("bkey_b"))
+
+    // score each band hit immediately and aggregate with max() — the
+    // signature arrays never cross the pair-dedup shuffle, keeping the
+    // aggregate hash-based (first(array) would force a SortAggregate
+    // carrying both arrays per candidate row).
+    a.join(b,
+        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        sigMatches(col("sig_a"), col("sig_b")).as("n_match"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("n_match").as("n_match"))
+      .withColumn("est_jaccard_e6",
+        floor(lit(1000000.0) * col("n_match") / lit(MinHashK.toDouble)).cast("long"))
+      .filter(col("est_jaccard_e6") >= minEstE6)
+  }
+
+  /** Exact token-set jaccard from a probe subset to the whole corpus
+    * via an inverted-index join: explode distinct tokens, equi-join on
+    * the token, count co-occurrences, jaccard = |∩| / (|A|+|B|−|∩|).
+    *
+    * Scale: sparse — cost is Σ_token df_probe(token)·df(token), never
+    * materializing n² pairs. For web-scale corpora the standard
+    * guards apply and are knobs here: drop ultra-high-df tokens
+    * (`maxDocFreq`, the prefix-filtering idea) and keep the probe set
+    * bounded. The corpus' 31-word vocab makes every token high-df, so
+    * tests run with the cap off.
+    */
+  def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        probeFilter: org.apache.spark.sql.Column,
+                        minJaccardE6: Long = 900000L,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = docs.select(col(idCol),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_tok"))
+
+    val pruned = maxDocFreq match {
+      case Some(cap) =>
+        val df = toks.groupBy("tok").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        toks.join(df.select("tok"), Seq("tok"), "left_semi")
+      case None => toks
+    }
+
+    val probes = pruned.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col("tok"))
+    val inter = probes
+      .join(pruned.select(col(idCol).as("other_id"), col("tok")), Seq("tok"))
+      .filter(col("probe_id") =!= col("other_id"))
+      .groupBy("probe_id", "other_id")
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sizes.select(col(idCol).as("probe_id"), col("n_tok").as("n_a")), Seq("probe_id"))
+      .join(sizes.select(col(idCol).as("other_id"), col("n_tok").as("n_b")), Seq("other_id"))
+      .withColumn("jaccard_e6",
+        floor(lit(1000000.0) * col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("long"))
+      .filter(col("jaccard_e6") >= minJaccardE6)
+      .select("probe_id", "other_id", "n_inter", "jaccard_e6")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (builder brief: brute-force cosine
+  * top-k baseline + a bucketed approximate variant as the scale path).
+  * Vectors are `array<float>` columns; all arithmetic is done in
+  * double via codegen'd higher-order functions — no UDFs.
+  */
+object Similarity {
+
+  /** Left-fold dot product in double (deterministic summation order —
+    * matches the oracle's list_reduce bit-for-bit).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity scaled to e6 and floored to a long (exact
+    * cross-engine comparison — no float hashing).
+    */
+  def cosineE6(a: Column, b: Column): Column =
+    floor(lit(1000000.0) * dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
+      .cast("long")
+
+  /** Brute-force cosine top-k: every probe against the whole corpus.
+    *
+    * Scale: the probe set is broadcast (small by definition — it's a
+    * query batch), so the corpus is scanned once with NO shuffle of
+    * the big side; the only shuffle is the per-probe top-k window over
+    * |probes|·k candidates... which first requires scoring |probes|·n
+    * rows. That linear scan is the baseline's cost — the honest
+    * comparison point for the bucketed variant below.
+    */
+  def bruteTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_e6").desc, col(idCol))
+    corpus.crossJoin(broadcast(p))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("cos_e6", cosineE6(col("p_vec"), col(vecCol)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("cos_e6"), col("rnk"))
+  }
+
+  /** Sign-bucket LSH code: bit j set iff component j ≥ 0. With
+    * axis-aligned hyperplanes this is the simplest random-projection
+    * LSH; `planes` bits → 2^planes buckets.
+    */
+  def signBucket(vec: Column, planes: Int = 8): Column =
+    (0 until planes).map { j =>
+      when(element_at(vec, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed approximate top-k: probes only score corpus vectors in
+    * their own sign bucket — the recall/cost trade of LSH-ANN.
+    *
+    * Scale: ONE equi-join shuffle on the bucket code instead of a full
+    * scan per probe; cost drops by ~2^planes. Bucket skew (real
+    * embedding distributions are anisotropic) is AQE's skew-join case;
+    * production would rotate with several plane sets (multi-table
+    * LSH) and union candidates — same plan shape, more joins.
+    */
+  def bucketedTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.withColumn("bucket", signBucket(col(vecCol)))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+      .withColumn("bucket", signBucket(col("p_vec")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_e6").desc, col(idCol))
+    c.join(p, Seq("bucket"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("cos_e6", cosineE6(col("p_vec"), col(vecCol)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("bucket"),
+        col("cos_e6"), col("rnk"))
+  }
+}

@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextFunctions => TF}
+
+/** LLM-training-data pipeline queries (builder brief: dedup,
+  * similarity search, text analysis, multimodal — first-class
+  * components) over the `documents` and `embeddings` tables, each with
+  * a DuckDB oracle computing the identical algorithm.
+  *
+  * Oracle-parity rules on top of GeneralQueries' (exact integer
+  * outputs, total ORDER BY, matching column names):
+  *   - the one hash primitive is TF.hash60 = first 15 md5 hex digits
+  *     as a long — `('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB;
+  *   - minhash/simhash constants are interpolated into the SQL from
+  *     the same Scala values the Spark expressions use;
+  *   - float reductions (dot products) are left folds from 0.0 in
+  *     array order in BOTH engines (Spark `aggregate`, DuckDB
+  *     `list_reduce(list_prepend(0.0, ...))`) — bit-identical IEEE —
+  *     then scaled×1e6 and floored to longs before comparison.
+  */
+object LlmQueries {
+
+  private val P = TF.HashPrime
+  private val K = TF.MinHashK
+
+  /** DuckDB rendering of TF.hash60. */
+  private def dH(x: String) = s"(('0x'||substr(md5($x),1,15))::BIGINT)"
+
+  /** DuckDB rendering of a left-fold double sum. */
+  private def dSum(l: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (acc, v) -> acc + v)"
+
+  /** DuckDB rendering of dot(a, b) over float lists, in double. */
+  private def dDot(a: String, b: String) =
+    dSum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  private val enStops = TF.LangProfiles.head._2
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy, keep lowest id + dup count.
+    "x01_exact_dedup" -> ((s, d) => {
+      Dedup.exactDedup(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "fp", "n_dups", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH near-dup candidates over word-bigram shingles:
+    // shingle → k=24 signature → 12 bands × 2 rows → band-bucket
+    // equi-join (the ONLY big shuffle; never all-pairs) → est jaccard.
+    // The corpus is repartitioned first (explicit count — AQE would
+    // coalesce a byte-small exchange back to one partition): the
+    // testdata is one parquet split, which would serialize the
+    // cpu-bound hashing on a single core. Hash cost scales with
+    // bytes, not rows, so at cluster scale the input arrives
+    // pre-split and this becomes a no-op knob.
+    "x02_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashCandidates(
+          Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "text", "doc_id")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact unigram jaccard, probe subset → corpus, inverted-index
+    // join (sparse; df-cap knob for web-scale vocabularies).
+    "x03_token_jaccard" -> ((s, d) => {
+      Dedup.tokenJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          probeFilter = col("doc_id") % 50 === 0)
+        .orderBy("probe_id", "other_id")
+    }),
+
+    // Per-document token statistics (token counting / length stats).
+    "x04_token_stats" -> ((s, d) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+            .as("total_tok_chars"),
+          TF.hits(toks, enStops).as("stop_hits"))
+        .withColumn("avg_tok_len_e3",
+          floor(lit(1000.0) * col("total_tok_chars") / col("n_tokens")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus term frequencies: explode → two-level hash agg (partial
+    // map-side combine keeps the shuffle ∝ vocabulary, not corpus).
+    "x05_term_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+        .orderBy(col("n_occ").desc, col("token"))
+    }),
+
+    // Heuristic language ID: stopword-profile hits + argmax.
+    "x06_lang_id" -> ((s, d) => {
+      val toks = TF.tokens(col("text"))
+      val hitCols = TF.LangProfiles.map { case (lang, words) =>
+        TF.hits(toks, words).as(s"hits_$lang")
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id") +: col("lang") +: hitCols :+
+          TF.predictLang(toks).as("pred_lang"): _*)
+        .withColumn("matches_declared",
+          (col("lang") === col("pred_lang")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: char-class ratios + stopword ratio + length
+    // score, composed into an integer-scaled quality value.
+    "x07_quality_score" -> ((s, d) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .cast("long").as("n_space"),
+          size(toks).cast("long").as("n_tokens"),
+          TF.hits(toks, enStops).as("stop_hits"))
+        .withColumn("stop_ratio_e3",
+          floor(lit(1000.0) * col("stop_hits") / col("n_tokens")).cast("long"))
+        .withColumn("quality_e3",
+          floor(lit(1000.0) *
+            (lit(0.5) * least(lit(1.0), col("n_tokens") / lit(100.0)) +
+             lit(0.5) * (col("stop_hits") / col("n_tokens")))).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: rolling 60-bit hashes of char 8-grams;
+    // min/max/distinct-count summarize the gram set (winnowing-style).
+    "x08_fingerprint" -> ((s, d) => {
+      val grams = TF.charGramHashes(col("text"), 8)
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(
+          col("doc_id"),
+          size(grams).cast("long").as("n_grams"),
+          size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
+          array_min(grams).as("fp_min"),
+          array_max(grams).as("fp_max"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash: 16-bit frequency-weighted token simhash + its high
+    // byte as a blocking bucket.
+    "x09_simhash" -> ((s, d) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.simhash(toks).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 8))
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k (similarity-search baseline): probes
+    // broadcast, corpus scanned once, per-probe window top-k.
+    "x10_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Bucketed ANN: sign-projection LSH code → equi-join on bucket →
+    // per-probe top-k within bucket (the scale path).
+    "x11_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Multimodal metadata pass: opaque binary payload + typed
+    // metadata; deterministic byte-level features (the decode seam for
+    // real codecs is graft.llm.Multimodal.extractFeatures).
+    "x12_multimodal_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("media", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("media")).cast("long").as("byte_len"),
+          TF.hash60(col("text")).as("content_h"),
+          (floor(col("n_chars") / lit(64.0)) + 1).cast("long").as("n_frames"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------- DuckDB oracles ----------------
+
+  private val sigSql: String =
+    "[" + (0 until K).map { i =>
+      s"list_min(list_transform(hs, h -> (${TF.MinHashA(i)}*h+${TF.MinHashB(i)})%$P))"
+    }.mkString(", ") + "]"
+
+  private val bandKeysSql: String = (0 until TF.MinHashBands).map { b =>
+    val parts = (0 until TF.MinHashRows)
+      .map(r => s"CAST(sig[${b * TF.MinHashRows + r + 1}] AS VARCHAR)").mkString(", ")
+    dH(s"concat_ws(',', $parts)") + s" AS bk$b"
+  }.mkString(",\n         ")
+
+  private val bandCaseSql: String =
+    "CASE band " + (0 until TF.MinHashBands - 1).map(b => s"WHEN $b THEN bk$b").mkString(" ") +
+      s" ELSE bk${TF.MinHashBands - 1} END"
+
+  private val simhashSql: String =
+    (0 until TF.SimHashBits).map { j =>
+      s"(CASE WHEN CAST(list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def stopHits(toksExpr: String, words: Seq[String]): String =
+    s"CAST(len(list_filter($toksExpr, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
+
+  private val langCaseSql: String = {
+    val langs = TF.LangProfiles.map(_._1)
+    langs.init.zipWithIndex.foldRight(s"'${langs.last}'") { case ((lang, i), rest) =>
+      val later = langs.drop(i + 1)
+      s"CASE WHEN ${later.map(l => s"hits_$lang >= hits_$l").mkString(" AND ")} THEN '$lang' ELSE $rest END"
+    }
+  }
+
+  private val bucketSql: String =
+    "(" + (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") + ")"
+
+  val oracles: Map[String, String] = Map(
+    "x01_exact_dedup" ->
+      s"""SELECT doc_id, fp, n_dups, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars, fp,
+         |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY fp) AS n_dups
+         |  FROM (SELECT doc_id, lang, n_chars, ${dH("text")} AS fp FROM documents))
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "x02_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |              list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) AS sh
+         |       FROM toks),
+         |hsh AS (SELECT doc_id, list_transform(sh, t -> ${dH("t")} % $P) AS hs
+         |        FROM sh WHERE len(sh) > 0),
+         |sigs AS (SELECT doc_id, $sigSql AS sig FROM hsh),
+         |keyed AS (SELECT doc_id, sig,
+         |         $bandKeysSql
+         |  FROM sigs),
+         |bands AS (SELECT doc_id, sig, band, $bandCaseSql AS bkey
+         |          FROM keyed, (SELECT unnest(generate_series(0, ${TF.MinHashBands - 1})) AS band)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |scored AS (SELECT doc_a, doc_b,
+         |                  CAST(len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i])) AS BIGINT) AS n_match
+         |           FROM pairs)
+         |SELECT doc_a, doc_b, n_match,
+         |       CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) AS est_jaccard_e6
+         |FROM scored
+         |WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x03_token_jaccard" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |sizes AS (SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_tok FROM documents),
+        |inter AS (SELECT p.doc_id AS probe_id, t.doc_id AS other_id, count(*) AS n_inter
+        |          FROM toks p JOIN toks t ON p.tok = t.tok AND p.doc_id <> t.doc_id
+        |          WHERE p.doc_id % 50 = 0
+        |          GROUP BY 1, 2)
+        |SELECT probe_id, other_id, n_inter,
+        |       CAST(floor(1000000.0 * n_inter / (a.n_tok + b.n_tok - n_inter)) AS BIGINT) AS jaccard_e6
+        |FROM inter
+        |JOIN sizes a ON a.doc_id = probe_id
+        |JOIN sizes b ON b.doc_id = other_id
+        |WHERE CAST(floor(1000000.0 * n_inter / (a.n_tok + b.n_tok - n_inter)) AS BIGINT) >= 900000
+        |ORDER BY probe_id, other_id""".stripMargin,
+
+    "x04_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(len(t) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_tok_chars,
+         |       ${stopHits("t", enStops)} AS stop_hits,
+         |       CAST(floor(1000.0 * CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) / len(t)) AS BIGINT) AS avg_tok_len_e3
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "x05_term_freq" ->
+      """SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occ DESC, token""".stripMargin,
+
+    "x06_lang_id" -> {
+      val hitsSel = TF.LangProfiles.map { case (lang, words) =>
+        s"${stopHits("t", words)} AS hits_$lang"
+      }.mkString(", ")
+      val hitNames = TF.LangProfiles.map(p => s"hits_${p._1}").mkString(", ")
+      s"""SELECT doc_id, lang, $hitNames, pred_lang,
+         |       CAST(lang = pred_lang AS BIGINT) AS matches_declared
+         |FROM (
+         |  SELECT doc_id, lang, $hitNames, $langCaseSql AS pred_lang
+         |  FROM (SELECT doc_id, lang, $hitsSel
+         |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "x07_quality_score" ->
+      s"""SELECT doc_id, len_chars, n_alpha, n_space, n_tokens, stop_hits,
+         |       CAST(floor(1000.0 * stop_hits / n_tokens) AS BIGINT) AS stop_ratio_e3,
+         |       CAST(floor(1000.0 * (0.5 * least(1.0, n_tokens / 100.0)
+         |                          + 0.5 * (stop_hits / n_tokens))) AS BIGINT) AS quality_e3
+         |FROM (SELECT doc_id,
+         |             CAST(length(text) AS BIGINT) AS len_chars,
+         |             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             ${stopHits("string_split(text, ' ')", enStops)} AS stop_hits
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "x08_fingerprint" ->
+      s"""SELECT doc_id,
+         |       CAST(len(gh) AS BIGINT) AS n_grams,
+         |       CAST(len(list_distinct(gh)) AS BIGINT) AS n_distinct_grams,
+         |       list_min(gh) AS fp_min,
+         |       list_max(gh) AS fp_max
+         |FROM (SELECT doc_id,
+         |             list_transform(generate_series(1, length(text) - 7),
+         |                            i -> ${dH("substr(text, i, 8)")}) AS gh
+         |      FROM documents WHERE length(text) >= 8)
+         |ORDER BY doc_id""".stripMargin,
+
+    "x09_simhash" ->
+      s"""SELECT doc_id, simhash, simhash >> 8 AS bucket
+         |FROM (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
+         |      FROM (SELECT doc_id,
+         |                   list_transform(string_split(text, ' '), t -> ${dH("t")}) AS hs
+         |            FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "x10_cosine_topk" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS p_vec FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, e.vec_id AS neighbor_id,
+         |         CAST(floor(1000000.0 * ${dDot("p_vec", "embedding")}
+         |              / (sqrt(${dDot("p_vec", "p_vec")}) * sqrt(${dDot("embedding", "embedding")}))) AS BIGINT) AS cos_e6
+         |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_e6,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cos_e6, rnk FROM ranked
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "x11_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, embedding AS p_vec, $bucketSql AS bucket
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT probe_id, c.vec_id AS neighbor_id, c.bucket,
+         |         CAST(floor(1000000.0 * ${dDot("p_vec", "embedding")}
+         |              / (sqrt(${dDot("p_vec", "p_vec")}) * sqrt(${dDot("embedding", "embedding")}))) AS BIGINT) AS cos_e6
+         |  FROM c JOIN p USING (bucket) WHERE c.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, bucket, cos_e6,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, bucket, cos_e6, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    "x12_multimodal_meta" ->
+      s"""SELECT doc_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |       ${dH("text")} AS content_h,
+         |       CAST(floor(n_chars / 64.0) + 1 AS BIGINT) AS n_frames,
+         |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+         |       lang, source
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
