@@ -44,6 +44,7 @@ class IpFunctionsSpec extends AnyFunSuite with SparkTestSession {
     import s.implicits._
     val got = Seq(174327308L, 0L, 4294967295L).toDF("ip")
       .select(IpFunctions.ipv4String(col("ip"))).collect().map(_.getString(0))
-    assert(got === Array("10.100.67.12", "0.0.0.0", "255.255.255.255"))
+    // 174327308 = 0x0A64060C (README example IP) = 10.100.6.12
+    assert(got === Array("10.100.6.12", "0.0.0.0", "255.255.255.255"))
   }
 }

@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps the lowest id per content and counts duplicates") {
+    val got = Dedup.exactDedup(
+      docs((1L, "aa bb"), (2L, "aa bb"), (3L, "cc"), (4L, "aa bb")),
+      "text", "doc_id")
+      .select("doc_id", "n_dups").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("minhash LSH pairs identical docs with a full-match signature") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val got = Dedup.minhashCandidates(
+      docs((1L, text), (2L, text), (3L, "completely different words entirely here now")),
+      "text", "doc_id", materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, TextFunctions.MinHashK.toLong)))
+  }
+
+  test("minhash LSH tolerates sub-shingle-size docs (no pairs, no crash)") {
+    val got = Dedup.minhashCandidates(
+      docs((1L, "solo"), (2L, "solo"), (3L, "a b a b a b a b")),
+      "text", "doc_id", materialize = false).collect()
+    assert(got.isEmpty) // single-token docs have empty shingle sets
+  }
+
+  test("token jaccard: exact values through the inverted-index join") {
+    val got = Dedup.tokenJaccardPairs(
+      docs((0L, "a b c d"), (1L, "a b c d"), (2L, "a b x y")),
+      "text", "doc_id",
+      probeFilter = col("doc_id") === 0, minJaccardE6 = 300000L)
+      .orderBy("other_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // vs doc1: 4/4 = 1.0; vs doc2: |{a,b}| / |{a,b,c,d,x,y}| = 2/6
+    assert(got.toSeq === Seq((0L, 1L, 4L, 1000000L), (0L, 2L, 2L, 333333L)))
+  }
+
+  test("token jaccard df-cap prunes ubiquitous tokens") {
+    val got = Dedup.tokenJaccardPairs(
+      docs((0L, "a b"), (1L, "a c"), (2L, "a d")),
+      "text", "doc_id",
+      probeFilter = col("doc_id") === 0, minJaccardE6 = 0L,
+      maxDocFreq = Some(2L)) // 'a' has df=3 -> pruned, no pair survives
+      .collect()
+    assert(got.isEmpty)
+  }
+}
