@@ -1,0 +1,38 @@
+package graft.app
+
+import java.nio.file.Paths
+import graft.sources.HourlyParquetSource
+
+/** Application entry point — the reference's `__main__` block
+  * (hha.py:331–347): load config, start the watch-list refresh
+  * daemon, run the scheduler loop forever.
+  *
+  * Usage: Main [hha.conf] [dataDir] [watchlistFile]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val config = args.headOption
+      .map(p => HhaConfig.load(Paths.get(p)))
+      .getOrElse(HhaConfig())
+
+    val spark = graft.core.GraftSession.local(config.appName)
+    val dataDir = args.lift(1).getOrElse(s"/${config.hdfsFileDir}")
+    val source = new HourlyParquetSource(spark, dataDir)
+
+    val watchlist = args.lift(2) match {
+      case Some(p) =>
+        val w = new FileWatchlist(Paths.get(p))
+        // refresh every 300 s on a daemon thread (hha.py:71, 342) —
+        // atomic snapshot swap, unlike the reference's in-place clear
+        val t = new Thread(() => {
+          while (true) { Thread.sleep(300000L); w.refresh() }
+        }, "watchlist-refresh")
+        t.setDaemon(true)
+        t.start()
+        w
+      case None => new StaticWatchlist(Set.empty)
+    }
+
+    new SpikeScheduler(source, config, watchlist, new LogRuleSink()).run()
+  }
+}

@@ -27,6 +27,10 @@ object IpFunctions {
     ip.bitwiseAND(lit(mask))
   }
 
+  /** Plain-Scala dotted-quad rendering (driver-side alert logging). */
+  def ipv4Render(ip: Long): String =
+    s"${(ip >> 24) & 255}.${(ip >> 16) & 255}.${(ip >> 8) & 255}.${ip & 255}"
+
   /** Dotted-quad rendering of an int-encoded IPv4 ("10.100.67.139"). */
   def ipv4String(ip: Column): Column = concat_ws(
     ".",
