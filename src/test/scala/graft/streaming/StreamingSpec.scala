@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestSession
+import graft.app.{CollectingRuleSink, HhaConfig, StaticWatchlist}
+import graft.reference.Alert
+
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  test("windowed aggregate: tumbling event-time windows close at the watermark " +
+    "and apply the truncating avg") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[HistRow]
+    val q = StreamingSpike.windowedAggregate(in.toDF(), windowSec = 100L,
+        watermarkDelaySec = 0L)
+      .writeStream.format("memory").queryName("winagg").outputMode("append").start()
+    try {
+      // two rows in window [0,100): avg(2,3) truncates to 2
+      in.addData(HistRow(10L, 1L, 65, 2L, 11, 42L), HistRow(20L, 1L, 65, 3L, 11, 42L))
+      q.processAllAvailable()
+      in.addData(HistRow(500L, 1L, 65, 7L, 11, 42L)) // advances max event time
+      q.processAllAvailable()
+      in.addData(HistRow(600L, 1L, 65, 9L, 11, 42L)) // watermark passes 100
+      q.processAllAvailable()
+      // watermark reached 600: windows [0,100) and [500,600) are both
+      // closed; [600,700) stays open
+      val rows = s.table("winagg").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+      assert(rows.toSet === Set((0L, 65, 2), (500L, 65, 7)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState TTL dedup: per-key state across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val a = Alert(65, 11, 174, 174327451L)
+    val in = MemoryStream[AlertEvent]
+    val q = StreamingAlertDedup.dedup(in.toDS(), ttlSec = 300L)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(AlertEvent(a, 1000L), AlertEvent(a, 1100L)) // same batch: one fires
+      q.processAllAvailable()
+      in.addData(AlertEvent(a, 1200L)) // within TTL: suppressed
+      q.processAllAvailable()
+      in.addData(AlertEvent(a, 1300L)) // exactly at TTL: fires
+      q.processAllAvailable()
+      assert(s.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch pipeline: micro-batch snapshot through detector + alert layer") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val now = 10000L
+    val spikingIp = 3232235777L
+    val in = MemoryStream[HistRow]
+    val sink = new CollectingRuleSink
+    val q = StreamingSpike.start(in.toDF(), HhaConfig(),
+      new StaticWatchlist(Set(spikingIp)), sink, clock = () => now)
+    try {
+      in.addData(
+        HistRow(now - 10L, 1L, 65, 961L, 11, spikingIp),  // current window
+        HistRow(now - 400L, 1L, 65, 174L, 11, spikingIp)) // previous window
+      q.processAllAvailable()
+      assert(sink.alerts.map(a => (a.numProtocol, a.dstIp, a.baseline)) ===
+        Seq((65, spikingIp, 174)))
+      // same snapshot again: TTL-suppressed by the shared dedup state
+      in.addData(
+        HistRow(now - 10L, 1L, 65, 961L, 11, spikingIp),
+        HistRow(now - 400L, 1L, 65, 174L, 11, spikingIp))
+      q.processAllAvailable()
+      assert(sink.alerts.size === 1)
+    } finally q.stop()
+  }
+}
