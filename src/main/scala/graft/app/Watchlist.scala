@@ -39,6 +39,21 @@ object Watchlist {
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .flatMap(parseIpv4)
       .toSet
+
+  /** Distributed variant for watch-lists that live in a table rather
+    * than a small file: same comment/malformed semantics, parsing via
+    * the native codegen'd `parse_ipv4` expression (GraftExtensions).
+    * Collect stays small — it's the distinct parsed set.
+    */
+  def fromDataFrame(df: org.apache.spark.sql.DataFrame, entryCol: String): Set[Long] = {
+    import org.apache.spark.sql.functions._
+    df.select(trim(col(entryCol)).as("e"))
+      .filter(col("e") =!= "" && !col("e").startsWith("#"))
+      .select(expr("parse_ipv4(e)").as("ip"))
+      .filter(col("ip").isNotNull)
+      .distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
 }
 
 /** Fixed in-memory watch-list (tests, static deployments). */

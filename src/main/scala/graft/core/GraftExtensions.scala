@@ -1,0 +1,24 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.ParseIpv4
+
+/** Engine extensions installed through the public
+  * `SparkSessionExtensions` hook (usable via
+  * `builder.withExtensions(new GraftExtensions)` — GraftSession does
+  * this — or `spark.sql.extensions=graft.core.GraftExtensions` on a
+  * cluster submit). Currently: the native `parse_ipv4` expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("parse_ipv4"),
+      new ExpressionInfo(classOf[ParseIpv4].getName, "parse_ipv4"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "parse_ipv4 expects exactly one argument")
+        ParseIpv4(args.head)
+      }))
+  }
+}

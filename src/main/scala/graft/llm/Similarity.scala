@@ -47,6 +47,34 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("cos_e6"), col("rnk"))
   }
 
+  /** Brute-force top-k via the bounded [[graft.functions.TopKAggregator]]
+    * instead of a ranking window: per-group state is capped at k
+    * BEFORE the shuffle (map-side partial aggregation), so the
+    * exchange carries |probes|·k rows, not every scored candidate —
+    * the window variant ([[bruteTopK]]) must shuffle + sort them all.
+    * Same results; kept separately as the typed-Aggregator surface.
+    */
+  def bruteTopKAgg(corpus: DataFrame, probes: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{Scored, TopKAggregator}
+    val s = corpus.sparkSession
+    import s.implicits._
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+    val scored = corpus.crossJoin(broadcast(p))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id").as("_1"),
+        struct(
+          cosineE6(col("p_vec"), col(vecCol)).as("score"),
+          col(idCol).as("id")).as("_2"))
+      .as[(Long, Scored)]
+    scored.groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (probe, tops) =>
+        tops.zipWithIndex.map { case (t, i) => (probe, t.id, t.score, (i + 1).toLong) }
+      }
+      .toDF("probe_id", "neighbor_id", "cos_e6", "rnk")
+  }
+
   /** Sign-bucket LSH code: bit j set iff component j ≥ 0. With
     * axis-aligned hyperplanes this is the simplest random-projection
     * LSH; `planes` bits → 2^planes buckets.

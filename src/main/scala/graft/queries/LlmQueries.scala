@@ -173,6 +173,15 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Same top-k semantics as x10 through the bounded typed
+    // Aggregator (map-side-capped state instead of a ranking window);
+    // both implementations must independently match the one oracle.
+    "x13_cosine_topk_agg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteTopKAgg(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -370,6 +379,20 @@ object LlmQueries {
          |  FROM scored)
          |SELECT probe_id, neighbor_id, bucket, cos_e6, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    "x13_cosine_topk_agg" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS p_vec FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, e.vec_id AS neighbor_id,
+         |         CAST(floor(1000000.0 * ${dDot("p_vec", "embedding")}
+         |              / (sqrt(${dDot("p_vec", "p_vec")}) * sqrt(${dDot("embedding", "embedding")}))) AS BIGINT) AS cos_e6
+         |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_e6,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cos_e6, rnk FROM ranked
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     "x12_multimodal_meta" ->
       s"""SELECT doc_id,

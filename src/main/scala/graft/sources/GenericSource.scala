@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Uniform read/write surface over the formats the engine supports
+  * (SURVEY.md §2.2 sources row): parquet, csv, json.
+  *
+  * Reads always take an EXPLICIT schema: schema inference costs an
+  * extra full pass over csv/json at scale and can silently drift
+  * between runs (the reference's schema-on-read parquet habit,
+  * hha.py:304, pinned down per SURVEY §1.4). Writers default to
+  * snappy parquet — the only format to use for anything that gets
+  * read again.
+  */
+object GenericSource {
+
+  sealed trait Format { def name: String }
+  case object Parquet extends Format { val name = "parquet" }
+  case object Csv extends Format { val name = "csv" }
+  case object Json extends Format { val name = "json" }
+
+  /** Schema-pinned read. csv expects a header by default (matched by
+    * [[write]]); json is line-delimited (the only splittable layout).
+    */
+  def read(spark: SparkSession, format: Format, path: String, schema: StructType,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.schema(schema).options(options)
+    format match {
+      case Parquet => base.parquet(path)
+      case Csv => base.option("header", options.getOrElse("header", "true")).csv(path)
+      case Json => base.json(path)
+    }
+  }
+
+  /** Write with sized output files: `targetPartitions` caps the file
+    * count so a small frame doesn't shatter into per-task confetti
+    * and a big one still parallelizes (at 100 TB you tune this to
+    * ~128 MB-1 GB per file; repartition(1) driver-funnels are the
+    * anti-pattern this knob replaces).
+    */
+  def write(df: DataFrame, format: Format, path: String,
+            mode: SaveMode = SaveMode.Overwrite,
+            targetPartitions: Option[Int] = None,
+            options: Map[String, String] = Map.empty): Unit = {
+    val sized = targetPartitions.fold(df)(n => df.coalesce(n))
+    val base = sized.write.mode(mode).options(options)
+    format match {
+      case Parquet => base.parquet(path)
+      case Csv => base.option("header", options.getOrElse("header", "true")).csv(path)
+      case Json => base.json(path)
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import org.apache.spark.sql.types.StructType
+import graft.SparkTestSession
+
+class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private val schema = StructType.fromDDL("id BIGINT, name STRING, score DOUBLE")
+
+  private def sample = {
+    val s = spark; import s.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0)).toDF("id", "name", "score")
+  }
+
+  for (fmt <- Seq(GenericSource.Parquet, GenericSource.Csv, GenericSource.Json)) {
+    test(s"${fmt.name}: write then schema-pinned read round-trips") {
+      val dir = Files.createTempDirectory(s"src_${fmt.name}").toString + "/data"
+      GenericSource.write(sample, fmt, dir, targetPartitions = Some(1))
+      val back = GenericSource.read(spark, fmt, dir, schema)
+      assert(back.schema === schema)
+      assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        === Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0)))
+    }
+  }
+
+  test("targetPartitions caps the output file count") {
+    val dir = Files.createTempDirectory("src_parts").toString + "/data"
+    GenericSource.write(sample.repartition(3), GenericSource.Parquet, dir,
+      targetPartitions = Some(1))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 1)
+  }
+}
