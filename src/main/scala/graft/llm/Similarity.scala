@@ -57,22 +57,23 @@ object Similarity {
   def bruteTopKAgg(corpus: DataFrame, probes: DataFrame, k: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.{Scored, TopKAggregator}
-    val s = corpus.sparkSession
-    import s.implicits._
+    implicit val scoredEnc: org.apache.spark.sql.Encoder[Scored] =
+      org.apache.spark.sql.Encoders.product[Scored]
+    // untyped udaf() keeps the aggregation inside the regular hash-agg
+    // plan — a groupByKey/mapValues typed pipeline would deserialize
+    // every candidate row into objects first (measured ~10× slower)
+    val topk = udaf(new TopKAggregator(k))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
-    val scored = corpus.crossJoin(broadcast(p))
+    corpus.crossJoin(broadcast(p))
       .filter(col(idCol) =!= col("probe_id"))
-      .select(col("probe_id").as("_1"),
-        struct(
-          cosineE6(col("p_vec"), col(vecCol)).as("score"),
-          col(idCol).as("id")).as("_2"))
-      .as[(Long, Scored)]
-    scored.groupByKey(_._1).mapValues(_._2)
-      .agg(new TopKAggregator(k).toColumn)
-      .flatMap { case (probe, tops) =>
-        tops.zipWithIndex.map { case (t, i) => (probe, t.id, t.score, (i + 1).toLong) }
-      }
-      .toDF("probe_id", "neighbor_id", "cos_e6", "rnk")
+      .select(col("probe_id"),
+        cosineE6(col("p_vec"), col(vecCol)).as("score"),
+        col(idCol).as("id"))
+      .groupBy("probe_id")
+      .agg(topk(col("score"), col("id")).as("tops"))
+      .select(col("probe_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos_e6"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Sign-bucket LSH code: bit j set iff component j ≥ 0. With
