@@ -85,6 +85,29 @@ object Similarity {
       when(element_at(vec, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
+    * sharing a sign bucket are scored (all-pairs-free), emitting
+    * (a < b, cos_e6 >= threshold).
+    *
+    * Scale: one equi-join shuffle on the bucket code; candidate count
+    * is Σ bucket² / 2 ≈ n²/2^planes — raise `planes` as n grows to
+    * hold the per-bucket quadratic cost down, and add rotated plane
+    * sets (multi-table LSH) to recover recall. Recall is bounded by
+    * bucket agreement: a near-dup pair split by one sign flip is
+    * missed — the standard LSH trade, stated rather than hidden.
+    */
+  def bucketedNearDupPairs(corpus: DataFrame, minCosE6: Long,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBucket = corpus.withColumn("bucket", signBucket(col(vecCol)))
+    val a = withBucket.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("bucket"))
+    val b = withBucket.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_e6", cosineE6(col("va"), col("vb")))
+      .filter(col("cos_e6") >= minCosE6)
+      .select("vec_a", "vec_b", "bucket", "cos_e6")
+  }
+
   /** Bucketed approximate top-k: probes only score corpus vectors in
     * their own sign bucket — the recall/cost trade of LSH-ANN.
     *

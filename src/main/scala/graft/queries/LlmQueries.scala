@@ -182,6 +182,26 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Embedding-cosine near-dup pairs within sign buckets (the dedup
+    // side of ANN: pairs, not probe top-k; never all-pairs).
+    "x14_embedding_neardup" -> ((s, d) => {
+      Similarity.bucketedNearDupPairs(Tables.embeddings(s, d), minCosE6 = 250000L)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // HLL sketch distinct (approx_count_distinct) next to the exact
+    // count. NO DuckDB oracle — the two engines' HLL sketches differ
+    // by design, so the driver records the weaker rows-only check;
+    // the accuracy bound is asserted in SketchSpec instead.
+    "q18_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -393,6 +413,16 @@ object LlmQueries {
          |  FROM scored)
          |SELECT probe_id, neighbor_id, cos_e6, rnk FROM ranked
          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "x14_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         |         CAST(floor(1000000.0 * ${dDot("a.embedding", "b.embedding")}
+         |              / (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")}))) AS BIGINT) AS cos_e6
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, bucket, cos_e6 FROM pairs
+         |WHERE cos_e6 >= 250000 ORDER BY vec_a, vec_b""".stripMargin,
 
     "x12_multimodal_meta" ->
       s"""SELECT doc_id,

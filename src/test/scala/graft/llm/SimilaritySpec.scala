@@ -39,6 +39,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("bucketedNearDupPairs finds in-bucket near-dups, a < b, threshold applied") {
+    val corpus = vecs(
+      (1L, pad(1f, 1f)), (2L, pad(1f, 1f)),      // identical pair, same bucket
+      (3L, pad(1f, -1f)),                        // different bucket
+      (4L, pad(-1f, -1f, 0.001f)))               // another bucket
+    val got = Similarity.bucketedNearDupPairs(corpus, minCosE6 = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // identical vectors floor to 999999: sqrt(2)*sqrt(2) > 2 in IEEE,
+    // so the ratio is 1 - 1ulp (the oracle computes the same value)
+    assert(got.toSeq === Seq((1L, 2L, 999999L)))
+  }
+
   test("bucketedTopK only scores same-sign-bucket candidates") {
     val corpus = vecs(
       (1L, pad(1f, 1f)),    // bucket: all bits set (zeros count as >= 0)
