@@ -84,6 +84,19 @@ object ReferenceQueries {
         .orderBy("user_id", "event_type", "bucket")
     }),
 
+    // Fused single-scan spike pipeline (SpikeDetector.detectFused):
+    // same alert set as r05 through a conditional-aggregation plan —
+    // one fact scan + one shuffle instead of four scans + a join.
+    // Checked against the SAME oracle SQL as r05.
+    "r08_spike_fused" -> ((s, d) => {
+      val (h, t) = hist(s, d)
+      SpikeDetector.detectFused(h,
+          currentPredicate = col("timestamp") > curStart(t),
+          previousPredicate = col("timestamp") < curStart(t),
+          params = P)
+        .orderBy("num_protocol", "type_proto", "dst_ip", "sum_val")
+    }),
+
     // §2.1 #20 — watch-list membership as a broadcast semi-join
     "r07_watchlist_semijoin" -> ((s, d) => {
       val watch = Tables.customer(s, d)
@@ -125,7 +138,7 @@ object ReferenceQueries {
        |FROM histogram WHERE timestamp < (SELECT t FROM tmax) - $W
        |GROUP BY num_protocol, type_proto, dst_ip""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "r01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -212,4 +225,10 @@ object ReferenceQueries {
         |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |ORDER BY event_id""".stripMargin
   )
+
+  /** r08 is a different physical plan for r05's semantics — it must
+    * independently reproduce the identical oracle answer.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("r08_spike_fused" -> oraclesBase("r05_spike_pipeline"))
 }

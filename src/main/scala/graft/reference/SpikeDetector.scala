@@ -161,4 +161,61 @@ object SpikeDetector {
     // the /24 network carried under the dst_ip name.
     ipSpikes.union(netSpikes.withColumnRenamed("dst_net", "dst_ip"))
   }
+
+  /** Same answers as [[detect]], better plan: ONE scan + ONE shuffle.
+    *
+    * Both window averages come from a single conditional aggregation
+    * (`avg(when(pred, CountPkt))` — avg ignores the nulls, so each
+    * side averages exactly the rows its window predicate admits), and
+    * the reference's 3-key left self-join collapses into a filter on
+    * `cur IS NOT NULL`: a key appears on the left of that join iff it
+    * has current-window rows, with prev NULL iff it has none — the
+    * exact frame the join produced. The /24 branches re-aggregate the
+    * fused frame (null-ignoring avg again = per-window membership).
+    *
+    * At 100 TB this is the difference between 4 fact scans + 2 agg
+    * shuffles + a join (or 2 scans + cache with [[detect]]'s
+    * materialize) and one scan + one shuffle + small re-aggs —
+    * equivalence is oracle-checked (r08) and property-tested against
+    * [[detect]].
+    */
+  def detectFused(
+      hist: DataFrame,
+      currentPredicate: Column,
+      previousPredicate: Column,
+      params: SpikeParams = SpikeParams()
+  ): DataFrame = {
+    val fused = hist
+      .filter(currentPredicate || previousPredicate)
+      .groupBy((KeyCols :+ "dst_ip").map(col): _*)
+      .agg(
+        avg(when(currentPredicate, col("CountPkt"))).cast("int").as("sum_val"),
+        avg(when(previousPredicate, col("CountPkt"))).cast("int").as("prev_sum_val"))
+
+    def clampAndSpike(df: DataFrame, keyCol: String, limit: Int,
+                      requirePrevAboveLimit: Boolean): DataFrame = {
+      val ratioClamp = col("prev_sum_val") / col("sum_val") > params.quotientAmplification
+      val clampWhen =
+        if (requirePrevAboveLimit) ratioClamp && col("prev_sum_val") > limit
+        else ratioClamp
+      df.filter(col("sum_val").isNotNull) // = the left side of the reference join
+        .select(col("num_protocol"), col("type_proto"), col("sum_val"), col(keyCol),
+          when(clampWhen, limit).otherwise(col("prev_sum_val")).as("prev_sum_val2"))
+        .na.fill(limit, Seq("prev_sum_val2"))
+        .filter(col("sum_val") / col("prev_sum_val2") > params.quotientAmplification)
+        .select(col("num_protocol"), col("type_proto"),
+          col("prev_sum_val2").as("sum_val"), col(keyCol))
+    }
+
+    val fusedNet = fused
+      .withColumn("dst_net", IpFunctions.ipToNet24(col("dst_ip")))
+      .groupBy((KeyCols :+ "dst_net").map(col): _*)
+      .agg(
+        avg("sum_val").cast("int").as("sum_val"),
+        avg("prev_sum_val").cast("int").as("prev_sum_val"))
+
+    clampAndSpike(fused, "dst_ip", params.limitNewData, requirePrevAboveLimit = true)
+      .union(clampAndSpike(fusedNet, "dst_net", params.limitNewDataNet,
+        requirePrevAboveLimit = false).withColumnRenamed("dst_net", "dst_ip"))
+  }
 }

@@ -22,18 +22,20 @@ object SpikeProperties extends Properties("SpikeDetector") with SparkTestSession
     Gen.chooseNum(1, 2500).map(prev => (cur.toLong, prev.toLong)))
   private val casesGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, keyGen))
 
-  property("alert iff cur > Q*prev; alerts carry the baseline; net mirrors ip") =
+  property("alert iff cur > Q*prev; alerts carry the baseline; net mirrors ip; " +
+    "detectFused agrees") =
     Prop.forAll(casesGen) { cases =>
       val rows = cases.zipWithIndex.flatMap { case ((cur, prev), i) =>
         val ip = 3232235520L + i * 256L // one /24 per key
         Seq((1000L, 1L, i, cur, 11, ip), (100L, 1L, i, prev, 11, ip))
       }
       val hist = histDf(rows: _*)
-      val alerts = SpikeDetector.detect(hist,
-          col("timestamp") > 500, col("timestamp") < 500, P)
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(3), r.getInt(2).toLong))
-        .toSet // (key, addr, baseline)
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(3), r.getInt(2).toLong)).toSet
+      val alerts = collect(SpikeDetector.detect(hist,
+        col("timestamp") > 500, col("timestamp") < 500, P)) // (key, addr, baseline)
+      val fused = collect(SpikeDetector.detectFused(hist,
+        col("timestamp") > 500, col("timestamp") < 500, P))
 
       val expected = cases.zipWithIndex.collect {
         case ((cur, prev), i) if cur.toDouble / prev > P.quotientAmplification =>
@@ -41,6 +43,6 @@ object SpikeProperties extends Properties("SpikeDetector") with SparkTestSession
           Seq((i, ip, prev), (i, ip & 0xFFFFFF00L, prev))
       }.flatten.toSet
 
-      alerts == expected
+      alerts == expected && fused == expected
     }
 }
