@@ -32,20 +32,18 @@ final class SpikeScheduler(
     source.read(numberFiles = 2) match {
       case None => Seq.empty // unreadable hour — skip (hha.py:138–139)
       case Some(hist) =>
-        val out = SpikeDetector.detect(
+        // the fused single-scan plan (detectFused) is the production
+        // path; detect() remains the reference-shaped plan for parity
+        val out = SpikeDetector.detectFused(
           hist,
           currentPredicate = col("timestamp") > now - 90L,
           previousPredicate = col("timestamp") < now - 300L,
-          params = config.spikeParams,
-          materialize = true)
+          params = config.spikeParams)
         // alert sets are post-aggregation small; collect is the
         // reference's sink shape (hha.py:231) and stays cheap
         val alerts = out.collect().toSeq.map { r =>
           Alert(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
         }
-        // detect(materialize=true) cached its window aggregates; drop
-        // them now or a long-running loop accumulates one pair per pass
-        hist.sparkSession.catalog.clearCache()
         dedup.process(alerts, watchlist.contains, now)
           .map { a => sink.emit(a); a }
     }

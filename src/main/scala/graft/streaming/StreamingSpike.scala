@@ -66,7 +66,7 @@ object StreamingSpike {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val now = clock()
-          val out = SpikeDetector.detect(
+          val out = SpikeDetector.detectFused(
             batch,
             currentPredicate = col("timestamp") > now - 90L,
             previousPredicate = col("timestamp") < now - 300L,
