@@ -38,7 +38,7 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    val timings = Seq.newBuilder[(String, Double)]
+    val timings = Seq.newBuilder[(String, Double, Double)] // (name, median, min)
     val errors = Seq.newBuilder[(String, String)]
     queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val runs = (1 to Iters).flatMap { _ =>
@@ -54,15 +54,21 @@ object Bench {
         spark.catalog.clearCache()
         r
       }
-      if (runs.nonEmpty) timings += name -> runs.sorted.apply(runs.size / 2)
+      if (runs.nonEmpty)
+        timings += ((name, runs.sorted.apply(runs.size / 2), runs.min))
     }
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val ts = timings.result()
-    val qs = ts.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = ts.map { case (k, med, _) => jstr(k) + ":" + med }.mkString("{", ",", "}")
+    // per-query min too: on a noisy shared host a co-tenant burst can
+    // swallow all three iterations of ONE query — min vs median tells
+    // a contention spike apart from a plan regression
+    val qmin = ts.map { case (k, _, mn) => jstr(k) + ":" + mn }.mkString("{", ",", "}")
     val es = errors.result().map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = ts.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,"stat":"median","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val totalMin = ts.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,"stat":"median","total_min":$totalMin,"queries":$qs,"queries_min":$qmin,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
