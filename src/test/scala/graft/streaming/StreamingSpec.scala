@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("streaming-native detector: windows close at the watermark, consecutive " +
+    "windows compared under reference spike semantics") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[HistRow]
+    val q = StreamingDetect.detect(in.toDF(), windowSec = 100L, watermarkDelaySec = 0L)
+      .writeStream.format("memory").queryName("sdetect").outputMode("append").start()
+    try {
+      // window [0,100): avg 174 — new key, 174 < 3*2500 -> silent
+      in.addData(HistRow(10L, 1L, 65, 174L, 11, 42L))
+      q.processAllAvailable()
+      // window [100,200): avg(960,962)=961; prev 174 -> 961/174 > 3 -> alert
+      in.addData(HistRow(110L, 1L, 65, 960L, 11, 42L), HistRow(120L, 1L, 65, 962L, 11, 42L))
+      q.processAllAvailable()
+      // advance the watermark past 200 so [100,200) closes
+      in.addData(HistRow(500L, 1L, 65, 10L, 11, 42L))
+      q.processAllAvailable()
+      in.addData(HistRow(600L, 1L, 65, 10L, 11, 42L))
+      q.processAllAvailable()
+      val alerts = s.table("sdetect").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getLong(4)))
+      assert(alerts.toSeq === Seq((100L, 65, 174, 42L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch pipeline: micro-batch snapshot through detector + alert layer") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
