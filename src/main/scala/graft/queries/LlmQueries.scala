@@ -202,6 +202,23 @@ object LlmQueries {
         .orderBy("event_type")
     }),
 
+    // Token counting beyond whitespace (builder brief: "whitespace +
+    // a BPE-ish regex"): regex-run counts and a 4-char-chunk subword
+    // estimate (the ceil(len/4) proxy for BPE token inflation).
+    "x15_subword_stats" -> ((s, d) => {
+      val toks = TF.tokens(col("text"))
+      val lens = transform(toks, t => length(t).cast("long"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_runs"),
+          aggregate(toks, lit(0L),
+            (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")).as("n_subwords"),
+          array_min(lens).as("min_tok_len"),
+          array_max(lens).as("max_tok_len"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -423,6 +440,16 @@ object LlmQueries {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, bucket, cos_e6 FROM pairs
          |WHERE cos_e6 >= 250000 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "x15_subword_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(t) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+        |       CAST(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+        |       list_min(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS min_tok_len,
+        |       list_max(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS max_tok_len
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "x12_multimodal_meta" ->
       s"""SELECT doc_id,
