@@ -113,10 +113,15 @@ object Dedup {
       case None => toks
     }
 
+    // probes are broadcast: the token key has vocabulary cardinality
+    // (here 31 values) so a shuffle join on it is maximally skewed;
+    // broadcasting the (small by construction) probe side streams the
+    // corpus without any shuffle, and the following pair-count agg is
+    // map-side-combined down to distinct pairs before its exchange.
     val probes = pruned.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col("tok"))
-    val inter = probes
-      .join(pruned.select(col(idCol).as("other_id"), col("tok")), Seq("tok"))
+    val inter = pruned.select(col(idCol).as("other_id"), col("tok"))
+      .join(broadcast(probes), Seq("tok"))
       .filter(col("probe_id") =!= col("other_id"))
       .groupBy("probe_id", "other_id")
       .agg(count(lit(1)).as("n_inter"))
