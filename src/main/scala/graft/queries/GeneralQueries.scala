@@ -269,6 +269,70 @@ object GeneralQueries {
         .agg(count(lit(1)))
         .na.fill(0)
         .orderBy("o_orderpriority")
+    }),
+
+    // Value-distribution histogram (the reference's namesake): fixed
+    // -width binning + per-bin aggregates. One hash-agg shuffle over
+    // |bins| keys regardless of input size.
+    "q19_histogram" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(floor(col("value") / 5.0).cast("long").as("bucket"),
+          asInt(col("value"), 2).as("value_c"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("value_c").as("sum_c"))
+        .orderBy("bucket")
+    }),
+
+    // Gap-based sessionization: lag + running sum assigns session ids,
+    // then per-session aggregates. One shuffle on user_id; each
+    // user's timeline sorts locally (the standard distributed
+    // sessionize — no driver loops, no cross-user coupling).
+    "q20_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("evt_sec", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), Tables.tsSec.as("evt_sec"))
+        .withColumn("new_sess",
+          when(col("evt_sec") - lag("evt_sec", 1).over(byUser) > 1800L, 1L)
+            .otherwise(when(lag("evt_sec", 1).over(byUser).isNull, 1L).otherwise(0L)))
+        .withColumn("session_id", sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("evt_sec").as("start_sec"), max("evt_sec").as("end_sec"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Deterministic hash sampling (dataset curation): the sample is a
+    // pure function of the row key — reproducible across runs,
+    // engines, and cluster sizes, unlike rand()-based sampling; the
+    // predicate pushes into the scan stage (no shuffle to sample).
+    "q21_hash_sample" -> ((s, d) => {
+      val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(graft.llm.TextFunctions.hash60(key) % 100 < 7) // 7% sample
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(asInt(col("l_quantity"), 0)).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Exact distributed quantiles (percentile_disc semantics): window
+    // rank + conditional agg picks the exact q1/median/q3 elements —
+    // integer arithmetic end to end, no interpolation floats. One
+    // shuffle on the group key; per-group local sort.
+    "q22_quantiles" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("value_c", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), asInt(col("value"), 2).as("value_c"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === ceil(col("n") / 4.0), col("value_c"))).as("q1_c"),
+          max(when(col("rn") === ceil(col("n") / 2.0), col("value_c"))).as("median_c"),
+          max(when(col("rn") === ceil(col("n") * 3.0 / 4.0), col("value_c"))).as("q3_c"),
+          max("n").as("n"))
+        .orderBy("event_type")
     })
   )
 
@@ -446,6 +510,50 @@ object GeneralQueries {
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
         |       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_histogram" ->
+      """SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q20_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, evt_sec,
+        |         CASE WHEN evt_sec - lag(evt_sec) OVER w > 1800 THEN 1
+        |              WHEN lag(evt_sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY evt_sec, event_id)),
+        |sess AS (
+        |  SELECT user_id, evt_sec,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY evt_sec, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(evt_sec) AS start_sec, max(evt_sec) AS end_sec
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q21_hash_sample" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))::BIGINT % 100 < 7
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_quantiles" ->
+      """WITH v AS (SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |ranked AS (
+        |  SELECT event_type, value_c,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value_c, event_id) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM v)
+        |SELECT event_type,
+        |       max(CASE WHEN rn = CAST(ceil(n / 4.0) AS BIGINT) THEN value_c END) AS q1_c,
+        |       max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN value_c END) AS median_c,
+        |       max(CASE WHEN rn = CAST(ceil(n * 3.0 / 4.0) AS BIGINT) THEN value_c END) AS q3_c,
+        |       max(n) AS n
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
