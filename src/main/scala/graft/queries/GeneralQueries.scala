@@ -316,6 +316,35 @@ object GeneralQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Map-typed columns: parse JSON into map<string,long>, enrich via
+    // map_concat, explode entries to rows (generator through codegen).
+    "q23_map_explode" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, MapType, StringType}
+      Tables.events(s, d)
+        .select(col("event_id"),
+          map_concat(
+            from_json(col("props"), MapType(StringType, LongType)),
+            map(lit("value_c"), asInt(col("value"), 2))).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("key", "val")))
+        .orderBy("event_id", "key")
+    }),
+
+    // Multiset set ops — INTERSECT ALL / EXCEPT ALL (multiplicity-
+    // preserving variants of q08's distinct set ops).
+    "q24_multiset_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      y96.intersectAll(y97)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_common"))
+        .join(
+          y96.exceptAll(y97)
+            .groupBy("o_custkey").agg(count(lit(1)).as("n_only96")),
+          Seq("o_custkey"), "full_outer")
+        .na.fill(0L, Seq("n_common", "n_only96"))
+        .orderBy("o_custkey")
+    }),
+
     // Exact distributed quantiles (percentile_disc semantics): window
     // rank + conditional agg picks the exact q1/median/q3 elements —
     // integer arithmetic end to end, no interpolation floats. One
@@ -541,6 +570,28 @@ object GeneralQueries {
         |FROM lineitem
         |WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))::BIGINT % 100 < 7
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q23_map_explode" ->
+      """SELECT event_id, key, val FROM (
+        |  SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS val FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'value_c' AS key, CAST(round(value*100) AS BIGINT) AS val FROM events)
+        |ORDER BY event_id, key""".stripMargin,
+
+    "q24_multiset_ops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |common AS (SELECT o_custkey, count(*) AS n_common
+        |           FROM (SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97)
+        |           GROUP BY o_custkey),
+        |only96 AS (SELECT o_custkey, count(*) AS n_only96
+        |           FROM (SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97)
+        |           GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |       COALESCE(n_common, 0) AS n_common,
+        |       COALESCE(n_only96, 0) AS n_only96
+        |FROM common FULL OUTER JOIN only96 USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q22_quantiles" ->
       """WITH v AS (SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS value_c FROM events),
