@@ -108,6 +108,48 @@ object Similarity {
       .select("vec_a", "vec_b", "bucket", "cos_e6")
   }
 
+  /** IVF-style approximate top-k: a small set of coarse centroids
+    * partitions the corpus (assignment = argmax cosine, the coarse
+    * quantizer); each probe searches only its own cluster's inverted
+    * list. Centroids here are deterministic samples (random-init IVF
+    * without Lloyd refinement — refinement changes constants, not the
+    * plan shape).
+    *
+    * Scale: centroids broadcast twice (corpus assignment + probe
+    * assignment — n·K cheap scores, no shuffle), then ONE equi-join
+    * shuffle on cluster id. Cost per probe drops from n to n/K on
+    * balanced clusters; skewed clusters are AQE's skew-join case and
+    * the standard fix is more centroids + multi-probe (search the
+    * top-p clusters), which is this same plan with p candidate
+    * cluster ids exploded per probe.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(
+      centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec")))
+
+    def assign(df: DataFrame, outIdCol: String, outVecCol: String): DataFrame = {
+      val w = Window.partitionBy(outIdCol)
+        .orderBy(col("c_score").desc, col("cent_id"))
+      df.select(col(idCol).as(outIdCol), col(vecCol).as(outVecCol))
+        .crossJoin(cents)
+        .withColumn("c_score", cosineE6(col(outVecCol), col("c_vec")))
+        .withColumn("c_rnk", row_number().over(w))
+        .filter(col("c_rnk") === 1)
+        .select(col(outIdCol), col(outVecCol), col("cent_id").as("cluster"))
+    }
+
+    val assigned = assign(corpus, "neighbor_id", "n_vec")
+    val p = assign(probes, "probe_id", "p_vec")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_e6").desc, col("neighbor_id"))
+    assigned.join(p, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_e6", cosineE6(col("p_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cluster"), col("cos_e6"), col("rnk"))
+  }
+
   /** Bucketed approximate top-k: probes only score corpus vectors in
     * their own sign bucket — the recall/cost trade of LSH-ANN.
     *

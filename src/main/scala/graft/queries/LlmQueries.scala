@@ -208,6 +208,17 @@ object LlmQueries {
         .orderBy("event_type")
     }),
 
+    // IVF coarse-quantized ANN: 8 sampled centroids partition the
+    // corpus; probes search only their own cluster.
+    "x16_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb,
+          probes = emb.filter(col("vec_id") % 100 === 0),
+          centroids = emb.filter(col("vec_id") < 8),
+          k = 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Token counting beyond whitespace (builder brief: "whitespace +
     // a BPE-ish regex"): regex-run counts and a 4-char-chunk subword
     // estimate (the ceil(len/4) proxy for BPE token inflation).
@@ -446,6 +457,40 @@ object LlmQueries {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, bucket, cos_e6 FROM pairs
          |WHERE cos_e6 >= 250000 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "x16_ivf_topk" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |corpus_sc AS (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, c.cent_id,
+         |         ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c),
+         |assigned AS (
+         |  SELECT neighbor_id, n_vec, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM corpus_sc) WHERE c_rnk = 1),
+         |probe_sc AS (
+         |  SELECT e.vec_id AS probe_id, e.embedding AS p_vec, c.cent_id,
+         |         ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c WHERE e.vec_id % 100 = 0),
+         |p_assigned AS (
+         |  SELECT probe_id, p_vec, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM probe_sc) WHERE c_rnk = 1),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id, cluster,
+         |         ${cosSql("p_vec", "n_vec")} AS cos_e6
+         |  FROM assigned JOIN p_assigned USING (cluster)
+         |  WHERE neighbor_id <> probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cluster, cos_e6,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cluster, cos_e6, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+    },
 
     "x15_subword_stats" ->
       """SELECT doc_id,
