@@ -39,14 +39,17 @@ object Bench {
     spark.catalog.clearCache()
 
     val timings = Seq.newBuilder[(String, Double, Double)] // (name, median, min)
-    val errors = Seq.newBuilder[(String, String)]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val runs = (1 to Iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val r =
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            // keyed map, not appended pairs: a query failing every
+            // iteration must not emit duplicate JSON keys
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
             None
           }
         // a materializing query must re-pay its cache each iteration,
@@ -58,17 +61,40 @@ object Bench {
         timings += ((name, runs.sorted.apply(runs.size / 2), runs.min))
     }
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Spark exception messages are routinely multi-line — raw \n inside
+    // a JSON string breaks the driver's parse exactly when the error
+    // report matters, so escape every control char, not just \ and ".
+    def jstr(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append("\"").toString
+    }
     val ts = timings.result()
     val qs = ts.map { case (k, med, _) => jstr(k) + ":" + med }.mkString("{", ",", "}")
     // per-query min too: on a noisy shared host a co-tenant burst can
     // swallow all three iterations of ONE query — min vs median tells
     // a contention spike apart from a plan regression
     val qmin = ts.map { case (k, _, mn) => jstr(k) + ":" + mn }.mkString("{", ",", "}")
-    val es = errors.result().map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val es = errors.toSeq.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = ts.map(_._2).sum
     val totalMin = ts.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,"stat":"median","total_min":$totalMin,"queries":$qs,"queries_min":$qmin,"errors":$es,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,"stat":"median","total_min":$totalMin,"queries":$qs,"queries_min":$qmin,"errors":$es,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line can be truncated by log-tail capture (BENCH_r03
+    // arrived with parsed:null) — persist the JSON to a file as well
+    // and print its path so the full document is always recoverable
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    println(s"bench json written to ${out.toAbsolutePath}")
     spark.stop()
   }
 }

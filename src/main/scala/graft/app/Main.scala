@@ -25,7 +25,16 @@ object Main {
         // refresh every 300 s on a daemon thread (hha.py:71, 342) —
         // atomic snapshot swap, unlike the reference's in-place clear
         val t = new Thread(() => {
-          while (true) { Thread.sleep(300000L); w.refresh() }
+          while (true) {
+            Thread.sleep(300000L)
+            // a transient read failure (file mid-replace) must not
+            // kill the thread and leave the watchlist silently stale;
+            // the previous snapshot stays active until the next tick
+            try w.refresh()
+            catch { case e: Exception =>
+              System.err.println(s"watchlist refresh failed, keeping previous snapshot: $e")
+            }
+          }
         }, "watchlist-refresh")
         t.setDaemon(true)
         t.start()

@@ -21,13 +21,13 @@ object Watchlist {
     * reference logs and skips these, hha.py:65–66).
     */
   def parseIpv4(s: String): Option[Long] = {
-    val parts = s.trim.split("\\.", -1)
-    if (parts.length != 4) None
-    else try {
-      val octets = parts.map(_.toLong)
-      if (octets.exists(o => o < 0 || o > 255)) None
-      else Some(octets.foldLeft(0L)((acc, o) => (acc << 8) | o))
-    } catch { case _: NumberFormatException => None }
+    // Delegate to the same byte-level parser the codegen'd ParseIpv4
+    // expression runs — String.toLong-based splitting admitted '+1'
+    // signs and non-ASCII Unicode digits here that the DataFrame path
+    // rejected (ADVICE r3); one parser, one semantics.
+    val r = graft.functions.ParseIpv4Helper.parse(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s.trim))
+    if (r < 0) None else Some(r)
   }
 
   /** Parse the reference's value format: newline-separated IPs,

@@ -246,7 +246,10 @@ object LlmQueries {
           col("doc_id"),
           length(col("media")).cast("long").as("byte_len"),
           TF.hash60(col("text")).as("content_h"),
-          (floor(col("n_chars") / lit(64.0)) + 1).cast("long").as("n_frames"),
+          // ceil(len/64), matching Multimodal.decodeStub's frame
+          // sampling exactly (ADVICE r3: the floor(..)+1 variant
+          // disagreed at exact multiples of 64 and on empty input)
+          ceil(col("n_chars") / lit(64.0)).cast("long").as("n_frames"),
           ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
           col("lang"), col("source"))
         .orderBy("doc_id")
@@ -506,7 +509,7 @@ object LlmQueries {
       s"""SELECT doc_id,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |       ${dH("text")} AS content_h,
-         |       CAST(floor(n_chars / 64.0) + 1 AS BIGINT) AS n_frames,
+         |       CAST(ceil(n_chars / 64.0) AS BIGINT) AS n_frames,
          |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
          |       lang, source
          |FROM documents ORDER BY doc_id""".stripMargin
