@@ -5,9 +5,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (builder brief: brute-force cosine
-  * top-k baseline + a bucketed approximate variant as the scale path).
+  * top-k baseline + bucketed approximate variants as the scale path).
   * Vectors are `array<float>` columns; all arithmetic is done in
   * double via codegen'd higher-order functions — no UDFs.
+  *
+  * Plan invariants shared by every operator here:
+  *   - per-vector norms are materialized ONCE per side before any
+  *     join, so `sqrt(dot(v,v))` is computed per vector, never per
+  *     candidate pair (a pairwise recompute costs n× / m× redundant
+  *     HOF work — the dominant constant at any scale);
+  *   - per-probe top-k goes through the bounded
+  *     [[graft.functions.TopKAggregator]], capping per-group state at
+  *     k BEFORE the exchange — the shuffle carries |probes|·k rows,
+  *     not every scored candidate;
+  *   - nothing ever compares all pairs: candidates come from an
+  *     equi-join on a bucket/cluster key (or an explicit broadcast of
+  *     a small probe batch for the honest brute-force baseline).
   */
 object Similarity {
 
@@ -19,29 +32,64 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Euclidean norm with the same fold order as [[dot]] — materialize
+    * this once per vector side before a join.
+    */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine scaled to e6 and floored to a long, from a dot product and
+    * two PRECOMPUTED norms. Identical IEEE operation sequence to
+    * [[cosineE6]] (dot / (na * nb)), so answers — and oracle hashes —
+    * don't change; only the redundant per-pair norm recompute does.
+    */
+  def cosineE6Pre(d: Column, na: Column, nb: Column): Column =
+    floor(lit(1000000.0) * d / (na * nb)).cast("long")
+
   /** Cosine similarity scaled to e6 and floored to a long (exact
-    * cross-engine comparison — no float hashing).
+    * cross-engine comparison — no float hashing). Inline-norm form:
+    * prefer [[cosineE6Pre]] with materialized norms in any plan that
+    * scores more than one pair per vector.
     */
   def cosineE6(a: Column, b: Column): Column =
-    floor(lit(1000000.0) * dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
-      .cast("long")
+    cosineE6Pre(dot(a, b), norm(a), norm(b))
+
+  /** Driver-side mirror of [[norm]] for literal (collected centroid)
+    * vectors: same left fold from 0.0, same double ops — bit-identical
+    * to what the expression path would compute.
+    */
+  private def normOf(v: Seq[Float]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+
+  /** The bounded top-k aggregate over (score, id) pairs — per-group
+    * state capped at k map-side (see TopKAggregator's scaladoc).
+    */
+  private def topkUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import graft.functions.{Scored, TopKAggregator}
+    implicit val scoredEnc: org.apache.spark.sql.Encoder[Scored] =
+      org.apache.spark.sql.Encoders.product[Scored]
+    udaf(new TopKAggregator(k))
+  }
 
   /** Brute-force cosine top-k: every probe against the whole corpus.
     *
     * Scale: the probe set is broadcast (small by definition — it's a
     * query batch), so the corpus is scanned once with NO shuffle of
-    * the big side; the only shuffle is the per-probe top-k window over
-    * |probes|·k candidates... which first requires scoring |probes|·n
-    * rows. That linear scan is the baseline's cost — the honest
-    * comparison point for the bucketed variant below.
+    * the big side; the per-probe top-k window then ranks the scored
+    * candidates. Scoring |probes|·n rows is the baseline's cost — the
+    * honest comparison point for the bucketed variants below.
+    * [[bruteTopKAgg]] is the same semantics with a k-capped exchange.
     */
   def bruteTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+      .withColumn("p_nrm", norm(col("p_vec")))
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("c_nrm", norm(col(vecCol)))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_e6").desc, col(idCol))
-    corpus.crossJoin(broadcast(p))
+    c.crossJoin(broadcast(p))
       .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("cos_e6", cosineE6(col("p_vec"), col(vecCol)))
+      .withColumn("cos_e6",
+        cosineE6Pre(dot(col("p_vec"), col(vecCol)), col("p_nrm"), col("c_nrm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("cos_e6"), col("rnk"))
@@ -56,33 +104,34 @@ object Similarity {
     */
   def bruteTopKAgg(corpus: DataFrame, probes: DataFrame, k: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.{Scored, TopKAggregator}
-    implicit val scoredEnc: org.apache.spark.sql.Encoder[Scored] =
-      org.apache.spark.sql.Encoders.product[Scored]
     // untyped udaf() keeps the aggregation inside the regular hash-agg
     // plan — a groupByKey/mapValues typed pipeline would deserialize
     // every candidate row into objects first (measured ~10× slower)
-    val topk = udaf(new TopKAggregator(k))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
-    corpus.crossJoin(broadcast(p))
+      .withColumn("p_nrm", norm(col("p_vec")))
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("c_nrm", norm(col(vecCol)))
+    c.crossJoin(broadcast(p))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"),
-        cosineE6(col("p_vec"), col(vecCol)).as("score"),
+        cosineE6Pre(dot(col("p_vec"), col(vecCol)), col("p_nrm"), col("c_nrm")).as("score"),
         col(idCol).as("id"))
       .groupBy("probe_id")
-      .agg(topk(col("score"), col("id")).as("tops"))
+      .agg(topkUdaf(k)(col("score"), col("id")).as("tops"))
       .select(col("probe_id"), posexplode(col("tops")).as(Seq("pos", "t")))
       .select(col("probe_id"), col("t.id").as("neighbor_id"),
         col("t.score").as("cos_e6"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
-  /** Sign-bucket LSH code: bit j set iff component j ≥ 0. With
+  /** Sign-bucket LSH code over `planes` consecutive components
+    * starting at `offset`: bit j set iff component offset+j ≥ 0. With
     * axis-aligned hyperplanes this is the simplest random-projection
-    * LSH; `planes` bits → 2^planes buckets.
+    * LSH; `planes` bits → 2^planes buckets. Distinct offsets give the
+    * rotated "tables" of multi-table LSH ([[multiTableTopK]]).
     */
-  def signBucket(vec: Column, planes: Int = 8): Column =
+  def signBucket(vec: Column, planes: Int = 8, offset: Int = 0): Column =
     (0 until planes).map { j =>
-      when(element_at(vec, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(vec, offset + j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
@@ -91,87 +140,180 @@ object Similarity {
     *
     * Scale: one equi-join shuffle on the bucket code; candidate count
     * is Σ bucket² / 2 ≈ n²/2^planes — raise `planes` as n grows to
-    * hold the per-bucket quadratic cost down, and add rotated plane
-    * sets (multi-table LSH) to recover recall. Recall is bounded by
-    * bucket agreement: a near-dup pair split by one sign flip is
-    * missed — the standard LSH trade, stated rather than hidden.
+    * hold the per-bucket quadratic cost down, and add offset plane
+    * sets (multi-table LSH, as [[multiTableTopK]] does for search) to
+    * recover recall. Recall is bounded by bucket agreement: a near-dup
+    * pair split by one sign flip is missed — the standard LSH trade,
+    * stated rather than hidden.
     */
   def bucketedNearDupPairs(corpus: DataFrame, minCosE6: Long,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withBucket = corpus.withColumn("bucket", signBucket(col(vecCol)))
-    val a = withBucket.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("bucket"))
+    val withBucket = corpus
+      .withColumn("bucket", signBucket(col(vecCol)))
+      .withColumn("nrm", norm(col(vecCol)))
+    val a = withBucket.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      col("bucket"), col("nrm").as("na"))
     val b = withBucket.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
-      col("bucket").as("bucket_b"))
+      col("bucket").as("bucket_b"), col("nrm").as("nb"))
     a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_e6", cosineE6(col("va"), col("vb")))
+      .withColumn("cos_e6", cosineE6Pre(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos_e6") >= minCosE6)
       .select("vec_a", "vec_b", "bucket", "cos_e6")
-  }
-
-  /** IVF-style approximate top-k: a small set of coarse centroids
-    * partitions the corpus (assignment = argmax cosine, the coarse
-    * quantizer); each probe searches only its own cluster's inverted
-    * list. Centroids here are deterministic samples (random-init IVF
-    * without Lloyd refinement — refinement changes constants, not the
-    * plan shape).
-    *
-    * Scale: centroids broadcast twice (corpus assignment + probe
-    * assignment — n·K cheap scores, no shuffle), then ONE equi-join
-    * shuffle on cluster id. Cost per probe drops from n to n/K on
-    * balanced clusters; skewed clusters are AQE's skew-join case and
-    * the standard fix is more centroids + multi-probe (search the
-    * top-p clusters), which is this same plan with p candidate
-    * cluster ids exploded per probe.
-    */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(
-      centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec")))
-
-    def assign(df: DataFrame, outIdCol: String, outVecCol: String): DataFrame = {
-      val w = Window.partitionBy(outIdCol)
-        .orderBy(col("c_score").desc, col("cent_id"))
-      df.select(col(idCol).as(outIdCol), col(vecCol).as(outVecCol))
-        .crossJoin(cents)
-        .withColumn("c_score", cosineE6(col(outVecCol), col("c_vec")))
-        .withColumn("c_rnk", row_number().over(w))
-        .filter(col("c_rnk") === 1)
-        .select(col(outIdCol), col(outVecCol), col("cent_id").as("cluster"))
-    }
-
-    val assigned = assign(corpus, "neighbor_id", "n_vec")
-    val p = assign(probes, "probe_id", "p_vec")
-    val w = Window.partitionBy("probe_id").orderBy(col("cos_e6").desc, col("neighbor_id"))
-    assigned.join(p, Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos_e6", cosineE6(col("p_vec"), col("n_vec")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("cluster"), col("cos_e6"), col("rnk"))
   }
 
   /** Bucketed approximate top-k: probes only score corpus vectors in
     * their own sign bucket — the recall/cost trade of LSH-ANN.
     *
-    * Scale: ONE equi-join shuffle on the bucket code instead of a full
-    * scan per probe; cost drops by ~2^planes. Bucket skew (real
-    * embedding distributions are anisotropic) is AQE's skew-join case;
-    * production would rotate with several plane sets (multi-table
-    * LSH) and union candidates — same plan shape, more joins.
+    * Scale: ONE equi-join on the bucket code instead of a full scan
+    * per probe (the probe side is small and broadcasts, so even that
+    * join is shuffle-free); cost drops by ~2^planes. The per-probe
+    * top-k is the bounded aggregate — the exchange carries |probes|·k
+    * rows. Bucket skew (real embedding distributions are anisotropic)
+    * is AQE's skew-join case; [[multiTableTopK]] is the multi-table
+    * recall path.
     */
   def bucketedTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.withColumn("bucket", signBucket(col(vecCol)))
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("bucket", signBucket(col(vecCol)))
+      .withColumn("c_nrm", norm(col(vecCol)))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
       .withColumn("bucket", signBucket(col("p_vec")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos_e6").desc, col(idCol))
-    c.join(p, Seq("bucket"))
+      .withColumn("p_nrm", norm(col("p_vec")))
+    // a probe lives in exactly one bucket, so the per-(probe, bucket)
+    // top-k IS the per-probe top-k — posexplode position is the rank
+    c.join(broadcast(p), Seq("bucket"))
       .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("cos_e6", cosineE6(col("p_vec"), col(vecCol)))
+      .select(col("probe_id"), col("bucket"),
+        cosineE6Pre(dot(col("p_vec"), col(vecCol)), col("p_nrm"), col("c_nrm")).as("score"),
+        col(idCol).as("id"))
+      .groupBy("probe_id", "bucket")
+      .agg(topkUdaf(k)(col("score"), col("id")).as("tops"))
+      .select(col("probe_id"), col("bucket"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"), col("bucket"),
+        col("t.score").as("cos_e6"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Multi-table LSH top-k: `tables` independent sign-bucket codes
+    * (offset plane sets), candidates unioned across tables — the
+    * standard recall fix for single-table LSH: a near neighbor split
+    * from its probe by one sign flip in table 0 is still found if any
+    * other table agrees. Recall is monotonically ≥ the single-table
+    * path on the same probes (asserted in RecallSpec).
+    *
+    * Scale: each side explodes into `tables` (table, bucket) keys —
+    * ONE equi-join on the composite key (probes broadcast), so the
+    * corpus is still scanned once. A pair colliding in several tables
+    * is scored per collision (≤ `tables`×, usually 1×) and deduped by
+    * a hash-agg max on longs — vectors never cross a shuffle — then
+    * the bounded top-k caps the exchange at |probes|·k.
+    */
+  def multiTableTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     tables: Int = 3, planes: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("c_nrm", norm(col(vecCol)))
+    val cKeys = c.select(col(idCol), col(vecCol), col("c_nrm"),
+      posexplode(array((0 until tables).map(r => signBucket(col(vecCol), planes, r * planes)): _*))
+        .as(Seq("tbl", "bucket")))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+      .withColumn("p_nrm", norm(col("p_vec")))
+    val pKeys = p.select(col("probe_id"), col("p_vec"), col("p_nrm"),
+      posexplode(array((0 until tables).map(r => signBucket(col("p_vec"), planes, r * planes)): _*))
+        .as(Seq("tbl", "bucket")))
+
+    cKeys.join(broadcast(pKeys), Seq("tbl", "bucket"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"),
+        cosineE6Pre(dot(col("p_vec"), col(vecCol)), col("p_nrm"), col("c_nrm")).as("score"),
+        col(idCol).as("id"))
+      .groupBy("probe_id", "id") // dedupe multi-table collisions
+      .agg(max("score").as("score"))
+      .groupBy("probe_id")
+      .agg(topkUdaf(k)(col("score"), col("id")).as("tops"))
+      .select(col("probe_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos_e6"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Assign each row to its `nprobe` closest centroids (argmax cosine,
+    * the coarse quantizer) — as a PURE PER-ROW EXPRESSION: the
+    * centroid set is tiny by definition, so it is collected once and
+    * inlined as literal arrays; no join, no window, no shuffle —
+    * assignment folds into the scan's projection. The K scores are
+    * materialized as one struct array and sorted ((−score, cent_id)
+    * ascending = score desc, id asc), so each dot product is computed
+    * exactly once per row.
+    */
+  private def assignClusters(df: DataFrame, cents: Seq[(Long, Seq[Float], Double)],
+                             nprobe: Int, idOut: String, vecOut: String, nrmOut: String,
+                             idCol: String, vecCol: String): DataFrame = {
+    val base = df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .withColumn(nrmOut, norm(col(vecOut)))
+    val scoreArr = array(cents.map { case (cid, v, cnrm) =>
+      struct(
+        (-cosineE6Pre(dot(col(vecOut), typedLit(v)), col(nrmOut), lit(cnrm))).as("ns"),
+        lit(cid).as("cid"))
+    }: _*)
+    base
+      .withColumn("c_sorted", array_sort(scoreArr))
+      .select(col(idOut), col(vecOut), col(nrmOut),
+        explode(slice(col("c_sorted"), 1, nprobe)).as("c"))
+      .select(col(idOut), col(vecOut), col(nrmOut), col("c.cid").as("cluster"))
+  }
+
+  /** IVF-style approximate top-k: a small set of coarse centroids
+    * partitions the corpus (assignment = argmax cosine); each probe
+    * searches its `nprobe` closest clusters' inverted lists (nprobe=1
+    * is classic single-probe IVF; nprobe>1 is the multi-probe recall
+    * path — same plan, more candidate lists per probe). Centroids here
+    * are deterministic samples (random-init IVF without Lloyd
+    * refinement — refinement changes constants, not the plan shape).
+    *
+    * Scale: assignment is a per-row expression over broadcast-inlined
+    * literal centroids (n·K cheap scores, NO shuffle and NO window —
+    * it fuses into the scan projection); candidates come from ONE
+    * equi-join on cluster id with the assigned probes broadcast, so
+    * the corpus is never exchanged; the per-(probe, cluster) top-k is
+    * the bounded aggregate (exchange carries |probes|·nprobe·k rows)
+    * and the final per-probe merge ranks those few survivors. Skewed
+    * clusters are AQE's skew-join case; the standard fix is more
+    * centroids + higher nprobe.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame, k: Int,
+              nprobe: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the coarse quantizer is tiny by definition — collect it once
+    // (sorted for deterministic tie-breaks) and inline as literals
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => {
+        val v = r.getSeq[Float](1)
+        (r.getLong(0), v, normOf(v))
+      })
+      .sortBy(_._1).toSeq
+
+    val assigned = assignClusters(corpus, cents, nprobe = 1,
+      "neighbor_id", "n_vec", "n_nrm", idCol, vecCol)
+    val p = assignClusters(probes, cents, nprobe,
+      "probe_id", "p_vec", "p_nrm", idCol, vecCol)
+
+    // per-(probe, cluster) bounded top-k caps the exchange; the final
+    // per-probe rank merges ≤ nprobe·k survivors — negligible window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_e6").desc, col("neighbor_id"))
+    assigned.join(broadcast(p), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cluster"),
+        cosineE6Pre(dot(col("p_vec"), col("n_vec")), col("p_nrm"), col("n_nrm")).as("score"),
+        col("neighbor_id").as("id"))
+      .groupBy("probe_id", "cluster")
+      .agg(topkUdaf(k)(col("score"), col("id")).as("tops"))
+      .select(col("probe_id"), col("cluster"), explode(col("tops")).as("t"))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"), col("cluster"),
+        col("t.score").as("cos_e6"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("bucket"),
-        col("cos_e6"), col("rnk"))
   }
 }

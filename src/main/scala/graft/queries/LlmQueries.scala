@@ -219,6 +219,28 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Multi-probe IVF (the recall path over x16): each probe searches
+    // its 2 closest clusters' inverted lists — same plan shape, twice
+    // the candidate lists, recall strictly ≥ single-probe (RecallSpec).
+    "x17_ivf_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb,
+          probes = emb.filter(col("vec_id") % 100 === 0),
+          centroids = emb.filter(col("vec_id") < 8),
+          k = 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Multi-table LSH ANN (the recall path over x11): 3 offset plane
+    // sets, candidates unioned across tables — one sign flip no longer
+    // hides a neighbor unless all 3 tables disagree.
+    "x18_ann_multitable" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.multiTableTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 3, tables = 3, planes = 8)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Token counting beyond whitespace (builder brief: "whitespace +
     // a BPE-ish regex"): regex-run counts and a 4-char-chunk subword
     // estimate (the ceil(len/4) proxy for BPE token inflation).
@@ -289,8 +311,11 @@ object LlmQueries {
     }
   }
 
-  private val bucketSql: String =
-    "(" + (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") + ")"
+  /** DuckDB rendering of Similarity.signBucket(v, 8, off). */
+  private def bucketSqlAt(v: String, off: Int): String =
+    "(" + (0 until 8).map(j => s"(CASE WHEN $v[${off + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") + ")"
+
+  private val bucketSql: String = bucketSqlAt("embedding", 0)
 
   val oracles: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -494,6 +519,61 @@ object LlmQueries {
          |SELECT probe_id, neighbor_id, cluster, cos_e6, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
     },
+
+    "x17_ivf_multiprobe" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |corpus_sc AS (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, c.cent_id,
+         |         ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c),
+         |assigned AS (
+         |  SELECT neighbor_id, n_vec, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM corpus_sc) WHERE c_rnk = 1),
+         |probe_sc AS (
+         |  SELECT e.vec_id AS probe_id, e.embedding AS p_vec, c.cent_id,
+         |         ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c WHERE e.vec_id % 100 = 0),
+         |p_assigned AS (
+         |  SELECT probe_id, p_vec, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM probe_sc) WHERE c_rnk <= 2),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id, cluster,
+         |         ${cosSql("p_vec", "n_vec")} AS cos_e6
+         |  FROM assigned JOIN p_assigned USING (cluster)
+         |  WHERE neighbor_id <> probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cluster, cos_e6,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cluster, cos_e6, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+    },
+
+    "x18_ann_multitable" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS p_vec FROM embeddings WHERE vec_id % 100 = 0),
+         |cand AS (
+         |  SELECT probe_id, p_vec, e.vec_id AS neighbor_id, e.embedding AS n_vec
+         |  FROM embeddings e, p
+         |  WHERE e.vec_id <> probe_id
+         |    AND (${bucketSqlAt("e.embedding", 0)} = ${bucketSqlAt("p_vec", 0)}
+         |      OR ${bucketSqlAt("e.embedding", 8)} = ${bucketSqlAt("p_vec", 8)}
+         |      OR ${bucketSqlAt("e.embedding", 16)} = ${bucketSqlAt("p_vec", 16)})),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(floor(1000000.0 * ${dDot("p_vec", "n_vec")}
+         |              / (sqrt(${dDot("p_vec", "p_vec")}) * sqrt(${dDot("n_vec", "n_vec")}))) AS BIGINT) AS cos_e6
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_e6,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cos_e6, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     "x15_subword_stats" ->
       """SELECT doc_id,
