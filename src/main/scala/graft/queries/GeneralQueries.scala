@@ -345,6 +345,23 @@ object GeneralQueries {
         .orderBy("o_custkey")
     }),
 
+    // Skew-safe aggregation via the reusable SaltedAgg operator:
+    // event_type has 5 values over the whole events table — the
+    // canonical hot-key shape. The two-stage salted plan spreads each
+    // key across 16 sub-keys before the merge; answers are provably
+    // identical to the direct groupBy (SaltingSpec), so one oracle
+    // covers both the operator and the routing.
+    "q25_salted_agg" -> ((s, d) => {
+      import graft.operators.SaltedAgg
+      SaltedAgg.aggregate(Tables.events(s, d),
+          keys = Seq("event_type"),
+          salt = col("event_id") % 16,
+          aggs = Seq(
+            SaltedAgg.Sum("user_id", "sum_uid"), SaltedAgg.Count("n_events"),
+            SaltedAgg.Min("event_id", "min_eid"), SaltedAgg.Max("event_id", "max_eid")))
+        .orderBy("event_type")
+    }),
+
     // Exact distributed quantiles (percentile_disc semantics): window
     // rank + conditional agg picks the exact q1/median/q3 elements —
     // integer arithmetic end to end, no interpolation floats. One
@@ -577,6 +594,14 @@ object GeneralQueries {
         |  UNION ALL
         |  SELECT event_id, 'value_c' AS key, CAST(round(value*100) AS BIGINT) AS val FROM events)
         |ORDER BY event_id, key""".stripMargin,
+
+    "q25_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |       count(*) AS n_events,
+        |       min(event_id) AS min_eid,
+        |       max(event_id) AS max_eid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q24_multiset_ops" ->
       """WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),

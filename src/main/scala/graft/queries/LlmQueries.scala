@@ -50,16 +50,12 @@ object LlmQueries {
     // MinHash + LSH near-dup candidates over word-bigram shingles:
     // shingle → k=24 signature → 12 bands × 2 rows → band-bucket
     // equi-join (the ONLY big shuffle; never all-pairs) → est jaccard.
-    // The corpus is repartitioned first (explicit count — AQE would
-    // coalesce a byte-small exchange back to one partition): the
-    // testdata is one parquet split, which would serialize the
-    // cpu-bound hashing on a single core. Hash cost scales with
-    // bytes, not rows, so at cluster scale the input arrives
-    // pre-split and this becomes a no-op knob.
+    // splitForCpu parallelizes the cpu-bound hashing over the
+    // single-split local input and inserts nothing when the input
+    // arrives pre-split (SplitForCpuSpec proves both plans).
     "x02_minhash_lsh" -> ((s, d) => {
       Dedup.minhashCandidates(
-          Tables.documents(s, d)
-            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
           "text", "doc_id")
         .orderBy("doc_a", "doc_b")
     }),
@@ -98,18 +94,17 @@ object LlmQueries {
     }),
 
     // Heuristic language ID: stopword-profile hits + argmax. The hit
-    // counts are materialized once (first select, parallelized over
-    // an explicit repartition of the single-split input) and the
-    // argmax chain reads the materialized columns — inlining would
-    // re-tokenize per comparison (measured 5.6s -> sub-second).
+    // counts are materialized once (first select, parallelized via
+    // splitForCpu over the single-split input) and the argmax chain
+    // reads the materialized columns — inlining would re-tokenize per
+    // comparison (measured 5.6s -> sub-second).
     "x06_lang_id" -> ((s, d) => {
       val toks = TF.tokens(col("text"))
       val hitCols = TF.LangProfiles.map { case (lang, words) =>
         TF.hits(toks, words).as(s"hits_$lang")
       }
       val scoreRefs = TF.LangProfiles.map { case (lang, _) => lang -> col(s"hits_$lang") }
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id") +: col("lang") +: hitCols: _*)
         .withColumn("pred_lang", TF.predictLangFromScores(scoreRefs))
         .withColumn("matches_declared",

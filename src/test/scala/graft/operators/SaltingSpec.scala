@@ -4,17 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 
-/** Salted two-stage aggregation (builder brief "salting for skew"):
-  * a hot key that would funnel into one reducer is split across
-  * `salt` sub-keys for the wide first stage; the second stage
-  * combines the (tiny) per-salt partials. Results are provably
-  * identical to the direct aggregation — sum/count/min/max are
-  * associative-commutative, which is exactly what makes them
-  * saltable. (avg must travel as sum+count, reconstructed after.)
+/** [[SaltedAgg]]'s contract: the two-stage salted aggregation equals
+  * the direct aggregation on skew-shaped data — sum/count/min/max are
+  * associative-commutative (exactly what makes them saltable) and avg
+  * travels as sum+count.
   */
 class SaltingSpec extends AnyFunSuite with SparkTestSession {
 
-  test("two-stage salted aggregate equals the direct aggregate on skewed data") {
+  test("SaltedAgg equals the direct aggregate on skewed data") {
     val s = spark; import s.implicits._
     // 90% of rows share one key — the shape that melts a reducer
     val rows = (1L to 2000L).map { i =>
@@ -25,19 +22,28 @@ class SaltingSpec extends AnyFunSuite with SparkTestSession {
 
     val direct = df.groupBy("k")
       .agg(sum("v").as("sum_v"), count(lit(1)).as("n"),
-        min("v").as("min_v"), max("v").as("max_v"))
+        min("v").as("min_v"), max("v").as("max_v"), avg("v").as("avg_v"))
       .orderBy("k").collect().toSeq
 
-    val salted = df
-      .withColumn("salt", col("event_id") % 8) // deterministic spreader
-      .groupBy("k", "salt")
-      .agg(sum("v").as("ps"), count(lit(1)).as("pn"),
-        min("v").as("pmin"), max("v").as("pmax"))
-      .groupBy("k")
-      .agg(sum("ps").as("sum_v"), sum("pn").as("n"),
-        min("pmin").as("min_v"), max("pmax").as("max_v"))
+    val salted = SaltedAgg.aggregate(df, Seq("k"),
+        salt = col("event_id") % 8, // deterministic spreader
+        aggs = Seq(
+          SaltedAgg.Sum("v", "sum_v"), SaltedAgg.Count("n"),
+          SaltedAgg.Min("v", "min_v"), SaltedAgg.Max("v", "max_v"),
+          SaltedAgg.Avg("v", "avg_v")))
       .orderBy("k").collect().toSeq
 
     assert(salted === direct)
+  }
+
+  test("salted plan aggregates in two stages (salt key present in stage 1)") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).map(i => ("k", i)).toDF("k", "v")
+    val plan = SaltedAgg.aggregate(df, Seq("k"), col("v") % 4,
+        Seq(SaltedAgg.Sum("v", "sum_v")))
+      .queryExecution.optimizedPlan.toString
+    // two Aggregate nodes: (k, __salt) then (k)
+    assert("(?s)Aggregate.*Aggregate".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("__salt"), plan)
   }
 }
