@@ -45,22 +45,33 @@ object Dedup {
     * is exactly the skew AQE splits. The groupBy(doc_a, doc_b)
     * deduplicates multi-band hits before the signature compare.
     */
-  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        minEstE6: Long = 250000L,
-                        materialize: Boolean = true): DataFrame = {
-    // No size(sh)>0 guard: it would be pushed below the repartition
-    // and rebuild the shingle array once more on the unsplit input.
-    // A <2-token doc yields an all-null signature whose pairs score
-    // n_match=0 and die at the threshold — same output, no recompute.
+  /** The LSH fingerprint index frame: one row per (doc, band) with the
+    * band's bucket key and the full minhash signature — the shape a
+    * continuously-ingesting pipeline PERSISTS (partitioned/bucketed by
+    * (band, bkey)) so new batches dedup against it without re-hashing
+    * the corpus ([[incrementalCandidates]]).
+    *
+    * No size(sh)>0 guard: it would be pushed below an upstream
+    * repartition and rebuild the shingle array once more on the
+    * unsplit input. A <2-token doc yields an all-null signature whose
+    * pairs score n_match=0 and die at the threshold — same output, no
+    * recompute.
+    */
+  def bandIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sigd = docs
       .select(col(idCol), wordShingles(tokens(col(textCol))).as("sh"))
       .select(col(idCol), shingleHashes(col("sh")).as("hs"))
       .select(col(idCol), minhashSigFromHashes(col("hs")).as("sig"))
-
-    val banded0 = sigd.select(
+    sigd.select(
       col(idCol), col("sig"),
       posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band", "bkey")))
+  }
+
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        minEstE6: Long = 250000L,
+                        materialize: Boolean = true): DataFrame = {
+    val banded0 = bandIndex(docs, textCol, idCol)
     // The self-join consumes the (cpu-heavy) signature pipeline twice;
     // cache it like SpikeDetector materializes its window aggregates.
     val banded = if (materialize) banded0.cache() else banded0
@@ -80,6 +91,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         sigMatches(col("sig_a"), col("sig_b")).as("n_match"))
       .groupBy("doc_a", "doc_b")
+      .agg(max("n_match").as("n_match"))
+      .withColumn("est_jaccard_e6",
+        floor(lit(1000000.0) * col("n_match") / lit(MinHashK.toDouble)).cast("long"))
+      .filter(col("est_jaccard_e6") >= minEstE6)
+  }
+
+  /** Incremental near-dup detection: a NEW batch of documents against
+    * an EXISTING corpus fingerprint index ([[bandIndex]] shape, loaded
+    * from wherever the pipeline persists it) — the delta shape of a
+    * continuously-ingesting training-data pipeline. Emits
+    * (new_id, old_id, n_match, est_jaccard_e6) for new-vs-old pairs
+    * only: new-vs-new dedup is [[minhashCandidates]] on the batch, and
+    * the corpus itself is NOT re-hashed — only the (small) new batch
+    * pays the signature pipeline.
+    *
+    * Scale: the one shuffle is the (band, bkey) equi-join of batch
+    * bands against the index. With the index persisted bucketed by
+    * (band, bkey) the join co-locates without exchanging the index at
+    * all — each new batch pays only its own bands' shuffle. Same
+    * Σ bucket² candidate economics as the batch path; the same
+    * hash-agg max keeps signatures out of the pair shuffle.
+    */
+  def incrementalCandidates(newDocs: DataFrame, index: DataFrame,
+                            textCol: String, idCol: String,
+                            minEstE6: Long = 250000L): DataFrame = {
+    val n = bandIndex(newDocs, textCol, idCol)
+      .select(col(idCol).as("new_id"), col("sig").as("sig_n"),
+        col("band"), col("bkey"))
+    val o = index
+      .select(col(idCol).as("old_id"), col("sig").as("sig_o"),
+        col("band").as("band_o"), col("bkey").as("bkey_o"))
+    n.join(o,
+        col("band") === col("band_o") && col("bkey") === col("bkey_o") &&
+          col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        sigMatches(col("sig_n"), col("sig_o")).as("n_match"))
+      .groupBy("new_id", "old_id")
       .agg(max("n_match").as("n_match"))
       .withColumn("est_jaccard_e6",
         floor(lit(1000000.0) * col("n_match") / lit(MinHashK.toDouble)).cast("long"))

@@ -60,6 +60,19 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental dedup: the NEW tenth of the corpus (doc_id % 10 = 0)
+    // against the fingerprint index of the OTHER nine tenths — only
+    // new-vs-old pairs fire; the "old" corpus is never re-paired with
+    // itself. In production the index is persisted (bucketed by band
+    // key) and only the batch pays the signature pipeline.
+    "x19_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val index = Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id")
+      Dedup.incrementalCandidates(docs.filter(col("doc_id") % 10 === 0), index,
+          "text", "doc_id")
+        .orderBy("new_id", "old_id")
+    }),
+
     // Exact unigram jaccard, probe subset → corpus, inverted-index
     // join (sparse; df-cap knob for web-scale vocabularies).
     "x03_token_jaccard" -> ((s, d) => {
@@ -290,6 +303,23 @@ object LlmQueries {
     "CASE band " + (0 until TF.MinHashBands - 1).map(b => s"WHEN $b THEN bk$b").mkString(" ") +
       s" ELSE bk${TF.MinHashBands - 1} END"
 
+  /** Shared CTE chain ending in `bands(doc_id, sig, band, bkey)` —
+    * the DuckDB rendering of Dedup.bandIndex over `documents`.
+    */
+  private val minhashBandsCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |              list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) AS sh
+       |       FROM toks),
+       |hsh AS (SELECT doc_id, list_transform(sh, t -> ${dH("t")} % $P) AS hs
+       |        FROM sh WHERE len(sh) > 0),
+       |sigs AS (SELECT doc_id, $sigSql AS sig FROM hsh),
+       |keyed AS (SELECT doc_id, sig,
+       |         $bandKeysSql
+       |  FROM sigs),
+       |bands AS (SELECT doc_id, sig, band, $bandCaseSql AS bkey
+       |          FROM keyed, (SELECT unnest(generate_series(0, ${TF.MinHashBands - 1})) AS band))""".stripMargin
+
   private val simhashSql: String =
     (0 until TF.SimHashBits).map { j =>
       s"(CASE WHEN CAST(list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -322,18 +352,7 @@ object LlmQueries {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x02_minhash_lsh" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id,
-         |              list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) AS sh
-         |       FROM toks),
-         |hsh AS (SELECT doc_id, list_transform(sh, t -> ${dH("t")} % $P) AS hs
-         |        FROM sh WHERE len(sh) > 0),
-         |sigs AS (SELECT doc_id, $sigSql AS sig FROM hsh),
-         |keyed AS (SELECT doc_id, sig,
-         |         $bandKeysSql
-         |  FROM sigs),
-         |bands AS (SELECT doc_id, sig, band, $bandCaseSql AS bkey
-         |          FROM keyed, (SELECT unnest(generate_series(0, ${TF.MinHashBands - 1})) AS band)),
+      s"""WITH $minhashBandsCtes,
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                 any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
          |          FROM bands a JOIN bands b
@@ -347,6 +366,23 @@ object LlmQueries {
          |FROM scored
          |WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x19_incremental_dedup" ->
+      s"""WITH $minhashBandsCtes,
+         |pairs AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |                 any_value(n.sig) AS sig_n, any_value(o.sig) AS sig_o
+         |          FROM bands n JOIN bands o
+         |            ON n.band = o.band AND n.bkey = o.bkey
+         |          WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+         |          GROUP BY 1, 2),
+         |scored AS (SELECT new_id, old_id,
+         |                  CAST(len(list_filter(generate_series(1, $K), i -> sig_n[i] = sig_o[i])) AS BIGINT) AS n_match
+         |           FROM pairs)
+         |SELECT new_id, old_id, n_match,
+         |       CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) AS est_jaccard_e6
+         |FROM scored
+         |WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000
+         |ORDER BY new_id, old_id""".stripMargin,
 
     "x03_token_jaccard" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

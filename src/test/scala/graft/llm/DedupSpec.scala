@@ -36,6 +36,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.isEmpty) // single-token docs have empty shingle sets
   }
 
+  test("incremental dedup fires only new-vs-old pairs against the index") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words entirely here now for this doc"
+    val old = docs((1L, text), (2L, other))
+    // the new batch near-dups BOTH an old doc (10 vs 1) and another
+    // new doc (11 vs 12) — only the new-vs-old pair may fire
+    val fresh = docs((10L, text), (11L, other + " x"), (12L, other + " x"))
+    val got = Dedup.incrementalCandidates(
+      fresh, Dedup.bandIndex(old, "text", "doc_id"), "text", "doc_id")
+      .orderBy("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((10L, 1L)), s"planted new-vs-old dup not found: ${got.toSeq}")
+    assert(!got.exists { case (n, o) => n >= 10L && o >= 10L },
+      s"new-vs-new pair leaked into the incremental result: ${got.toSeq}")
+    assert(!got.exists { case (n, _) => n < 10L },
+      s"old doc appeared as a new_id: ${got.toSeq}")
+  }
+
   test("token jaccard: exact values through the inverted-index join") {
     val got = Dedup.tokenJaccardPairs(
       docs((0L, "a b c d"), (1L, "a b c d"), (2L, "a b x y")),
