@@ -21,11 +21,12 @@ object SparkEntry {
     * LLM-training-data pipeline x-series (dedup, similarity, text).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.all ++ GeneralQueries.all ++ LlmQueries.all
+    ReferenceQueries.all ++ GeneralQueries.all ++ LlmQueries.all ++ StreamingQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles ++ GeneralQueries.oracles ++ LlmQueries.oracles
+    ReferenceQueries.oracles ++ GeneralQueries.oracles ++ LlmQueries.oracles ++
+      StreamingQueries.oracles
 }
