@@ -97,6 +97,22 @@ object ReferenceQueries {
         .orderBy("num_protocol", "type_proto", "dst_ip", "sum_val")
     }),
 
+    // The "intended semantics" variant (SURVEY §7: bug-compatible by
+    // default, documented flags for the intended behavior): weighted
+    // /24 roll-up (Σpkt/Σrows, not avg-of-truncated-avgs), new keys
+    // alerting at cur > limit (the reference README's prose), and
+    // BOUNDED windows (the reference computes endTimes and never
+    // applies them — here cur=(t-W,t], prev=(t-2W,t-W]).
+    "r09_spike_intended" -> ((s, d) => {
+      val (h, t) = hist(s, d)
+      val w = RefHistogram.CurWindowSec
+      SpikeDetector.detectFused(h,
+          currentPredicate = col("timestamp") > (t - w) && col("timestamp") <= t,
+          previousPredicate = col("timestamp") > (t - 2 * w) && col("timestamp") <= (t - w),
+          params = P.copy(weightedNetRollup = true, newKeyAlertAtLimit = true))
+        .orderBy("num_protocol", "type_proto", "dst_ip", "sum_val")
+    }),
+
     // §2.1 #20 — watch-list membership as a broadcast semi-join
     "r07_watchlist_semijoin" -> ((s, d) => {
       val watch = Tables.customer(s, d)
@@ -210,6 +226,53 @@ object ReferenceQueries {
          |  SELECT num_protocol, type_proto, prev_sum_val2 AS sum_val, dst_net AS dst_ip
          |  FROM j_net WHERE sum_val / prev_sum_val2 > ${P.quotientAmplification})
          |SELECT * FROM spikes ORDER BY num_protocol, type_proto, dst_ip, sum_val""".stripMargin,
+
+    "r09_spike_intended" -> {
+      val w = RefHistogram.CurWindowSec
+      val curP = s"timestamp > (SELECT t FROM tmax) - $w AND timestamp <= (SELECT t FROM tmax)"
+      val prevP = s"timestamp > (SELECT t FROM tmax) - ${2 * w} AND timestamp <= (SELECT t FROM tmax) - $w"
+      s"""$H,
+         |fused AS (
+         |  SELECT num_protocol, type_proto, dst_ip,
+         |         CAST(trunc(avg(CASE WHEN $curP THEN CountPkt END)) AS INTEGER) AS sum_val,
+         |         CAST(trunc(avg(CASE WHEN $prevP THEN CountPkt END)) AS INTEGER) AS prev_sum_val,
+         |         sum(CASE WHEN $curP THEN CountPkt END) AS cur_sum,
+         |         count(CASE WHEN $curP THEN CountPkt END) AS cur_cnt,
+         |         sum(CASE WHEN $prevP THEN CountPkt END) AS prev_sum,
+         |         count(CASE WHEN $prevP THEN CountPkt END) AS prev_cnt
+         |  FROM histogram WHERE ($curP) OR ($prevP)
+         |  GROUP BY num_protocol, type_proto, dst_ip),
+         |fused_net AS (
+         |  SELECT num_protocol, type_proto,
+         |         CAST(trunc(sum(cur_sum) / sum(cur_cnt)) AS INTEGER) AS sum_val,
+         |         CAST(trunc(sum(prev_sum) / sum(prev_cnt)) AS INTEGER) AS prev_sum_val,
+         |         dst_ip & 4294967040 AS dst_net
+         |  FROM fused GROUP BY num_protocol, type_proto, dst_ip & 4294967040),
+         |j_ip AS (
+         |  SELECT num_protocol, type_proto, sum_val, dst_ip, prev_sum_val,
+         |         COALESCE(CASE WHEN prev_sum_val / sum_val > ${P.quotientAmplification}
+         |                        AND prev_sum_val > ${P.limitNewData}
+         |                       THEN ${P.limitNewData} ELSE prev_sum_val END,
+         |                  ${P.limitNewData}) AS prev_sum_val2
+         |  FROM fused WHERE sum_val IS NOT NULL),
+         |j_net AS (
+         |  SELECT num_protocol, type_proto, sum_val, dst_net, prev_sum_val,
+         |         COALESCE(CASE WHEN prev_sum_val / sum_val > ${P.quotientAmplification}
+         |                       THEN ${P.limitNewDataNet} ELSE prev_sum_val END,
+         |                  ${P.limitNewDataNet}) AS prev_sum_val2
+         |  FROM fused_net WHERE sum_val IS NOT NULL),
+         |spikes AS (
+         |  SELECT num_protocol, type_proto, prev_sum_val2 AS sum_val, dst_ip
+         |  FROM j_ip
+         |  WHERE CASE WHEN prev_sum_val IS NULL THEN sum_val > ${P.limitNewData}
+         |             ELSE sum_val / prev_sum_val2 > ${P.quotientAmplification} END
+         |  UNION ALL
+         |  SELECT num_protocol, type_proto, prev_sum_val2 AS sum_val, dst_net AS dst_ip
+         |  FROM j_net
+         |  WHERE CASE WHEN prev_sum_val IS NULL THEN sum_val > ${P.limitNewDataNet}
+         |             ELSE sum_val / prev_sum_val2 > ${P.quotientAmplification} END)
+         |SELECT * FROM spikes ORDER BY num_protocol, type_proto, dst_ip, sum_val""".stripMargin
+    },
 
     "r06_ttl_dedup_bucket" ->
       """SELECT user_id, event_type,

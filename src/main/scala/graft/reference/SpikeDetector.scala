@@ -4,11 +4,35 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.IpFunctions
 
-/** Tuning knobs of the spike analysis (hha.conf:26–30). */
+/** Tuning knobs of the spike analysis (hha.conf:26–30), plus the
+  * opt-in "intended semantics" flags (SURVEY §7 decision:
+  * bug-compatible by default, documented flags for the intended
+  * behavior — both default OFF so every oracle-checked query stays
+  * bug-for-bug with the reference):
+  *
+  * @param weightedNetRollup the reference's /24 roll-up averages the
+  *   per-IP truncated averages (hha.py:162,167), weighting a 1-row IP
+  *   equally with a 10k-row IP; ON computes the weighted mean
+  *   (Σpkt/Σrows over the net — the mean over raw rows), derived from
+  *   exact per-IP sum/count partials so the plan shape is unchanged.
+  * @param newKeyAlertAtLimit the reference's `na.fill(limit)` makes a
+  *   brand-new key alert only when `cur > quotient·limit`, which
+  *   contradicts its own README ("if sum_val exceeds LimitNewData",
+  *   README.md:93); ON alerts new keys at `cur > limit` as the prose
+  *   intends. Known keys are unaffected.
+  *
+  * The third "intended" knob — bounded instead of open-ended windows
+  * (the reference computes `endTime`s and never applies them,
+  * hha.py:141,148,321,323) — needs no flag: the window predicates are
+  * already injectable, so callers pass a closed interval (see
+  * r09_spike_intended).
+  */
 final case class SpikeParams(
     quotientAmplification: Double = 3.0,
     limitNewData: Int = 2500,
-    limitNewDataNet: Int = 3500
+    limitNewDataNet: Int = 3500,
+    weightedNetRollup: Boolean = false,
+    newKeyAlertAtLimit: Boolean = false
 )
 
 /** Traffic-spike detection — the reference's core analysis
@@ -185,12 +209,23 @@ object SpikeDetector {
       previousPredicate: Column,
       params: SpikeParams = SpikeParams()
   ): DataFrame = {
+    // exact sum/count partials ride along only when the weighted
+    // roll-up is on — same single shuffle either way
+    val baseAggs = Seq(
+      avg(when(currentPredicate, col("CountPkt"))).cast("int").as("sum_val"),
+      avg(when(previousPredicate, col("CountPkt"))).cast("int").as("prev_sum_val"))
+    val weightAggs =
+      if (params.weightedNetRollup) Seq(
+        sum(when(currentPredicate, col("CountPkt"))).as("cur_sum"),
+        count(when(currentPredicate, col("CountPkt"))).as("cur_cnt"),
+        sum(when(previousPredicate, col("CountPkt"))).as("prev_sum"),
+        count(when(previousPredicate, col("CountPkt"))).as("prev_cnt"))
+      else Nil
+    val allAggs = baseAggs ++ weightAggs
     val fused = hist
       .filter(currentPredicate || previousPredicate)
       .groupBy((KeyCols :+ "dst_ip").map(col): _*)
-      .agg(
-        avg(when(currentPredicate, col("CountPkt"))).cast("int").as("sum_val"),
-        avg(when(previousPredicate, col("CountPkt"))).cast("int").as("prev_sum_val"))
+      .agg(allAggs.head, allAggs.tail: _*)
 
     def clampAndSpike(df: DataFrame, keyCol: String, limit: Int,
                       requirePrevAboveLimit: Boolean): DataFrame = {
@@ -198,21 +233,39 @@ object SpikeDetector {
       val clampWhen =
         if (requirePrevAboveLimit) ratioClamp && col("prev_sum_val") > limit
         else ratioClamp
+      val alertCond =
+        if (params.newKeyAlertAtLimit)
+          // the README-prose semantics: brand-new keys (no previous
+          // window → prev IS NULL before the fill) alert at cur > limit
+          when(col("prev_sum_val").isNull, col("sum_val") > limit)
+            .otherwise(col("sum_val") / col("prev_sum_val2") > params.quotientAmplification)
+        else
+          col("sum_val") / col("prev_sum_val2") > params.quotientAmplification
       df.filter(col("sum_val").isNotNull) // = the left side of the reference join
         .select(col("num_protocol"), col("type_proto"), col("sum_val"), col(keyCol),
+          col("prev_sum_val"),
           when(clampWhen, limit).otherwise(col("prev_sum_val")).as("prev_sum_val2"))
         .na.fill(limit, Seq("prev_sum_val2"))
-        .filter(col("sum_val") / col("prev_sum_val2") > params.quotientAmplification)
+        .filter(alertCond)
         .select(col("num_protocol"), col("type_proto"),
           col("prev_sum_val2").as("sum_val"), col(keyCol))
     }
 
-    val fusedNet = fused
-      .withColumn("dst_net", IpFunctions.ipToNet24(col("dst_ip")))
-      .groupBy((KeyCols :+ "dst_net").map(col): _*)
-      .agg(
-        avg("sum_val").cast("int").as("sum_val"),
-        avg("prev_sum_val").cast("int").as("prev_sum_val"))
+    // the /24 branch: bug-compatible = avg of the truncated per-IP
+    // avgs; intended = weighted mean Σpkt/Σrows from the exact
+    // partials (≡ the mean over raw rows, no second fact scan)
+    val fusedNet = {
+      val keyed = fused.withColumn("dst_net", IpFunctions.ipToNet24(col("dst_ip")))
+        .groupBy((KeyCols :+ "dst_net").map(col): _*)
+      if (params.weightedNetRollup)
+        keyed.agg(
+          (sum("cur_sum") / sum("cur_cnt")).cast("int").as("sum_val"),
+          (sum("prev_sum") / sum("prev_cnt")).cast("int").as("prev_sum_val"))
+      else
+        keyed.agg(
+          avg("sum_val").cast("int").as("sum_val"),
+          avg("prev_sum_val").cast("int").as("prev_sum_val"))
+    }
 
     clampAndSpike(fused, "dst_ip", params.limitNewData, requirePrevAboveLimit = true)
       .union(clampAndSpike(fusedNet, "dst_net", params.limitNewDataNet,

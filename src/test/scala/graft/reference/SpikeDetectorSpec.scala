@@ -87,6 +87,31 @@ class SpikeDetectorSpec extends AnyFunSuite with SparkTestSession {
     assert(net.head.getInt(2) === 15)
   }
 
+  test("intended-mode flags: weighted /24 roll-up and new-key alert at limit " +
+    "(SURVEY §7 opt-ins; defaults stay bug-compatible)") {
+    val rows = Seq(
+      // /24 net 256: cur avgs 10 (2 rows) and 1000 (1 row); prev 150 each.
+      // avg-of-avgs = 505 -> 505/150 > 3 alerts; weighted = 340 -> no alert.
+      (1000L, 1L, 65, 10L, 11, 256L), (1000L, 1L, 65, 10L, 11, 256L),
+      (1000L, 1L, 65, 1000L, 11, 257L),
+      (100L, 1L, 65, 150L, 11, 256L), (100L, 1L, 65, 150L, 11, 257L),
+      // brand-new key, cur avg 3000: limit < 3000 < 3*limit -> alerts
+      // only under the README-prose semantics
+      (1000L, 1L, 66, 3000L, 11, 999L))
+    def run(p: graft.reference.SpikeParams) =
+      SpikeDetector.detectFused(histDf(rows: _*), cur, prev, p)
+        .collect().map(r => (r.getInt(0), r.getLong(3))).toSet
+
+    val bugCompat = run(P)
+    val intended = run(P.copy(weightedNetRollup = true, newKeyAlertAtLimit = true))
+    // bug-compat: net 256 alerts (avg-of-avgs 505 vs 150), ip 257
+    // alerts (1000/150 > 3); new key 999 silent (3000 < 7500)
+    assert(bugCompat === Set((65, 256L), (65, 257L)))
+    // intended: weighted net 340/150 < 3 -> net alert gone; new key
+    // 999 alerts (3000 > 2500); ip 257 still alerts
+    assert(intended === Set((65, 257L), (66, 999L)))
+  }
+
   test("materialize=true (cache path) returns identical rows") {
     val rows = Seq(
       (1000L, 1L, 65, 961L, 11, 174327451L),
