@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Physical-plan shape of the ANN paths (VERDICT r3 "what's wrong"
+  * items, pinned so they can't silently regress):
+  *   - bucketed top-k ranks via the bounded aggregate, NOT a ranking
+  *     window over every scored candidate;
+  *   - IVF cluster assignment is a pure per-row expression over
+  *     literal centroids — no centroid join, no per-row window, no
+  *     assignment shuffle;
+  *   - probe sides broadcast (the corpus is never shuffled to meet
+  *     them).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
+
+  private val D = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$D/embeddings.parquet")
+  private def probes = emb.filter(col("vec_id") % 100 === 0)
+
+  private def executedPlan(df: DataFrame): String = {
+    df.count() // finalize AQE so the audited plan is the executed one
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def occurrences(plan: String, op: String): Int =
+    op.r.findAllIn(plan).size
+
+  test("bucketedTopK: bounded-aggregate top-k, no ranking window, probes broadcast") {
+    val plan = executedPlan(Similarity.bucketedTopK(emb, probes, k = 3))
+    assert(!plan.contains("Window"), s"ranking window crept back in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"bounded top-k aggregate missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$plan")
+  }
+
+  test("multiTableTopK: hash-agg dedup + bounded top-k, no window, no cartesian") {
+    val plan = executedPlan(Similarity.multiTableTopK(emb, probes, k = 3))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"multi-table candidates must come from the (tbl, bucket) equi-join:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("ivfTopK: expression-only assignment (no centroid join), one tiny merge window") {
+    val cents = emb.filter(col("vec_id") < 8)
+    val plan = executedPlan(Similarity.ivfTopK(emb, probes, cents, k = 3, nprobe = 2))
+    // the old plan crossJoined broadcast centroids and ran a per-row
+    // argmax window; the literal-centroid fold eliminates both
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment should be a per-row expression, not a join:\n$plan")
+    // "Window [" is the window operator itself; WindowGroupLimit rows
+    // are Spark's rank-limit pushdown capping rows pre-exchange — fine
+    assert(occurrences(plan, "Window \\[") === 1,
+      s"expected exactly the final |probes|*nprobe*k merge window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"bounded per-cluster top-k missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"assigned probes not broadcast:\n$plan")
+  }
+}
