@@ -13,6 +13,11 @@ import graft.streaming.{HistRow, StreamingDetect}
   * sequential-window semantics with lag() — so the streaming layer has
   * a CORRECTNESS row, not just unit tests (VERDICT r3 gap #3).
   *
+  * Bench note: st01's wall time is dominated by state-store serde of
+  * ~|keys| state entries across the three micro-batches — the
+  * inherent cost of exercising the real streaming engine end-to-end,
+  * not a plan defect (there is exactly one stateful shuffle).
+  *
   * Window-closing determinism: all real rows go in one batch (nothing
   * closes — the watermark is still at 0), then two sentinel batches
   * with a far-future key advance the watermark so EVERY real window
