@@ -54,6 +54,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       s"old doc appeared as a new_id: ${got.toSeq}")
   }
 
+  test("band index survives a parquet round-trip (the persisted-index path)") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val old = docs((1L, text), (2L, "completely different words entirely here now"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+    try {
+      // persist the corpus index once; a later batch reads it back and
+      // dedups against it without re-hashing the corpus
+      Dedup.bandIndex(old, "text", "doc_id").write.mode("overwrite").parquet(dir)
+      val loaded = spark.read.parquet(dir)
+      val got = Dedup.incrementalCandidates(
+        docs((10L, text)), loaded, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq === Seq((10L, 1L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("token jaccard: exact values through the inverted-index join") {
     val got = Dedup.tokenJaccardPairs(
       docs((0L, "a b c d"), (1L, "a b c d"), (2L, "a b x y")),
