@@ -148,11 +148,17 @@ object Dedup {
   def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         probeFilter: org.apache.spark.sql.Column,
                         minJaccardE6: Long = 900000L,
-                        maxDocFreq: Option[Long] = None): DataFrame = {
-    val toks = docs.select(col(idCol),
+                        maxDocFreq: Option[Long] = None,
+                        materialize: Boolean = true): DataFrame = {
+    // One tokenize pass, cached: the probe side, the corpus side, and
+    // the size table below all consume this frame — uncached, the
+    // self-join recomputes the tokenize+explode on every branch (the
+    // same trap minhashCandidates documents).
+    val toks0 = docs.select(col(idCol),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val sizes = docs.select(col(idCol),
-      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_tok"))
+    val toks = if (materialize) toks0.cache() else toks0
+    // |distinct tokens| == row count of the exploded frame per doc
+    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("n_tok"))
 
     val pruned = maxDocFreq match {
       case Some(cap) =>

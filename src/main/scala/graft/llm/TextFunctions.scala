@@ -105,14 +105,20 @@ object TextFunctions {
     * token occurring twice votes twice). Near-dup docs land at small
     * hamming distance; the high byte is a coarse blocking bucket.
     */
-  def simhash(toks: Column): Column = {
-    val hs = transform(toks, t => hash60(t))
+  def simhash(toks: Column): Column = simhashFromHashes(transform(toks, t => hash60(t)))
+
+  /** Simhash over ALREADY-MATERIALIZED per-token hashes. Prefer this
+    * with a separately-projected hash column: the 16 bit-votes below
+    * each reference the array, and inlining a md5 transform here
+    * re-hashes every token 16x (HOFs are interpreted — no
+    * subexpression elimination across uses).
+    */
+  def simhashFromHashes(hs: Column): Column =
     (0 until SimHashBits).map { j =>
       val vote = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   // ---- Language ID / quality --------------------------------------
 

@@ -149,24 +149,35 @@ object LlmQueries {
     // Document fingerprinting: rolling 60-bit hashes of char 8-grams;
     // min/max/distinct-count summarize the gram set (winnowing-style).
     "x08_fingerprint" -> ((s, d) => {
-      val grams = TF.charGramHashes(col("text"), 8)
-      Tables.documents(s, d)
+      // Materialize the gram-hash array ONCE: the four summaries below
+      // each reference it, and HOFs are interpreted (no subexpression
+      // elimination across uses) — inlining re-ran the md5-per-gram
+      // transform 4x. CollapseProject leaves the two projections
+      // separate because the array expr is non-cheap and multi-used.
+      // splitForCpu parallelizes the per-char hashing over the
+      // single-split local input (no-op on pre-split input).
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), TF.charGramHashes(col("text"), 8).as("gh"))
         .select(
           col("doc_id"),
-          size(grams).cast("long").as("n_grams"),
-          size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
-          array_min(grams).as("fp_min"),
-          array_max(grams).as("fp_max"))
+          size(col("gh")).cast("long").as("n_grams"),
+          size(array_distinct(col("gh"))).cast("long").as("n_distinct_grams"),
+          array_min(col("gh")).as("fp_min"),
+          array_max(col("gh")).as("fp_max"))
         .orderBy("doc_id")
     }),
 
     // SimHash: 16-bit frequency-weighted token simhash + its high
     // byte as a blocking bucket.
     "x09_simhash" -> ((s, d) => {
-      val toks = TF.tokens(col("text"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), TF.simhash(toks).as("simhash"))
+      // token hashes materialized once (16 bit-votes reference them;
+      // inlining re-hashed every token 16x), hashing parallelized
+      // over the single-split local input
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          transform(TF.tokens(col("text")), t => TF.hash60(t)).as("th"))
+        .select(col("doc_id"), TF.simhashFromHashes(col("th")).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 8))
         .orderBy("doc_id")
     }),
