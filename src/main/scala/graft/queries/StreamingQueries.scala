@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.reference.SpikeParams
-import graft.streaming.{HistRow, StreamingDetect}
+import graft.streaming.{HistRow, StreamingDetect, StreamingSpike}
 
 /** Driver-visible streaming↔batch parity: st01 actually RUNS the
   * streaming-native detector ([[StreamingDetect]], tumbling event-time
@@ -62,6 +62,40 @@ object StreamingQueries {
 
       s.table("st01_alerts")
         .orderBy("num_protocol", "type_proto", "dst_ip", "window_start")
+    }),
+
+    // The BUILT-IN streaming path: watermarked tumbling-window
+    // aggregation (StreamingSpike.windowedAggregate — groupBy(window)
+    // + append mode, Spark's own window state management) rather than
+    // custom flatMapGroupsWithState state. Same sentinel protocol as
+    // st01: batch 1 ingests everything at watermark 0, two far-future
+    // sentinel batches advance the watermark so every real window
+    // finalizes; the sentinel's own window never closes → invisible.
+    "st02_streaming_window_agg" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val t = RefHistogram.tmax(s, d)
+      val rows = RefHistogram.derive(Tables.events(s, d), t)
+        .as[HistRow].collect().toSeq
+      val sentinel = HistRow(t + 10 * WindowSec, 0L, -1, 0L, -1, -1L)
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[HistRow]
+      val q = StreamingSpike.windowedAggregate(in.toDF(), WindowSec,
+          watermarkDelaySec = 0L)
+        .writeStream.format("memory").queryName("st02_windows")
+        .outputMode("append").start()
+      try {
+        in.addData(rows)
+        q.processAllAvailable()
+        in.addData(sentinel)
+        q.processAllAvailable()
+        in.addData(sentinel)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      s.table("st02_windows")
+        .orderBy("num_protocol", "type_proto", "dst_ip", "window_start")
     })
   )
 
@@ -98,6 +132,20 @@ object StreamingQueries {
          |SELECT window_start, num_protocol, type_proto, baseline, dst_ip
          |FROM based
          |WHERE avg_val > ${P.quotientAmplification} * baseline
+         |ORDER BY num_protocol, type_proto, dst_ip, window_start""".stripMargin,
+
+    // Epoch-aligned tumbling windows: Spark's window() starts windows
+    // at floor(ts/W)*W for W=86400s, so the GROUP BY mirrors it
+    // exactly; avg→cast int truncates toward zero in both engines
+    // (CountPkt >= 0).
+    "st02_streaming_window_agg" ->
+      s"""${RefHistogram.sqlCtes}
+         |SELECT (timestamp // $WindowSec) * $WindowSec AS window_start,
+         |       num_protocol, type_proto,
+         |       CAST(trunc(avg(CountPkt)) AS INTEGER) AS sum_val,
+         |       dst_ip
+         |FROM histogram
+         |GROUP BY num_protocol, type_proto, dst_ip, (timestamp // $WindowSec) * $WindowSec
          |ORDER BY num_protocol, type_proto, dst_ip, window_start""".stripMargin
   )
 }
