@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Uniform read/write surface over the formats the engine supports
-  * (SURVEY.md §2.2 sources row): parquet, csv, json.
+  * (SURVEY.md §2.2 sources row): parquet, orc, csv, json, line text.
   *
   * Reads always take an EXPLICIT schema: schema inference costs an
   * extra full pass over csv/json at scale and can silently drift
@@ -17,8 +17,16 @@ object GenericSource {
 
   sealed trait Format { def name: String }
   case object Parquet extends Format { val name = "parquet" }
+  case object Orc extends Format { val name = "orc" }
   case object Csv extends Format { val name = "csv" }
   case object Json extends Format { val name = "json" }
+
+  /** One string column per line — raw-document ingestion (the first
+    * hop of a text-corpus pipeline, before any schema exists). Reads
+    * as a single `value STRING` column; writes require exactly one
+    * string column. Splittable like csv/json-lines.
+    */
+  case object Text extends Format { val name = "text" }
 
   /** Schema-pinned read. csv expects a header by default (matched by
     * [[write]]); json is line-delimited (the only splittable layout).
@@ -28,8 +36,10 @@ object GenericSource {
     val base = spark.read.schema(schema).options(options)
     format match {
       case Parquet => base.parquet(path)
+      case Orc => base.orc(path)
       case Csv => base.option("header", options.getOrElse("header", "true")).csv(path)
       case Json => base.json(path)
+      case Text => base.text(path)
     }
   }
 
@@ -47,8 +57,10 @@ object GenericSource {
     val base = sized.write.mode(mode).options(options)
     format match {
       case Parquet => base.parquet(path)
+      case Orc => base.orc(path)
       case Csv => base.option("header", options.getOrElse("header", "true")).csv(path)
       case Json => base.json(path)
+      case Text => base.text(path)
     }
   }
 }

@@ -14,7 +14,8 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
     Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0)).toDF("id", "name", "score")
   }
 
-  for (fmt <- Seq(GenericSource.Parquet, GenericSource.Csv, GenericSource.Json)) {
+  for (fmt <- Seq(GenericSource.Parquet, GenericSource.Orc,
+                  GenericSource.Csv, GenericSource.Json)) {
     test(s"${fmt.name}: write then schema-pinned read round-trips") {
       val dir = Files.createTempDirectory(s"src_${fmt.name}").toString + "/data"
       GenericSource.write(sample, fmt, dir, targetPartitions = Some(1))
@@ -23,6 +24,16 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
       assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
         === Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0)))
     }
+  }
+
+  test("text: single-column line round-trip") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("src_text").toString + "/data"
+    val docs = Seq("alpha beta", "gamma", "").toDF("value")
+    GenericSource.write(docs, GenericSource.Text, dir, targetPartitions = Some(1))
+    val back = GenericSource.read(spark, GenericSource.Text, dir,
+      StructType.fromDDL("value STRING"))
+    assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("", "alpha beta", "gamma"))
   }
 
   test("targetPartitions caps the output file count") {
