@@ -9,7 +9,9 @@ import graft.functions.ParseIpv4
   * `SparkSessionExtensions` hook (usable via
   * `builder.withExtensions(new GraftExtensions)` — GraftSession does
   * this — or `spark.sql.extensions=graft.core.GraftExtensions` on a
-  * cluster submit). Currently: the native `parse_ipv4` expression.
+  * cluster submit). Currently: the native `parse_ipv4` expression and
+  * the planner strategy lowering the custom as-of-join logical plan to
+  * its streaming-merge physical operator.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "parse_ipv4 expects exactly one argument")
         ParseIpv4(args.head)
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

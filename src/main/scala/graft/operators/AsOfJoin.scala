@@ -79,4 +79,61 @@ object AsOfJoin {
         leftPayload.map(col) ++
         rStructFields.map(c => col("_r").getField(c).as(c)): _*)
   }
+
+  /** The NATIVE form of [[backward]]: plans a [[graft.plans.AsOfJoinPlan]]
+    * which graft.core.GraftExtensions' planner strategy lowers to the
+    * custom [[graft.plans.AsOfJoinExec]] — the two sides are
+    * co-partitioned and co-sorted like a sort-merge join, then merged in
+    * one streaming pass per partition. Same answers as [[backward]]
+    * (asserted in AsOfJoinNativeSpec; q26 vs DuckDB ASOF JOIN); requires
+    * the session to be built with GraftExtensions (GraftSession is).
+    *
+    * When to prefer which: [[backward]] ships both sides through ONE
+    * union exchange + window — fewer exchanges, and measurably faster
+    * when neither side has reusable layout (0.55s vs 0.93s at sf0.1).
+    * The native exec requires per-side (key, time) clustering+ordering —
+    * exactly what a bucketed-sorted table or a previous join/sort
+    * already provides, in which case EnsureRequirements elides that
+    * side's exchange AND sort entirely (impossible for the union plan,
+    * whose exchange mixes both sides) and the merge streams with O(1)
+    * state instead of window carry.
+    *
+    * Output columns: every left column, then `rightTime` + right payload
+    * (right key columns are dropped — they equal the left keys on every
+    * matched row). Right payload/time names must not collide with left
+    * names, like [[backward]].
+    */
+  def backwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String
+  ): DataFrame = {
+    import graft.plans.AsOfJoinPlan
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String, side: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof: no column '$name' on the $side side (have: ${plan.output.map(_.name).mkString(", ")})"))
+
+    val lKeys = keys.map(attr(lp, _, "left"))
+    val rKeys = keys.map(attr(rp, _, "right"))
+    val lTime = attr(lp, leftTime, "left")
+    val rTime = attr(rp, rightTime, "right")
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"asof: key '${a.name}' types differ: ${a.dataType} vs ${b.dataType}")
+    }
+    require(lTime.dataType == rTime.dataType,
+      s"asof: time types differ: ${lTime.dataType} vs ${rTime.dataType}")
+    val clash = (right.columns.toSet -- keys).intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asof: right columns collide with left columns: ${clash.mkString(", ")} — rename one side")
+
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(
+      left.sparkSession, AsOfJoinPlan(lp, rp, lKeys, rKeys, lTime, rTime))
+  }
 }

@@ -362,6 +362,22 @@ object GeneralQueries {
         .orderBy("event_type")
     }),
 
+    // The NATIVE as-of join (custom LogicalPlan → planner Strategy →
+    // streaming-merge SparkPlan, registered via SparkSessionExtensions):
+    // identical workload and oracle as q11, so the driver gate proves
+    // the custom physical operator matches DuckDB's ASOF LEFT JOIN
+    // end to end. Column order differs from q11 (left cols then right
+    // time+payload); the driver compares by sorted column name.
+    "q26_asof_native" -> ((s, d) => {
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      val l = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"))
+      AsOfJoin.backwardNative(l, r, Seq("user_id"), "evt_sec", "ord_sec")
+        .orderBy("event_id")
+    }),
+
     // Exact distributed quantiles (percentile_disc semantics): window
     // rank + conditional agg picks the exact q1/median/q3 elements —
     // integer arithmetic end to end, no interpolation floats. One
@@ -490,6 +506,19 @@ object GeneralQueries {
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q11_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.evt_sec, r.ord_sec, r.o_orderkey
+        |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec
+        |      FROM events) l
+        |ASOF LEFT JOIN (
+        |      SELECT o_custkey AS user_id, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |             max(o_orderkey) AS o_orderkey
+        |      FROM orders GROUP BY 1, 2) r
+        |  ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec
+        |ORDER BY event_id""".stripMargin,
+
+    // same oracle as q11 — the native operator must agree with DuckDB's
+    // built-in ASOF LEFT JOIN on the same inputs
+    "q26_asof_native" ->
       """SELECT l.event_id, l.user_id, l.evt_sec, r.ord_sec, r.o_orderkey
         |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec
         |      FROM events) l

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Minimal bridge into the `org.apache.spark.sql` package-private API:
+  * wraps a custom [[LogicalPlan]] into a DataFrame so library operators
+  * (graft.plans.AsOfJoinPlan) can enter the session's analyzer /
+  * optimizer / planner like any built-in node. This factory-in-subpackage
+  * shape is the standard pattern public Spark extensions use to build
+  * Datasets from custom plans; it is the ONLY place the library steps
+  * inside Spark's package namespace.
+  */
+object GraftSqlBridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
