@@ -102,6 +102,35 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
     } finally s.sql("DROP TABLE IF EXISTS asof_bkt_right")
   }
 
+  test("left-only filters push through the join to the scan; " +
+    "right-side filters stay above") {
+    val (l, r) = randomSides(11L)
+    val filtered = AsOfJoin.backwardNative(l, r, Seq("k"), "lt", "rt")
+      .filter(col("lpay") > 500 && col("rpay") > 500)
+
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the as-of node's left child must now contain the lpay predicate
+    val j = optimized.collect { case p: AsOfJoinPlan => p }.head
+    assert(j.left.toString.contains("lpay"),
+      s"left filter not pushed below the join:\n$optimized")
+    assert(!j.left.toString.contains("rpay"))
+    // and the rpay predicate must still be above the join
+    val above = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.map(_.name).toSeq.contains("rpay") => f
+    }
+    assert(above.nonEmpty, s"right filter must remain above the join:\n$optimized")
+
+    // pushdown must not change answers: compare against the composed path
+    val expected = AsOfJoin.backward(l, r, Seq("k"), "lt", "rt")
+      .filter(col("lpay") > 500 && col("rpay") > 500)
+      .select("k", "lt", "lpay", "rt", "rpay")
+      .collect().map(_.toSeq).sortBy(_.mkString(","))
+    val got = filtered.select("k", "lt", "lpay", "rt", "rpay")
+      .collect().map(_.toSeq).sortBy(_.mkString(","))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("multi-key join groups by the full key tuple") {
     val s = spark; import s.implicits._
     val l = Seq((1L, 1L, 10L, "a"), (1L, 2L, 10L, "b")).toDF("k1", "k2", "lt", "lpay")
