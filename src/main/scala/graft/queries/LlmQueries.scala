@@ -73,6 +73,22 @@ object LlmQueries {
         .orderBy("new_id", "old_id")
     }),
 
+    // Dedup clusters: connected components over the x02 candidate
+    // pairs — the step that turns near-dup pairs into keep/drop
+    // decisions (cluster_rep = the component's min doc_id = the kept
+    // document). Only documents with at least one candidate edge
+    // appear; cluster_size counts the component.
+    "x20_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(docs, "text", "doc_id"), "doc_a", "doc_b")
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // Exact unigram jaccard, probe subset → corpus, inverted-index
     // join (sparse; df-cap knob for web-scale vocabularies).
     "x03_token_jaccard" -> ((s, d) => {
@@ -377,6 +393,32 @@ object LlmQueries {
          |FROM scored
          |WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // transitive closure of the x02 candidate graph via a recursive
+    // CTE (fine at oracle scale); label = min reachable doc_id = the
+    // propagation fixpoint the Spark loop converges to
+    "x20_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |               any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |        FROM bands a JOIN bands b
+         |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT doc_a, doc_b FROM (
+         |           SELECT doc_a, doc_b,
+         |                  CAST(len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i])) AS BIGINT) AS n_match
+         |           FROM prs)
+         |         WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION
+         |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |        FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_rep,
+         |       CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "x19_incremental_dedup" ->
       s"""WITH $minhashBandsCtes,

@@ -85,6 +85,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq === Seq((0L, 1L, 4L, 1000000L), (0L, 2L, 2L, 333333L)))
   }
 
+  test("connected components: chains are transitive, cycles terminate, " +
+    "components stay disjoint") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round),
+    // triangle 10-11-12 (cycle), isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components of no pairs is empty") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").isEmpty)
+  }
+
   test("token jaccard df-cap prunes ubiquitous tokens") {
     val got = Dedup.tokenJaccardPairs(
       docs((0L, "a b"), (1L, "a c"), (2L, "a d")),
