@@ -190,6 +190,20 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup removal: keep every document that is either
+    * un-clustered or its cluster's representative (minimum id) —
+    * [[minhashCandidates]] → [[connectedComponents]] → anti-join. The
+    * anti-join ships only the (small) drop list, never the corpus.
+    */
+  def dropNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                         minEstE6: Long = 250000L): DataFrame = {
+    val labels = connectedComponents(
+      minhashCandidates(docs, textCol, idCol, minEstE6), "doc_a", "doc_b")
+    val drops = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Exact token-set jaccard from a probe subset to the whole corpus
     * via an inverted-index join: explode distinct tokens, equi-join on
     * the token, count co-occurrences, jaccard = |∩| / (|A|+|B|−|∩|).

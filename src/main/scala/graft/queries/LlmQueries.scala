@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity, TextFunctions => TF}
+import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions => TF}
 
 /** LLM-training-data pipeline queries (builder brief: dedup,
   * similarity search, text analysis, multimodal — first-class
@@ -71,6 +71,26 @@ object LlmQueries {
       Dedup.incrementalCandidates(docs.filter(col("doc_id") % 10 === 0), index,
           "text", "doc_id")
         .orderBy("new_id", "old_id")
+    }),
+
+    // The multimodal DECODE path made driver-visible: typed MediaRecord
+    // boundary → per-partition batched decode (mapPartitions seam) →
+    // features. The stub decode is a deterministic byte-level function,
+    // so DuckDB mirrors it exactly (corpus is ASCII: ascii(char) ==
+    // byte). x12 covers the metadata-only pruning path; this covers
+    // the decode stage itself.
+    "x21_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("byte_len"), col("checksum"),
+          element_at(col("byte_hist"), 3).as("h2"),
+          element_at(col("byte_hist"), 4).as("h3"),
+          element_at(col("byte_hist"), 7).as("h6"),
+          element_at(col("byte_hist"), 8).as("h7"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("mime"))
+        .orderBy("doc_id")
     }),
 
     // Dedup clusters: connected components over the x02 candidate
@@ -393,6 +413,25 @@ object LlmQueries {
          |FROM scored
          |WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ascii(char) == byte for this corpus (asserted ASCII); empty docs:
+    // list_sum([]) is NULL in DuckDB where the stub sums to 0 → coalesce
+    "x21_multimodal_decode" ->
+      s"""WITH codes AS (
+         |  SELECT doc_id, text,
+         |         list_transform(generate_series(1, length(text)),
+         |                        i -> ascii(substr(text, i, 1))) AS cs
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |       CAST(coalesce(list_sum(cs), 0) AS BIGINT) AS checksum,
+         |       CAST(len(list_filter(cs, c -> c // 16 = 2)) AS BIGINT) AS h2,
+         |       CAST(len(list_filter(cs, c -> c // 16 = 3)) AS BIGINT) AS h3,
+         |       CAST(len(list_filter(cs, c -> c // 16 = 6)) AS BIGINT) AS h6,
+         |       CAST(len(list_filter(cs, c -> c // 16 = 7)) AS BIGINT) AS h7,
+         |       CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames,
+         |       'application/octet-stream' AS mime
+         |FROM codes ORDER BY doc_id""".stripMargin,
 
     // transitive closure of the x02 candidate graph via a recursive
     // CTE (fine at oracle scale); label = min reachable doc_id = the

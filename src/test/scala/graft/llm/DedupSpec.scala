@@ -99,6 +99,18 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dropNearDuplicates keeps cluster representatives and loners") {
+    val s = spark; import s.implicits._
+    // 1 and 3 are identical (near-dup cluster, rep = 1); 7 is unrelated
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (7L, "one two three four five six"))
+    val kept = Dedup.dropNearDuplicates(corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 7L))
+  }
+
   test("connected components of no pairs is empty") {
     val s = spark; import s.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
