@@ -96,6 +96,40 @@ object StreamingQueries {
 
       s.table("st02_windows")
         .orderBy("num_protocol", "type_proto", "dst_ip", "window_start")
+    }),
+
+    // Streaming EXACT dedup: Spark's dropDuplicates state over the
+    // 60-bit content hash — the third stateful streaming primitive
+    // (st01 = flatMapGroupsWithState, st02 = window state). The rows
+    // are projected down to the hash BEFORE dedup, so the emitted SET
+    // is deterministic no matter which physical row wins a duplicate
+    // race inside a micro-batch. No watermark: state is the distinct
+    // set itself (bounded by content cardinality), exactly what an
+    // unbounded-retention dedup means.
+    "st03_streaming_dedup" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val hashes = Tables.documents(s, d)
+        .select(graft.llm.TextFunctions.hash60(col("text")).as("content_h"))
+        .as[Long].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = in.toDF().select(col("value").as("content_h"))
+        .dropDuplicates("content_h")
+        .writeStream.format("memory").queryName("st03_kept")
+        .outputMode("append").start()
+      try {
+        // two batches with an overlapping split: cross-batch dups must
+        // be suppressed by state, not just within-batch aggregation
+        val (a, b) = hashes.splitAt(hashes.length / 2)
+        in.addData(a)
+        q.processAllAvailable()
+        in.addData(b ++ a.take(10))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      s.table("st03_kept").orderBy("content_h")
     })
   )
 
@@ -146,6 +180,10 @@ object StreamingQueries {
          |       dst_ip
          |FROM histogram
          |GROUP BY num_protocol, type_proto, dst_ip, (timestamp // $WindowSec) * $WindowSec
-         |ORDER BY num_protocol, type_proto, dst_ip, window_start""".stripMargin
+         |ORDER BY num_protocol, type_proto, dst_ip, window_start""".stripMargin,
+
+    "st03_streaming_dedup" ->
+      s"""SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
+         |FROM documents ORDER BY content_h""".stripMargin
   )
 }
