@@ -130,6 +130,54 @@ object StreamingQueries {
       } finally q.stop()
 
       s.table("st03_kept").orderBy("content_h")
+    }),
+
+    // Streaming INCREMENTAL DEDUP — the continuously-ingesting
+    // training-data pipeline shape: new documents arrive in
+    // micro-batches and each batch is near-dup-checked against the
+    // PERSISTED corpus band index (cached static frame; the batch
+    // pays the signature pipeline, the corpus is never re-hashed).
+    // foreachBatch runs the batch operator per snapshot — new-vs-old
+    // pairs are independent per new doc, so batch boundaries cannot
+    // change the answer and the accumulated result matches x19's
+    // whole-batch oracle verbatim.
+    "st04_streaming_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.llm.Dedup
+
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val index = Dedup.bandIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id").cache()
+      val newDocs = docs.filter(col("doc_id") % 10 === 0)
+        .as[(Long, String)].collect().toSeq
+
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= Dedup.incrementalCandidates(batch, index, "text", "doc_id")
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          }
+          ()
+        }
+        .start()
+      try {
+        val (a, b) = newDocs.partition(_._1 % 20 == 0)
+        in.addData(a)
+        q.processAllAvailable()
+        in.addData(b)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        index.unpersist()
+      }
+
+      buf.toSeq.toDF("new_id", "old_id", "n_match", "est_jaccard_e6")
+        .orderBy("new_id", "old_id")
     })
   )
 
@@ -184,6 +232,11 @@ object StreamingQueries {
 
     "st03_streaming_dedup" ->
       s"""SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
-         |FROM documents ORDER BY content_h""".stripMargin
+         |FROM documents ORDER BY content_h""".stripMargin,
+
+    // x19's oracle verbatim: batching new docs cannot change
+    // new-vs-old pair results
+    "st04_streaming_incremental_dedup" ->
+      graft.queries.LlmQueries.oracles("x19_incremental_dedup")
   )
 }
