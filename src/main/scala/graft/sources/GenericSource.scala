@@ -48,13 +48,26 @@ object GenericSource {
     * and a big one still parallelizes (at 100 TB you tune this to
     * ~128 MB-1 GB per file; repartition(1) driver-funnels are the
     * anti-pattern this knob replaces).
+    *
+    * `partitionBy` lays the output out hive-style (`col=value/` dirs):
+    * the single most important 100 TB read optimization — a filter on
+    * a partition column prunes whole directories at planning time
+    * (PartitionFilters in the scan, proven in GenericSourceSpec), so a
+    * day/language/source-scoped query reads that slice and nothing
+    * else. Partition columns should be low-cardinality (day, lang,
+    * source); high-cardinality values shatter the layout into tiny
+    * files.
     */
   def write(df: DataFrame, format: Format, path: String,
             mode: SaveMode = SaveMode.Overwrite,
             targetPartitions: Option[Int] = None,
+            partitionBy: Seq[String] = Nil,
             options: Map[String, String] = Map.empty): Unit = {
     val sized = targetPartitions.fold(df)(n => df.coalesce(n))
-    val base = sized.write.mode(mode).options(options)
+    val parted =
+      if (partitionBy.isEmpty) sized.write
+      else sized.write.partitionBy(partitionBy: _*)
+    val base = parted.mode(mode).options(options)
     format match {
       case Parquet => base.parquet(path)
       case Orc => base.orc(path)

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import graft.SparkTestSession
 
@@ -34,6 +35,26 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
     val back = GenericSource.read(spark, GenericSource.Text, dir,
       StructType.fromDDL("value STRING"))
     assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("", "alpha beta", "gamma"))
+  }
+
+  test("hive-partitioned write prunes directories on a partition filter") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("src_hive").toString + "/data"
+    val rows = Seq((1L, "en", 5.0), (2L, "en", 6.0), (3L, "de", 7.0), (4L, "fr", 8.0))
+      .toDF("id", "lang", "score")
+    GenericSource.write(rows, GenericSource.Parquet, dir,
+      partitionBy = Seq("lang"), targetPartitions = Some(1))
+    // layout is lang=en/, lang=de/, lang=fr/
+    assert(new java.io.File(dir).listFiles().map(_.getName).count(_.startsWith("lang=")) === 3)
+
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // pruning happens at planning: the scan's PartitionFilters carry the
+    // predicate, and only the lang=en directory's files are read
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, "expected a planning-time partition filter")
+    assert(scan.selectedPartitions.partitionCount === 1, "expected exactly the lang=en directory")
   }
 
   test("targetPartitions caps the output file count") {
