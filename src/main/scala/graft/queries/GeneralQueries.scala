@@ -378,6 +378,23 @@ object GeneralQueries {
         .orderBy("event_id")
     }),
 
+    // Approximate quantiles (the other classic mergeable sketch next
+    // to q18's HLL): percentile_approx's quantile summary is computed
+    // per partition and merged map-side — one tiny shuffle and NO
+    // per-group sort, vs q22's exact windowed ranks; at scale the
+    // sketch is the only affordable option. No DuckDB oracle (sketch
+    // internals are engine-specific) → rows-only check, accuracy
+    // bound asserted in SketchSpec.
+    "q27_approx_quantiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 3).as("grp"), asInt(col("l_quantity"), 0).as("qty"))
+        .groupBy("grp")
+        .agg(
+          percentile_approx(col("qty"), lit(0.5), lit(1000)).as("approx_median"),
+          expr("CAST(percentile(qty, 0.5) AS BIGINT)").as("exact_median_floor"))
+        .orderBy("grp")
+    }),
+
     // Exact distributed quantiles (percentile_disc semantics): window
     // rank + conditional agg picks the exact q1/median/q3 elements —
     // integer arithmetic end to end, no interpolation floats. One

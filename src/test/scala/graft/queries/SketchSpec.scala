@@ -20,4 +20,19 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
         s"${r.getString(0)}: approx=$approx exact=$exact")
     }
   }
+
+  test("percentile_approx stays within the accuracy-bound rank error") {
+    // with accuracy=1000 the summary guarantees rank error <= n/1000;
+    // on these value ranges that keeps the approx median within 10%
+    // of the exact one
+    val rows = GeneralQueries.all("q27_approx_quantiles")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / math.max(exact, 1.0) <= 0.10,
+        s"grp=${r.getLong(0)}: approx=$approx exact=$exact")
+    }
+  }
 }
