@@ -378,6 +378,25 @@ object GeneralQueries {
         .orderBy("event_id")
     }),
 
+    // Gap-fill / resample: per key, materialize the FULL day series
+    // between its first and last event and fill silent days with 0 —
+    // the batch analogue of the detector's silent-window semantics
+    // (a time series consumer needs explicit zeros, not missing rows).
+    // sequence+explode generates keys x days rows (bounded by the span,
+    // not the data); the left join back to actuals is one shuffle on
+    // (key, day).
+    "q28_gap_fill" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("event_type"), floor(Tables.tsSec / 86400L).cast("long").as("day"))
+      val actual = days.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val full = actual.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      full.join(actual, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("n"))
+        .orderBy("event_type", "day")
+    }),
+
     // Approximate quantiles (the other classic mergeable sketch next
     // to q18's HLL): percentile_approx's quantile summary is computed
     // per partition and merged map-side — one tiny shuffle and NO
@@ -532,6 +551,19 @@ object GeneralQueries {
         |      FROM orders GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec
         |ORDER BY event_id""".stripMargin,
+
+    "q28_gap_fill" ->
+      """WITH actual AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |           FROM actual GROUP BY 1),
+        |alldays AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |            FROM bounds)
+        |SELECT f.event_type, f.day, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+        |FROM alldays f LEFT JOIN actual a USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
 
     // same oracle as q11 — the native operator must agree with DuckDB's
     // built-in ASOF LEFT JOIN on the same inputs
