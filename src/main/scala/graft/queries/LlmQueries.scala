@@ -93,6 +93,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling (brief: "decode / feature-extract / resize /
+    // frame-sample"): every 4th 64-byte frame of each payload, with a
+    // per-frame content hash — pure codegen'd column expressions
+    // (sequence + explode + substr + md5), no decode boundary needed
+    // for sampling. Output size is len/256 rows per doc, set by the
+    // stride knob.
+    "x22_frame_sample" -> ((s, d) => {
+      val nFrames = ceil(length(col("text")) / lit(64.0)).cast("int")
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), nFrames - 1, lit(4))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          TF.hash60(col("text").substr(col("frame_idx") * 64 + 1, lit(64))).as("frame_h"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Dedup clusters: connected components over the x02 candidate
     // pairs — the step that turns near-dup pairs into keep/drop
     // decisions (cluster_rep = the component's min doc_id = the kept
@@ -432,6 +449,14 @@ object LlmQueries {
          |       CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames,
          |       'application/octet-stream' AS mime
          |FROM codes ORDER BY doc_id""".stripMargin,
+
+    "x22_frame_sample" ->
+      s"""SELECT doc_id, frame_idx,
+         |       ${dH("substr(text, CAST(frame_idx*64 + 1 AS INTEGER), 64)")} AS frame_h
+         |FROM (SELECT doc_id, text,
+         |             unnest(generate_series(0, CAST(ceil(length(text)/64.0) AS BIGINT) - 1, 4)) AS frame_idx
+         |      FROM documents WHERE length(text) > 0)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // transitive closure of the x02 candidate graph via a recursive
     // CTE (fine at oracle scale); label = min reachable doc_id = the
