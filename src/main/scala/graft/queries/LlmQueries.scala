@@ -93,6 +93,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Text normalization — the canonical cleaning step ahead of dedup
+    // (lowercase, strip non-alphanumerics, collapse runs of spaces,
+    // trim): emitted as the normalized content hash + changed flag, so
+    // exact dedup can run on normalized content without materializing
+    // a second text column. All codegen'd string built-ins.
+    "x23_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          TF.hash60(col("norm")).as("norm_h"),
+          length(col("norm")).cast("long").as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling (brief: "decode / feature-extract / resize /
     // frame-sample"): every 4th 64-byte frame of each payload, with a
     // per-frame content hash — pure codegen'd column expressions
@@ -449,6 +465,12 @@ object LlmQueries {
          |       CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames,
          |       'application/octet-stream' AS mime
          |FROM codes ORDER BY doc_id""".stripMargin,
+
+    "x23_normalize" ->
+      s"""SELECT doc_id,
+         |       ${dH("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")} AS norm_h,
+         |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x22_frame_sample" ->
       s"""SELECT doc_id, frame_idx,

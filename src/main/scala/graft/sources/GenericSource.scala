@@ -76,4 +76,21 @@ object GenericSource {
       case Text => base.text(path)
     }
   }
+
+  /** Bucketed (and optionally sorted) parquet table write — the layout
+    * that makes repeated joins on `keys` exchange-free and, with
+    * `sortCols`, lets sort-dependent operators (sort-merge join, the
+    * native as-of join) skip their per-side sort too (proven on the
+    * plan in BucketingSpec / AsOfJoinNativeSpec). Catalog-table-based
+    * because bucket metadata lives in the metastore; readers use
+    * `spark.table(table)`.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String, buckets: Int,
+                    keys: Seq[String], sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one bucket key")
+    val w = df.write.mode(mode).bucketBy(buckets, keys.head, keys.tail: _*)
+    val sorted = if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    sorted.option("path", path).saveAsTable(table)
+  }
 }

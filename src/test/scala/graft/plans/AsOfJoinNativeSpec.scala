@@ -88,10 +88,10 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("asof_bkt")
     val l = Seq.tabulate(200)(i => (i.toLong % 10, i.toLong, i)).toDF("k", "lt", "lpay")
-    Seq.tabulate(100)(i => (i.toLong % 10, i.toLong * 2, i))
-      .toDF("k", "rt", "rpay")
-      .write.bucketBy(4, "k").sortBy("k", "rt")
-      .option("path", s"$dir/right").saveAsTable("asof_bkt_right")
+    graft.sources.GenericSource.writeBucketed(
+      Seq.tabulate(100)(i => (i.toLong % 10, i.toLong * 2, i)).toDF("k", "rt", "rpay"),
+      table = "asof_bkt_right", path = s"$dir/right", buckets = 4,
+      keys = Seq("k"), sortCols = Seq("k", "rt"))
     try {
       val native = AsOfJoin.backwardNative(l, s.table("asof_bkt_right"),
         Seq("k"), "lt", "rt")
