@@ -263,13 +263,44 @@ object Similarity {
       .select(col(idOut), col(vecOut), col(nrmOut), col("c.cid").as("cluster"))
   }
 
+  /** One Lloyd refinement round for the IVF coarse quantizer, in
+    * e6-SCALED INTEGER arithmetic: each corpus vector is assigned to
+    * its argmax-cosine centroid (the same per-row literal-expression
+    * assignment [[ivfTopK]] plans — no shuffle), then per-(cluster,
+    * dimension) the refined component is `floor(sum(floor(1e6·v)) /
+    * n)`. Integer sums are order-free, so unlike float means the
+    * result is bit-identical across engines and partitionings —
+    * which is what makes the refinement itself oracle-checkable (x24).
+    *
+    * Returns (cluster, pos [1-based], cent_e6, n_members). Iterating =
+    * feed the centroids back (÷1e6) and call again; each round is one
+    * scan + one hash-agg shuffle of n·dims small rows.
+    */
+  def refineCentroidsE6(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
+      .sortBy(_._1).toSeq
+    assignClusters(corpus, cents, nprobe = 1, "m_id", "m_vec", "m_nrm", idCol, vecCol)
+      .select(col("cluster"), posexplode(col("m_vec")).as(Seq("pos0", "comp")))
+      .select(col("cluster"), (col("pos0") + 1).cast("long").as("pos"),
+        floor(col("comp").cast("double") * lit(1000000.0)).cast("long").as("e6"))
+      .groupBy("cluster", "pos")
+      .agg(
+        floor(sum("e6").cast("double") / count(lit(1))).cast("long").as("cent_e6"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** IVF-style approximate top-k: a small set of coarse centroids
     * partitions the corpus (assignment = argmax cosine); each probe
     * searches its `nprobe` closest clusters' inverted lists (nprobe=1
     * is classic single-probe IVF; nprobe>1 is the multi-probe recall
-    * path — same plan, more candidate lists per probe). Centroids here
-    * are deterministic samples (random-init IVF without Lloyd
-    * refinement — refinement changes constants, not the plan shape).
+    * path — same plan, more candidate lists per probe). Centroids can
+    * be deterministic samples or the output of
+    * [[refineCentroidsE6]] Lloyd rounds (÷1e6) — refinement changes
+    * constants, not the plan shape.
     *
     * Scale: assignment is a per-row expression over broadcast-inlined
     * literal centroids (n·K cheap scores, NO shuffle and NO window —

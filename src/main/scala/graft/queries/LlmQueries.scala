@@ -319,6 +319,15 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // One Lloyd refinement round for the IVF quantizer in e6-integer
+    // arithmetic (order-free sums → cross-engine deterministic means;
+    // a float-mean refinement could never pass the hash gate).
+    "x24_ivf_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.refineCentroidsE6(emb, emb.filter(col("vec_id") < 8))
+        .orderBy("cluster", "pos")
+    }),
+
     // Multi-table LSH ANN (the recall path over x11): 3 offset plane
     // sets, candidates unioned across tables — one sign flip no longer
     // hides a neighbor unless all 3 tables disagree.
@@ -655,6 +664,30 @@ object LlmQueries {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, bucket, cos_e6 FROM pairs
          |WHERE cos_e6 >= 250000 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "x24_ivf_refine" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |corpus_sc AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |         ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM corpus_sc) WHERE c_rnk = 1),
+         |dims AS (
+         |  SELECT cluster,
+         |         unnest(list_transform(generate_series(1, len(embedding)),
+         |                i -> {'pos': i, 'e6': CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)})) AS u
+         |  FROM assigned)
+         |SELECT cluster, CAST(u.pos AS BIGINT) AS pos,
+         |       CAST(floor(CAST(sum(u.e6) AS DOUBLE) / count(*)) AS BIGINT) AS cent_e6,
+         |       CAST(count(*) AS BIGINT) AS n_members
+         |FROM dims GROUP BY cluster, u.pos ORDER BY cluster, pos""".stripMargin
+    },
 
     "x16_ivf_topk" -> {
       def cosSql(a: String, b: String) =

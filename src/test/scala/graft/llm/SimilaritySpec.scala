@@ -61,4 +61,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(1))
     assert(got.toSeq === Seq(2L)) // 3 is invisible: different bucket
   }
+
+  test("refineCentroidsE6: one Lloyd round yields exact integer means " +
+    "of each cluster's members") {
+    // centroids along the axes; members split cleanly by cosine
+    val cents = vecs((0L, pad(1f, 0f)), (1L, pad(0f, 1f)))
+    val corpus = vecs(
+      (10L, pad(2f, 0f)), (11L, pad(4f, 1f)),  // cluster 0
+      (12L, pad(0f, 3f)))                      // cluster 1
+    val got = Similarity.refineCentroidsE6(corpus, cents)
+      .orderBy("cluster", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cluster 0 dims: mean(2e6,4e6)=3e6; mean(0,1e6)=5e5; n=2
+    assert(got.filter(_._1 == 0L).take(2).toSeq ===
+      Seq((0L, 1L, 3000000L, 2L), (0L, 2L, 500000L, 2L)))
+    // cluster 1 dims: 0 and 3e6; n=1
+    assert(got.filter(_._1 == 1L).take(2).toSeq ===
+      Seq((1L, 1L, 0L, 1L), (1L, 2L, 3000000L, 1L)))
+    // every dim row carries the full member count; 8 dims per cluster
+    assert(got.count(_._1 == 0L) === 8 && got.count(_._1 == 1L) === 8)
+  }
 }
