@@ -49,6 +49,30 @@ object TextFunctions {
       sequence(lit(1), length(text) - (n - 1)),
       i => hash60(text.substr(i, lit(n))))
 
+  /** Character n-grams as strings (the features of the char-ngram
+    * language-ID heuristic). Empty array below n chars — Spark's
+    * sequence(1, len-2) turns DESCENDING for short strings, so the
+    * guard is load-bearing.
+    */
+  def charGrams(text: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n)))
+    when(length(text) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
+  /** Characteristic char-trigram profiles per language (toy-sized like
+    * [[LangProfiles]]; the operator shape — per-row gram filter counts
+    * + argmax — is what scales, not the profile quality). Alphabetic
+    * scripts only: CJK char-ngram LID uses unigrams, a different n.
+    */
+  val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "he ", " th"),
+    "de" -> Seq("der", "und", "sch", "ein", "ich"),
+    "es" -> Seq("que", "los", "ent", " el", "ado"),
+    "fr" -> Seq("les", " le", "des", "une", "eur")
+  )
+
   // ---- MinHash ----------------------------------------------------
 
   /** Signature width / LSH banding: k = bands × rowsPerBand. With

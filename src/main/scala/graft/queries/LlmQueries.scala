@@ -93,6 +93,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Char-ngram language ID (the brief's "n-gram heuristic" form;
+    // x06 is the word/stopword form): trigram array materialized once,
+    // per-language filter counts materialized once, then the same
+    // tie-ordered argmax chain as x06 over the materialized columns.
+    "x25_lang_id_ngram" -> ((s, d) => {
+      val grams = TF.charGrams(col("text"), 3)
+      val hitCols = TF.LangTrigramProfiles.map { case (lang, gs) =>
+        TF.hits(col("g3"), gs).as(s"tri_$lang")
+      }
+      val scoreRefs = TF.LangTrigramProfiles.map { case (lang, _) => lang -> col(s"tri_$lang") }
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"), grams.as("g3"))
+        .select(col("doc_id") +: col("lang") +: hitCols: _*)
+        .withColumn("pred_lang", TF.predictLangFromScores(scoreRefs))
+        .orderBy("doc_id")
+    }),
+
     // Text normalization — the canonical cleaning step ahead of dedup
     // (lowercase, strip non-alphanumerics, collapse runs of spaces,
     // trim): emitted as the normalized content hash + changed flag, so
@@ -425,6 +442,14 @@ object LlmQueries {
     }
   }
 
+  private val triCaseSql: String = {
+    val langs = TF.LangTrigramProfiles.map(_._1)
+    langs.init.zipWithIndex.foldRight(s"'${langs.last}'") { case ((lang, i), rest) =>
+      val later = langs.drop(i + 1)
+      s"CASE WHEN ${later.map(l => s"tri_$lang >= tri_$l").mkString(" AND ")} THEN '$lang' ELSE $rest END"
+    }
+  }
+
   /** DuckDB rendering of Similarity.signBucket(v, 8, off). */
   private def bucketSqlAt(v: String, off: Int): String =
     "(" + (0 until 8).map(j => s"(CASE WHEN $v[${off + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") + ")"
@@ -474,6 +499,21 @@ object LlmQueries {
          |       CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames,
          |       'application/octet-stream' AS mime
          |FROM codes ORDER BY doc_id""".stripMargin,
+
+    "x25_lang_id_ngram" -> {
+      val hitsSel = TF.LangTrigramProfiles
+        .map { case (lang, gs) => s"${stopHits("g3", gs)} AS tri_$lang" }
+        .mkString(",\n         |       ")
+      val hitNames = TF.LangTrigramProfiles.map(l => s"tri_${l._1}").mkString(", ")
+      s"""SELECT doc_id, lang, $hitNames, $triCaseSql AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |       $hitsSel
+         |      FROM (SELECT doc_id, lang,
+         |                   list_transform(generate_series(1, length(text) - 2),
+         |                                  i -> substr(text, i, 3)) AS g3
+         |            FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "x23_normalize" ->
       s"""SELECT doc_id,
