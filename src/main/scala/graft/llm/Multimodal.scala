@@ -84,4 +84,24 @@ object Multimodal {
       // per-partition init seam (codec handles, ONNX session, ...)
       it.map(decode)
     }
+
+  /** STUB resize — stands in for an image/audio downsample the
+    * container can't run. Deterministic: keeps every `factor`-th
+    * payload byte (a real deployment swaps in the codec's scaler).
+    * Shrinks the payload ~factor× while preserving the record shape,
+    * so downstream stages (decode, frame sampling, storage) run
+    * unchanged on the reduced representation.
+    */
+  def resizeStub(r: MediaRecord, factor: Int): MediaRecord = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val out = new Array[Byte]((r.media.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+    r.copy(media = out)
+  }
+
+  /** Partition-batched resize over the same seam as [[extractFeatures]]. */
+  def resize(ds: Dataset[MediaRecord], factor: Int,
+             scale: (MediaRecord, Int) => MediaRecord = resizeStub): Dataset[MediaRecord] =
+    ds.mapPartitions(_.map(scale(_, factor)))
 }

@@ -26,6 +26,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(frames(65) === 2)
   }
 
+  test("resizeStub keeps every k-th byte; resize runs through the seam") {
+    val r = MediaRecord(1L, Array[Byte](10, 20, 30, 40, 50, 60, 70), "m", "l", "s")
+    val half = Multimodal.resizeStub(r, 2)
+    assert(half.media.toSeq === Seq[Byte](10, 30, 50, 70))
+    assert(Multimodal.resizeStub(r, 1).media.toSeq === r.media.toSeq)
+    assert(Multimodal.resizeStub(r.copy(media = Array.empty), 3).media.isEmpty)
+
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "abcdefgh", "en", "a", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val small = Multimodal.resize(Multimodal.fromDocuments(docs), 4).collect().head
+    assert(new String(small.media, "UTF-8") === "ae")
+  }
+
   test("extractFeatures runs partition-batched over a documents frame") {
     val s = spark; import s.implicits._
     val docs = Seq(
