@@ -111,6 +111,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.toSeq === Seq(1L, 7L))
   }
 
+  test("star-contraction components == pointer-jumping components on " +
+    "adversarial and random graphs") {
+    val s = spark; import s.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // hand-built shapes: chain, star hub, triangle + loner pair
+    val shapes = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L)),
+      Seq((10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)))
+    // plus random graphs over 30 nodes
+    val rnd = new scala.util.Random(5L)
+    val randoms = Seq.fill(3)(
+      Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2))
+    for (pairs <- shapes ++ randoms) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val jump = labelsOf(Dedup.connectedComponents(df, "doc_a", "doc_b"))
+      val star = labelsOf(Dedup.connectedComponentsStar(df, "doc_a", "doc_b"))
+      assert(star === jump, s"disagreement on $pairs")
+    }
+  }
+
   test("connected components of no pairs is empty") {
     val s = spark; import s.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
