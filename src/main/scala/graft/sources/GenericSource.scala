@@ -91,6 +91,9 @@ object GenericSource {
     require(keys.nonEmpty, "bucketed write needs at least one bucket key")
     val w = df.write.mode(mode).bucketBy(buckets, keys.head, keys.tail: _*)
     val sorted = if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
-    sorted.option("path", path).saveAsTable(table)
+    // appends to an EXISTING table (DedupIndex.append) inherit its
+    // location — passing a path there would shadow the metastore's
+    val located = if (path == null) sorted else sorted.option("path", path)
+    located.saveAsTable(table)
   }
 }
