@@ -293,6 +293,73 @@ object Similarity {
         count(lit(1)).as("n_members"))
   }
 
+  /** Rebuild a centroid DataFrame (`idCol`, `vecCol` array<float>)
+    * from a [[refineCentroidsE6]] result — cluster becomes the id,
+    * components are `cent_e6 / 1e6` cast to float (the same IEEE
+    * rounding DuckDB's `CAST(cent_e6/1000000.0 AS FLOAT)` applies, so
+    * oracle parity survives iteration). The means are collected — the
+    * quantizer is tiny by definition, this is the centroid-literal
+    * discipline every IVF operator here already uses.
+    */
+  def centroidFrameFromE6(refined: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = refined.sparkSession
+    import spark.implicits._
+    refined.select(col("cluster"), col("pos"), col("cent_e6"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cl, comps) =>
+        (cl, comps.sortBy(_._2).map(c => (c._3 / 1000000.0).toFloat).toSeq)
+      }
+      .sortBy(_._1)
+      .toDF(idCol, vecCol)
+  }
+
+  /** Lloyd iteration driver for the IVF quantizer (VERDICT r4 ask #7):
+    * repeat [[refineCentroidsE6]], feeding each round's e6-integer
+    * means back as float centroids, until the largest per-component
+    * centroid movement is <= `epsE6` (in e6 units) or `maxRounds` is
+    * hit. Returns the LAST refinement in refineCentroidsE6's shape
+    * (cluster, pos, cent_e6, n_members), so the caller chains into
+    * [[centroidFrameFromE6]] → [[ivfTopK]].
+    *
+    * Determinism: every step is integer-e6 arithmetic + float casts
+    * identical across engines, so a fixed round count is oracle-able
+    * (x27 pins two rounds). A cluster that captures no vectors drops
+    * out of the next round on both engines. The per-round driver loop
+    * is over ROUNDS (centroids are literals, K·dim values) — each
+    * round is one distributed assignment+mean job over the corpus, the
+    * same Pregel-shaped economics as connectedComponents.
+    */
+  def lloydIterateE6(corpus: DataFrame, centroids: DataFrame,
+                     maxRounds: Int, epsE6: Long = 0L,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxRounds >= 1, "lloydIterateE6 needs at least one round")
+    var cents = centroids
+    var prevE6 = Map.empty[(Long, Long), Long]
+    var refined: DataFrame = null
+    var round = 0
+    var moved = Long.MaxValue
+    while (round < maxRounds && moved > epsE6) {
+      refined = refineCentroidsE6(corpus, cents, idCol, vecCol)
+      val rows = refined.select("cluster", "pos", "cent_e6").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      moved =
+        if (prevE6.isEmpty) Long.MaxValue
+        else {
+          val common = rows.keySet intersect prevE6.keySet
+          if (common.isEmpty) 0L
+          else common.map(k => math.abs(rows(k) - prevE6(k))).max
+        }
+      prevE6 = rows
+      cents = centroidFrameFromE6(refined, idCol, vecCol)
+      round += 1
+    }
+    refined
+  }
+
   /** IVF-style approximate top-k: a small set of coarse centroids
     * partitions the corpus (assignment = argmax cosine); each probe
     * searches its `nprobe` closest clusters' inverted lists (nprobe=1

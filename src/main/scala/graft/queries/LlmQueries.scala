@@ -268,6 +268,42 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup PAIRS (VERDICT r4 ask #6 — the consumer x09's
+    // fingerprint was missing): self-join on the blocking bucket (the
+    // simhash high byte), then hamming distance via
+    // bit_count(simhash_a XOR simhash_b) — every step codegen'd, and
+    // the only shuffle is the bucket equi-join (256 buckets of
+    // near-uniform size; never all-pairs). The x14 counterpart for the
+    // text-fingerprint side of the dedup story.
+    "x26_simhash_neardup" -> ((s, d) => {
+      val sims = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          transform(TF.tokens(col("text")), t => TF.hash60(t)).as("th"))
+        .select(col("doc_id"), TF.simhashFromHashes(col("th")).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 8))
+      val a = sims.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a"), col("bucket"))
+      val b = sims.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b"), col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+        .filter(col("hamming") <= 1)
+        .select("doc_a", "doc_b", "bucket", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Lloyd convergence driver (VERDICT r4 ask #7): two refinement
+    // rounds of the IVF quantizer, each feeding its e6-integer means
+    // back as float centroids — deterministic by x24's construction,
+    // so even the ITERATED means hash-match the unrolled DuckDB
+    // mirror. Output = the final round in x24's shape.
+    "x27_ivf_lloyd" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lloydIterateE6(emb, emb.filter(col("vec_id") < 8), maxRounds = 2)
+        .orderBy("cluster", "pos")
+    }),
+
     // Brute-force cosine top-k (similarity-search baseline): probes
     // broadcast, corpus scanned once, per-probe window top-k.
     "x10_cosine_topk" -> ((s, d) => {
@@ -650,6 +686,51 @@ object LlmQueries {
          |                   list_transform(string_split(text, ' '), t -> ${dH("t")}) AS hs
          |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    "x26_simhash_neardup" ->
+      s"""WITH s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
+         |           FROM (SELECT doc_id,
+         |                        list_transform(string_split(text, ' '), t -> ${dH("t")}) AS hs
+         |                 FROM documents)),
+         |b AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM s)
+         |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b, a.bucket,
+         |       CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+         |WHERE bit_count(xor(a.simhash, bb.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x27_ivf_lloyd" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      // one Lloyd round as CTEs: assignment against `cents` + e6 dims
+      def roundCtes(cents: String, n: Int) =
+        s"""sc$n AS (
+           |  SELECT e.vec_id, e.embedding, c.cent_id,
+           |         ${cosSql("e.embedding", "c.c_vec")} AS c_score
+           |  FROM embeddings e, $cents c),
+           |asg$n AS (
+           |  SELECT vec_id, embedding, cent_id AS cluster FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+           |    FROM sc$n) WHERE c_rnk = 1),
+           |dims$n AS (
+           |  SELECT cluster,
+           |         unnest(list_transform(generate_series(1, len(embedding)),
+           |                i -> {'pos': i, 'e6': CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)})) AS u
+           |  FROM asg$n),
+           |r$n AS (
+           |  SELECT cluster, CAST(u.pos AS BIGINT) AS pos,
+           |         CAST(floor(CAST(sum(u.e6) AS DOUBLE) / count(*)) AS BIGINT) AS cent_e6,
+           |         CAST(count(*) AS BIGINT) AS n_members
+           |  FROM dims$n GROUP BY cluster, u.pos)""".stripMargin
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |${roundCtes("cents", 1)},
+         |cents2 AS (SELECT cluster AS cent_id,
+         |                  list(CAST(cent_e6 / 1000000.0 AS FLOAT) ORDER BY pos) AS c_vec
+         |           FROM r1 GROUP BY cluster),
+         |${roundCtes("cents2", 2)}
+         |SELECT cluster, pos, cent_e6, n_members FROM r2 ORDER BY cluster, pos""".stripMargin
+    },
 
     "x10_cosine_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS p_vec FROM embeddings WHERE vec_id < 10),

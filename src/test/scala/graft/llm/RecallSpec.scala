@@ -43,6 +43,21 @@ class RecallSpec extends AnyFunSuite with SparkTestSession {
     assert(p2 >= p1, s"nprobe=2 recall $p2 < nprobe=1 recall $p1")
   }
 
+  test("Lloyd-refined centroids keep IVF recall >= sampled centroids") {
+    val sampled = emb.filter(col("vec_id") < 8)
+    val exact = pairs(Similarity.bruteTopK(emb, probes, K))
+    val rSampled = recall(pairs(Similarity.ivfTopK(emb, probes, sampled, K)), exact)
+    // two Lloyd rounds (x27's setting): refinement tightens clusters
+    // around the data, so the probe's own cluster captures more of its
+    // true neighbors — on this (deterministic) corpus the recall must
+    // not drop
+    val refined = Similarity.centroidFrameFromE6(
+      Similarity.lloydIterateE6(emb, sampled, maxRounds = 2))
+    val rRefined = recall(pairs(Similarity.ivfTopK(emb, probes, refined, K)), exact)
+    assert(rRefined >= rSampled,
+      s"refined-centroid recall $rRefined < sampled-centroid recall $rSampled")
+  }
+
   test("multi-table candidate pairs are a superset of table-0 pairs") {
     // the mechanism behind the recall guarantee: table 0 of the
     // multi-table code IS the single-table bucket, so every
