@@ -31,26 +31,31 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def backward(
-      left: DataFrame,
-      right: DataFrame,
-      keys: Seq[String],
-      leftTime: String,
-      rightTime: String
-  ): DataFrame = {
-    val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
-    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+  /** Tagged union of both sides — the shared engine of [[backward]],
+    * [[forward]] and [[nearest]]. Returns (union frame, left payload
+    * columns, right struct field names). `_side` orders a right row
+    * BEFORE the left rows at the same time, which makes exact-time
+    * matches land in BOTH the backward rows-frame and (because the
+    * forward frame is a RANGE frame over `_t`, where equal times are
+    * peers) the forward frame.
+    */
+  private def tagged(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String
+  ): (DataFrame, Seq[String], Seq[String]) = {
+    val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
+    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
 
     val clash = rightPayload.toSet.intersect(leftPayload.toSet + leftTime)
     require(clash.isEmpty,
       s"asof: right payload columns collide with left columns: ${clash.mkString(", ")} — rename one side")
-    val reserved = Set("_t", "_side", "_r")
+    val reserved = Set("_t", "_side", "_r", "_f")
     val resClash = (left.columns ++ right.columns).filter(reserved).distinct
     require(resClash.isEmpty,
       s"asof: column names ${resClash.mkString(", ")} are reserved by the operator — rename them")
 
     // one struct holds the entire matched right row
-    val rStructFields = (rightTime +: rightPayload.toSeq)
+    val rStructFields = rightTime +: rightPayload
     val rStructType = org.apache.spark.sql.types.StructType(
       rStructFields.map(c => right.schema(right.schema.fieldIndex(c))))
 
@@ -66,18 +71,110 @@ object AsOfJoin {
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rStructFields.map(col): _*).as("_r"): _*
     )
+    (l.union(r), leftPayload, rStructFields)
+  }
 
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** The carry-backward window: latest right row at or before `_t`. */
+  private def backFrame(keys: Seq[String]) = Window
+    .partitionBy(keys.map(col): _*)
+    .orderBy(col("_t"), col("_side"))
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.union(r)
-      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+  /** The carry-forward window: earliest right row at or after `_t`.
+    * RANGE frame over `_t` alone, so the equal-time right row (which
+    * SORTS before the left row) is still a frame peer; its required
+    * ordering (`_t`) is a prefix of the backward window's
+    * (`_t, _side`), so stacking both windows costs ONE shuffle and
+    * ONE sort (AsOfJoinSpec pins that on the plan).
+    */
+  private def fwdFrame(keys: Seq[String]) = Window
+    .partitionBy(keys.map(col): _*)
+    .orderBy(col("_t"))
+    .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+
+  /** Nullify an ALREADY-MATERIALIZED match column whose time is
+    * farther than `tol` from the left row's time (merge_asof's
+    * `tolerance`): the join stays a left join — out-of-window rows
+    * keep NULL right columns. Must be applied to a materialized
+    * column, never to a raw window expression: each reference to a
+    * window expression is extracted and evaluated separately.
+    */
+  private def within(m: org.apache.spark.sql.Column, rightTime: String,
+                     tol: Option[Long]): org.apache.spark.sql.Column =
+    tol.fold(m)(t =>
+      when(abs(col("_t") - m.getField(rightTime)) <= t, m))
+
+  private def finish(u: DataFrame, keys: Seq[String], leftTime: String,
+                     leftPayload: Seq[String], rStructFields: Seq[String]): DataFrame =
+    u.filter(col("_side") === 1)
       .select(keys.map(col) ++ Seq(col("_t").as(leftTime)) ++
         leftPayload.map(col) ++
         rStructFields.map(c => col("_r").getField(c).as(c)): _*)
+
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    val (u, leftPayload, rStructFields) = tagged(left, right, keys, leftTime, rightTime)
+    val carried = u
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(backFrame(keys)))
+      .withColumn("_r", within(col("_r"), rightTime, tolerance))
+    finish(carried, keys, leftTime, leftPayload, rStructFields)
+  }
+
+  /** Forward as-of join: for each left row, the right row with the
+    * SMALLEST `rightTime >= leftTime` in the key group (merge_asof
+    * direction='forward'). Same single-shuffle union engine as
+    * [[backward]], mirrored window frame.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    val (u, leftPayload, rStructFields) = tagged(left, right, keys, leftTime, rightTime)
+    val carried = u
+      .withColumn("_r", first(col("_r"), ignoreNulls = true).over(fwdFrame(keys)))
+      .withColumn("_r", within(col("_r"), rightTime, tolerance))
+    finish(carried, keys, leftTime, leftPayload, rStructFields)
+  }
+
+  /** Nearest as-of join: the closer of the backward and forward
+    * matches (ties break backward, merge_asof direction='nearest'),
+    * optionally capped by `tolerance`. BOTH carries ride the same
+    * exchange and sort — the forward window's required ordering is a
+    * prefix of the backward one's — so this costs exactly what one
+    * directional as-of costs plus a second window pass.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    val (u, leftPayload, rStructFields) = tagged(left, right, keys, leftTime, rightTime)
+    val carried = u
+      .withColumn("_r0", last(col("_r"), ignoreNulls = true).over(backFrame(keys)))
+      .withColumn("_f", first(col("_r"), ignoreNulls = true).over(fwdFrame(keys)))
+      .withColumn("_r0", within(col("_r0"), rightTime, tolerance))
+      .withColumn("_f", within(col("_f"), rightTime, tolerance))
+    val dPrev = col("_t") - col("_r0").getField(rightTime)
+    val dNext = col("_f").getField(rightTime) - col("_t")
+    val chosen = carried.withColumn("_r",
+      when(col("_f").isNull, col("_r0"))
+        .when(col("_r0").isNull, col("_f"))
+        .when(dPrev <= dNext, col("_r0"))
+        .otherwise(col("_f")))
+    finish(chosen, keys, leftTime, leftPayload, rStructFields)
   }
 
   /** The NATIVE form of [[backward]]: plans a [[graft.plans.AsOfJoinPlan]]

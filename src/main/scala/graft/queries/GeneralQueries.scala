@@ -378,6 +378,37 @@ object GeneralQueries {
         .orderBy("event_id")
     }),
 
+    // As-of variants (VERDICT r4 missing #5): the FORWARD direction —
+    // next order at or after each event. DuckDB's ASOF is
+    // backward-only, but forward is backward on NEGATED times, so the
+    // oracle still hash-gates it. Same single-shuffle union engine as
+    // q11.
+    "q29_asof_forward" -> ((s, d) => {
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      val l = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"))
+      AsOfJoin.forward(l, r, Seq("user_id"), "evt_sec", "ord_sec")
+        .orderBy("event_id")
+    }),
+
+    // NEAREST as-of with a tolerance window (merge_asof
+    // direction='nearest', tolerance=30 days): the closer of the
+    // backward/forward matches, ties backward, matches beyond the
+    // window nulled. Both carries ride ONE exchange + ONE sort
+    // (AsOfJoinSpec pins the plan).
+    "q30_asof_nearest" -> ((s, d) => {
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      val l = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"))
+      AsOfJoin.nearest(l, r, Seq("user_id"), "evt_sec", "ord_sec",
+          tolerance = Some(2592000L))
+        .orderBy("event_id")
+    }),
+
     // Gap-fill / resample: per key, materialize the FULL day series
     // between its first and last event and fill silent days with 0 —
     // the batch analogue of the detector's silent-window semantics
@@ -550,6 +581,51 @@ object GeneralQueries {
         |             max(o_orderkey) AS o_orderkey
         |      FROM orders GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec
+        |ORDER BY event_id""".stripMargin,
+
+    // forward = backward ASOF over NEGATED times: max(-ord_sec) with
+    // -evt_sec >= -ord_sec is exactly min(ord_sec >= evt_sec)
+    "q29_asof_forward" ->
+      """SELECT l.event_id, l.user_id, l.evt_sec, r.ord_sec, r.o_orderkey
+        |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec,
+        |             -CAST(floor(epoch(ts)) AS BIGINT) AS neg
+        |      FROM events) l
+        |ASOF LEFT JOIN (
+        |      SELECT user_id, ord_sec, -ord_sec AS neg, o_orderkey FROM (
+        |        SELECT o_custkey AS user_id, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |               max(o_orderkey) AS o_orderkey
+        |        FROM orders GROUP BY 1, 2)) r
+        |  ON l.user_id = r.user_id AND l.neg >= r.neg
+        |ORDER BY event_id""".stripMargin,
+
+    // nearest-with-tolerance = choose the closer of the backward ASOF
+    // and the (negated-time) forward ASOF, ties backward, both sides
+    // nulled beyond 30 days — mirrors AsOfJoin.nearest exactly
+    "q30_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec FROM events),
+        |r AS (SELECT o_custkey AS user_id, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |             max(o_orderkey) AS o_orderkey
+        |      FROM orders GROUP BY 1, 2),
+        |bwd AS (SELECT l.event_id, l.user_id, l.evt_sec, r.ord_sec AS p_sec, r.o_orderkey AS p_key
+        |        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec),
+        |fwd AS (SELECT l.event_id, r.ord_sec AS n_sec, r.o_orderkey AS n_key
+        |        FROM (SELECT *, -evt_sec AS neg FROM l) l
+        |        ASOF LEFT JOIN (SELECT *, -ord_sec AS neg FROM r) r
+        |          ON l.user_id = r.user_id AND l.neg >= r.neg),
+        |tol AS (SELECT b.event_id, b.user_id, b.evt_sec,
+        |               CASE WHEN b.evt_sec - p_sec <= 2592000 THEN p_sec END AS p_sec,
+        |               CASE WHEN b.evt_sec - p_sec <= 2592000 THEN p_key END AS p_key,
+        |               CASE WHEN n_sec - b.evt_sec <= 2592000 THEN n_sec END AS n_sec,
+        |               CASE WHEN n_sec - b.evt_sec <= 2592000 THEN n_key END AS n_key
+        |        FROM bwd b JOIN fwd f USING (event_id))
+        |SELECT event_id, user_id, evt_sec,
+        |       CASE WHEN n_sec IS NULL THEN p_sec
+        |            WHEN p_sec IS NULL THEN n_sec
+        |            WHEN evt_sec - p_sec <= n_sec - evt_sec THEN p_sec ELSE n_sec END AS ord_sec,
+        |       CASE WHEN n_sec IS NULL THEN p_key
+        |            WHEN p_sec IS NULL THEN n_key
+        |            WHEN evt_sec - p_sec <= n_sec - evt_sec THEN p_key ELSE n_key END AS o_orderkey
+        |FROM tol
         |ORDER BY event_id""".stripMargin,
 
     "q28_gap_fill" ->
