@@ -383,6 +383,25 @@ object GeneralQueries {
     // backward-only, but forward is backward on NEGATED times, so the
     // oracle still hash-gates it. Same single-shuffle union engine as
     // q11.
+    // Stratified deterministic sampling — per-stratum rates over one
+    // scan with a seeded hash instead of rand() (reproducible across
+    // retries/executors, and DuckDB can mirror it exactly, which no
+    // rand()-based sample allows). Embarrassingly parallel: the keep
+    // decision is a per-row codegen'd expression, no shuffle before
+    // the presentation sort; at 100 TB this is the only sampling shape
+    // that needs neither a count pass nor driver state.
+    "q31_stratified_sample" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "fr", 25L)
+        .otherwise(10L)
+      Tables.documents(s, d)
+        .withColumn("rate_pct", rate)
+        .filter(graft.llm.TextFunctions.hash60(
+          concat_ws(":", col("lang"), col("doc_id").cast("string"))) % 100 < col("rate_pct"))
+        .select("doc_id", "lang", "source", "n_chars", "rate_pct")
+        .orderBy("doc_id")
+    }),
+
     "q29_asof_forward" -> ((s, d) => {
       val r = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
@@ -582,6 +601,15 @@ object GeneralQueries {
         |      FROM orders GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec
         |ORDER BY event_id""".stripMargin,
+
+    "q31_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       CAST(CASE WHEN lang = 'en' THEN 50
+        |                 WHEN lang = 'fr' THEN 25 ELSE 10 END AS BIGINT) AS rate_pct
+        |FROM documents
+        |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
 
     // forward = backward ASOF over NEGATED times: max(-ord_sec) with
     // -evt_sec >= -ord_sec is exactly min(ord_sec >= evt_sec)

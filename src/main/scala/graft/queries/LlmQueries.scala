@@ -408,6 +408,139 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Test-set CONTAMINATION check — the training-data op that keeps
+    // benchmark answers out of the corpus: every corpus document is
+    // scored against every "benchmark" document (here doc_id % 97 = 0)
+    // by distinct word-trigram overlap. Scale shape: the pair producer
+    // is an equi-join on the shingle hash (inverted index), never
+    // all-pairs, and the benchmark side is broadcast — it is small BY
+    // DEFINITION (benchmarks are thousands of docs, the corpus is
+    // billions), so the corpus never shuffles at all.
+    "x28_contamination" -> ((s, d) => {
+      val toks = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      // trigram-hash array materialized once per doc (HOFs are
+      // interpreted; inlining would re-hash per consumer — the x08 rule)
+      val grams = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), TF.wordShingles(col("t"), 3).as("sh"))
+        .select(col("doc_id"),
+          array_distinct(transform(col("sh"), x => TF.hash60(x))).as("ghs"))
+      val exploded = grams.select(col("doc_id"), explode(col("ghs")).as("h"))
+      val bench = exploded.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val corpus = exploded.filter(col("doc_id") % 97 =!= 0)
+      val benchTotals = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"),
+          size(col("ghs")).cast("long").as("bench_grams"))
+      corpus.join(broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .join(broadcast(benchTotals), "bench_id")
+        .withColumn("contamination_e6",
+          floor(lit(1000000.0) * col("n_overlap") / col("bench_grams")).cast("long"))
+        .select("doc_id", "bench_id", "n_overlap", "bench_grams", "contamination_e6")
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // Repetition / boilerplate metrics (Gopher-style quality rules):
+    // duplicate-token fraction and the most-frequent-bigram share per
+    // document. The bigram counter is a two-level hash agg keyed by
+    // (doc, bigram) — map-side combine keeps the shuffle ∝ distinct
+    // bigrams, and the per-doc reduction is a second tiny agg; no
+    // windows, no per-doc driver loops.
+    "x29_repetition" -> ((s, d) => {
+      val base = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct_tokens"),
+          TF.wordShingles(col("t"), 2).as("bg"))
+      val perDoc = base
+        .select(col("doc_id"), explode(col("bg")).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          max("cnt").as("top_bigram_cnt"))
+      base.select("doc_id", "n_tokens", "n_distinct_tokens")
+        .join(perDoc, "doc_id")
+        .withColumn("top_bigram_share_e6",
+          floor(lit(1000000.0) * col("top_bigram_cnt") / col("n_bigrams")).cast("long"))
+        .withColumn("dup_token_frac_e6",
+          floor(lit(1000000.0) * (col("n_tokens") - col("n_distinct_tokens"))
+            / col("n_tokens")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // PII / pattern redaction — the scrubbing pass a training pipeline
+    // runs before anything else: per-pattern match counts plus the
+    // redacted content hash (so exact dedup can run on scrubbed text
+    // without materializing it twice). Every step is a codegen'd
+    // regexp built-in over the row — embarrassingly parallel, no
+    // shuffle at all before the final presentation sort. Patterns are
+    // written with [.]-style classes so the same source string means
+    // the same regex in Java and RE2.
+    "x30_pii_redact" -> ((s, d) => {
+      val NumRun = "[0-9]+"
+      val Email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val redacted = regexp_replace(col("props"), NumRun, "<NUM>")
+      Tables.events(s, d).select(
+          col("event_id"),
+          regexp_count(col("props"), lit(NumRun)).cast("long").as("n_num_runs"),
+          regexp_count(col("props"), lit(Email)).cast("long").as("n_emails"),
+          TF.hash60(redacted).as("redacted_h"),
+          length(redacted).cast("long").as("redacted_len"))
+        .orderBy("event_id")
+    }),
+
+    // Overlapping token-window CHUNKING — the step that turns documents
+    // into training sequences (context 32 tokens, stride 24 → 8-token
+    // overlap). One generator (explode of the stride sequence) per doc,
+    // then pure per-row slicing; output is ∝ corpus tokens / stride,
+    // never buffered per doc.
+    "x31_chunk" -> ((s, d) => {
+      val C = 32
+      val S = 24
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(S))).as("start"))
+        .select(col("doc_id"), col("start"),
+          slice(col("t"), col("start") + 1, lit(C)).as("ct"))
+        .select(col("doc_id"),
+          col("start").cast("long").as("chunk_start"),
+          size(col("ct")).cast("long").as("n_chunk_tokens"),
+          TF.hash60(array_join(col("ct"), " ")).as("chunk_h"))
+        .orderBy("doc_id", "chunk_start")
+    }),
+
+    // TF-IDF top terms per document, in integer-exact arithmetic
+    // (score = tf·N/(len·df), ×1e6, integer division — both engines
+    // truncate identically on non-negative longs, where a float idf
+    // could differ in the last ulp and break the hash gate). Shape:
+    // one explode → (doc,term) hash agg, two derived aggs (doc length,
+    // document frequency), a broadcast scalar N, and a per-doc top-k
+    // window over ≤|vocab| rows per doc.
+    "x32_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val dlen = tf.groupBy("doc_id").agg(sum("cnt").as("doc_len"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_e6").desc, col("token"))
+      tf.join(dlen, "doc_id").join(dfreq, "token").crossJoin(broadcast(n))
+        .withColumn("score_e6",
+          expr("(cnt * 1000000 * n_docs) DIV (doc_len * df)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "token", "cnt", "df", "score_e6", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -908,6 +1041,87 @@ object LlmQueries {
         |       list_max(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS max_tok_len
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "x28_contamination" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(sh, x -> ${dH("x")})) AS ghs
+         |  FROM (SELECT doc_id,
+         |               list_transform(generate_series(1, len(t)-2),
+         |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |        WHERE len(t) >= 3)),
+         |e AS (SELECT doc_id, unnest(ghs) AS h FROM g),
+         |bench AS (SELECT doc_id AS bench_id, h FROM e WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, h FROM e WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_overlap
+         |       FROM corpus c JOIN bench b USING (h) GROUP BY 1, 2),
+         |bt AS (SELECT doc_id AS bench_id, CAST(len(ghs) AS BIGINT) AS bench_grams
+         |       FROM g WHERE doc_id % 97 = 0)
+         |SELECT doc_id, bench_id, CAST(n_overlap AS BIGINT) AS n_overlap, bench_grams,
+         |       CAST(floor(1000000.0 * n_overlap / bench_grams) AS BIGINT) AS contamination_e6
+         |FROM ov JOIN bt USING (bench_id)
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "x29_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*) AS cnt
+        |       FROM (SELECT doc_id,
+        |                    unnest(list_transform(generate_series(1, len(t)-1),
+        |                                          i -> t[i] || ' ' || t[i+1])) AS bigram
+        |             FROM base)
+        |       GROUP BY 1, 2),
+        |pd AS (SELECT doc_id,
+        |              CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |              CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |              CAST(max(cnt) AS BIGINT) AS top_bigram_cnt
+        |       FROM bc GROUP BY 1),
+        |tok AS (SELECT doc_id,
+        |               CAST(len(t) AS BIGINT) AS n_tokens,
+        |               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens
+        |        FROM base)
+        |SELECT doc_id, n_tokens, n_distinct_tokens,
+        |       n_bigrams, n_distinct_bigrams, top_bigram_cnt,
+        |       CAST(floor(1000000.0 * top_bigram_cnt / n_bigrams) AS BIGINT) AS top_bigram_share_e6,
+        |       CAST(floor(1000000.0 * (n_tokens - n_distinct_tokens) / n_tokens) AS BIGINT) AS dup_token_frac_e6
+        |FROM tok JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x30_pii_redact" ->
+      s"""SELECT event_id,
+         |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_num_runs,
+         |       CAST(len(regexp_extract_all(props, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
+         |       ${dH("regexp_replace(props, '[0-9]+', '<NUM>', 'g')")} AS redacted_h,
+         |       CAST(length(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "x31_chunk" ->
+      s"""SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+         |       CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+         |       ${dH("array_to_string(ct, ' ')")} AS chunk_h
+         |FROM (SELECT doc_id, start, list_slice(t, start + 1, start + 32) AS ct
+         |      FROM (SELECT doc_id, t,
+         |                   unnest(generate_series(0, len(t) - 1, 24)) AS start
+         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
+         |ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "x32_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS cnt
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, token, cnt, df,
+        |                  (cnt * 1000000 * n_docs) // (doc_len * df) AS score_e6
+        |           FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token), n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY doc_id ORDER BY score_e6 DESC, token) AS rnk
+        |           FROM scored)
+        |SELECT doc_id, token, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df,
+        |       CAST(score_e6 AS BIGINT) AS score_e6, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "x12_multimodal_meta" ->
       s"""SELECT doc_id,

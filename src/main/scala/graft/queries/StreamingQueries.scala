@@ -29,6 +29,26 @@ object StreamingQueries {
 
   private val P = SpikeParams()
 
+  /** Run `f` with `spark.sql.shuffle.partitions` = n, restoring the
+    * session value after. Stateful streaming operators create one
+    * state-store instance PER shuffle partition PER micro-batch — at
+    * the oracle queries' state sizes (hundreds/thousands of keys),
+    * 32 partitions × 3 batches is pure per-instance overhead (store
+    * load/commit/snapshot), not parallelism. 8 partitions cut st01
+    * 22 s → single digits with byte-identical results (the partition
+    * count never affects WHAT a stateful operator emits, only where
+    * each key's state lives). A production deployment sizes this to
+    * keys/partition, exactly like batch shuffle sizing.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
+  private val StreamPartitions = 8
+
   /** Tumbling window width for st01 (1 day — the events table spans
     * weeks, so every key sees a sequence of windows).
     */
@@ -47,18 +67,20 @@ object StreamingQueries {
       val sentinel = HistRow(t + 10 * WindowSec, 0L, -1, 0L, -1, -1L)
 
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[HistRow]
-      val q = StreamingDetect.detect(in.toDF(), WindowSec, watermarkDelaySec = 0L,
-          params = P)
-        .writeStream.format("memory").queryName("st01_alerts")
-        .outputMode("append").start()
-      try {
-        in.addData(rows) // batch 1: ingest everything, watermark 0
-        q.processAllAvailable()
-        in.addData(sentinel) // batch 2: watermark=tmax, closes all but last windows
-        q.processAllAvailable()
-        in.addData(sentinel) // batch 3: watermark=tmax+10W, closes the last windows
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, StreamPartitions) {
+        val q = StreamingDetect.detect(in.toDF(), WindowSec, watermarkDelaySec = 0L,
+            params = P)
+          .writeStream.format("memory").queryName("st01_alerts")
+          .outputMode("append").start()
+        try {
+          in.addData(rows) // batch 1: ingest everything, watermark 0
+          q.processAllAvailable()
+          in.addData(sentinel) // batch 2: watermark=tmax, closes all but last windows
+          q.processAllAvailable()
+          in.addData(sentinel) // batch 3: watermark=tmax+10W, closes the last windows
+          q.processAllAvailable()
+        } finally q.stop()
+      }
 
       s.table("st01_alerts")
         .orderBy("num_protocol", "type_proto", "dst_ip", "window_start")
@@ -81,18 +103,20 @@ object StreamingQueries {
       val sentinel = HistRow(t + 10 * WindowSec, 0L, -1, 0L, -1, -1L)
 
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[HistRow]
-      val q = StreamingSpike.windowedAggregate(in.toDF(), WindowSec,
-          watermarkDelaySec = 0L)
-        .writeStream.format("memory").queryName("st02_windows")
-        .outputMode("append").start()
-      try {
-        in.addData(rows)
-        q.processAllAvailable()
-        in.addData(sentinel)
-        q.processAllAvailable()
-        in.addData(sentinel)
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, StreamPartitions) {
+        val q = StreamingSpike.windowedAggregate(in.toDF(), WindowSec,
+            watermarkDelaySec = 0L)
+          .writeStream.format("memory").queryName("st02_windows")
+          .outputMode("append").start()
+        try {
+          in.addData(rows)
+          q.processAllAvailable()
+          in.addData(sentinel)
+          q.processAllAvailable()
+          in.addData(sentinel)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
 
       s.table("st02_windows")
         .orderBy("num_protocol", "type_proto", "dst_ip", "window_start")
@@ -115,19 +139,21 @@ object StreamingQueries {
         .as[Long].collect().toSeq
 
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
-      val q = in.toDF().select(col("value").as("content_h"))
-        .dropDuplicates("content_h")
-        .writeStream.format("memory").queryName("st03_kept")
-        .outputMode("append").start()
-      try {
-        // two batches with an overlapping split: cross-batch dups must
-        // be suppressed by state, not just within-batch aggregation
-        val (a, b) = hashes.splitAt(hashes.length / 2)
-        in.addData(a)
-        q.processAllAvailable()
-        in.addData(b ++ a.take(10))
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().select(col("value").as("content_h"))
+          .dropDuplicates("content_h")
+          .writeStream.format("memory").queryName("st03_kept")
+          .outputMode("append").start()
+        try {
+          // two batches with an overlapping split: cross-batch dups must
+          // be suppressed by state, not just within-batch aggregation
+          val (a, b) = hashes.splitAt(hashes.length / 2)
+          in.addData(a)
+          q.processAllAvailable()
+          in.addData(b ++ a.take(10))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
 
       s.table("st03_kept").orderBy("content_h")
     }),
@@ -154,26 +180,31 @@ object StreamingQueries {
 
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          buf.synchronized {
-            buf ++= Dedup.incrementalCandidates(batch, index, "text", "doc_id")
-              .collect()
-              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // stateless stream (foreachBatch), but the batch joins INSIDE the
+      // sink run with the session's shuffle partitions — size them to
+      // the micro-batch, not the 32-way batch default
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized {
+              buf ++= Dedup.incrementalCandidates(batch, index, "text", "doc_id")
+                .collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            }
+            ()
           }
-          ()
+          .start()
+        try {
+          val (a, b) = newDocs.partition(_._1 % 20 == 0)
+          in.addData(a)
+          q.processAllAvailable()
+          in.addData(b)
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          index.unpersist()
         }
-        .start()
-      try {
-        val (a, b) = newDocs.partition(_._1 % 20 == 0)
-        in.addData(a)
-        q.processAllAvailable()
-        in.addData(b)
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        index.unpersist()
       }
 
       buf.toSeq.toDF("new_id", "old_id", "n_match", "est_jaccard_e6")
