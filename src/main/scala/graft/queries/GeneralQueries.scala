@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, ZOrder}
 
 /** General operator-inventory queries (SURVEY.md §2.2): aggregations,
   * joins (broadcast/semi/anti/range/as-of), windows, rollup/cube/
@@ -402,6 +402,22 @@ object GeneralQueries {
         .orderBy("doc_id")
     }),
 
+    // Z-order (Morton) key over two dimensions — the layout-optimizer
+    // primitive (operators/ZOrder.zkey): pure codegen'd bit
+    // interleaving, no shuffle before the presentation sort. The
+    // layout WRITE and its multi-dim file-skipping payoff are proven
+    // in ZOrderSpec; this query hash-gates the key arithmetic itself
+    // (both engines compute the identical interleave from the shared
+    // constants, like the simhash/minhash oracles).
+    "q32_zorder_key" -> ((s, d) => {
+      val zx = col("user_id")
+      val zy = floor(col("value") * 100).cast("long") % 1024
+      Tables.events(s, d)
+        .select(col("event_id"), zx.as("zx"), zy.as("zy"),
+          ZOrder.zkey(Seq(zx, zy), bits = 10).as("zkey"))
+        .orderBy("event_id")
+    }),
+
     "q29_asof_forward" -> ((s, d) => {
       val r = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
@@ -610,6 +626,12 @@ object GeneralQueries {
         |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
         |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q32_zorder_key" ->
+      s"""SELECT event_id, user_id AS zx,
+         |       (CAST(floor(value * 100) AS BIGINT) % 1024) AS zy,
+         |       ${ZOrder.zkeySql(Seq("user_id", "(CAST(floor(value * 100) AS BIGINT) % 1024)"), bits = 10)} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin,
 
     // forward = backward ASOF over NEGATED times: max(-ord_sec) with
     // -evt_sec >= -ord_sec is exactly min(ord_sec >= evt_sec)

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariants of the round-6 training-pipeline queries (x28–x32, q31)
+  * that the DuckDB hash gate can't express: plan shapes (the oracle
+  * compares values, not exchanges) and algebraic properties that must
+  * hold for ANY corpus, not just the fixture the hashes pin.
+  */
+class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
+
+  private val D = "/root/testdata/sf0.001"
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, D)
+
+  private def executedPlan(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("x28: benchmark side broadcast — the corpus never shuffles to meet it") {
+    val plan = executedPlan(q("x28_contamination"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"contamination join must broadcast the (small) benchmark side:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both the overlap join and the totals join should be broadcasts:\n$plan")
+  }
+
+  test("x28: overlap never exceeds the benchmark doc's gram count") {
+    val bad = q("x28_contamination")
+      .filter(col("n_overlap") > col("bench_grams") ||
+        col("contamination_e6") > 1000000L || col("n_overlap") < 1)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("x29: bigram accounting ties out per document") {
+    // n_bigrams = n_tokens - 1 (every ≥2-token doc), the top bigram is
+    // one of them, and both fractions stay inside [0, 1e6]
+    val bad = q("x29_repetition")
+      .filter(col("n_bigrams") =!= col("n_tokens") - 1 ||
+        col("top_bigram_cnt") > col("n_bigrams") ||
+        col("n_distinct_bigrams") > col("n_bigrams") ||
+        col("top_bigram_share_e6") > 1000000L ||
+        col("dup_token_frac_e6") > 1000000L || col("dup_token_frac_e6") < 0L)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("x30: every props payload has a numeric run; redaction shortens or keeps length") {
+    val r = q("x30_pii_redact")
+      .agg(min("n_num_runs").as("mn"), max("n_emails").as("me")).head()
+    assert(r.getLong(0) >= 1L, "synthetic props always embed an integer")
+    assert(r.getLong(1) === 0L, "corpus has no emails; the pattern must not misfire")
+  }
+
+  test("x31: chunks tile each document with stride 24 and cover every token") {
+    val chunks = q("x31_chunk")
+    val docs = spark.read.parquet(s"$D/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val agg = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_start") + col("n_chunk_tokens")).as("covered_end"),
+      max(col("chunk_start") % 24).as("stride_rem"),
+      max("n_chunk_tokens").as("max_len"))
+    val joined = agg.join(docs, "doc_id")
+    assert(joined.filter(col("stride_rem") =!= 0L).count() === 0,
+      "every chunk starts on a stride boundary")
+    assert(joined.filter(col("max_len") > 32L).count() === 0,
+      "no chunk exceeds the context width")
+    assert(joined.filter(col("covered_end") =!= col("n_tokens")).count() === 0,
+      "the last chunk must reach the document's final token")
+    assert(joined.filter(
+      col("n_chunks") =!= floor((col("n_tokens") - 1) / 24) + 1).count() === 0,
+      "chunk count = floor((n-1)/stride)+1")
+  }
+
+  test("x32: per-doc top-k is bounded and score-ordered") {
+    val t = q("x32_tfidf")
+    assert(t.groupBy("doc_id").count().filter(col("count") > 3).count() === 0)
+    // rnk order must agree with score order within each doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    val bad = t.withColumn("prev", lag("score_e6", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score_e6"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("q31: sampling is per-stratum and hits the configured rate band") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sampled = graft.SparkEntry.queries("q31_stratified_sample")(
+      spark, "/root/testdata/sf0.01")
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val kept = sampled.groupBy("lang").agg(count(lit(1)).as("k"))
+    val fr = totals.join(kept, "lang")
+      .select(col("lang"), (col("k") / col("n")).as("frac"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // deterministic given the fixture; band is wide enough to be
+    // corpus-agnostic at n≈1000 per stratum
+    assert(fr("en") > 0.35 && fr("en") < 0.65, s"en frac=${fr("en")}")
+    assert(fr("fr") > 0.12 && fr("fr") < 0.40, s"fr frac=${fr("fr")}")
+    val others = fr.view.filterKeys(k => k != "en" && k != "fr")
+    assert(others.values.forall(v => v > 0.02 && v < 0.25), others.toMap.toString)
+  }
+}
