@@ -480,6 +480,29 @@ object GeneralQueries {
         .orderBy("grp")
     }),
 
+    // Count-min-sketch heavy hitters — the third mergeable sketch next
+    // to q18's HLL and q27's quantile summary: one agg pass builds the
+    // CMS (per-partition sketches merge by counter addition, so the
+    // estimate is order-independent and deterministic for a fixed
+    // seed), then the top-5 exact counts ride next to their sketch
+    // estimates. The exact side exists only as the comparison column;
+    // at 100 TB the sketch pass is the affordable one. NO DuckDB
+    // oracle (sketch internals are engine-specific) → rows-only check,
+    // accuracy bound asserted in SketchSpec.
+    "q33_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.llm.TextFunctions.tokens(col("text"))).as("token"))
+      val cms = toks.stat.countMinSketch("token",
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(5)
+        .collect().toSeq
+      import s.implicits._
+      top.zipWithIndex.map { case (r, i) =>
+        (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)), (i + 1).toLong)
+      }.toDF("token", "exact_cnt", "cms_est", "rnk")
+    }),
+
     // Exact distributed quantiles (percentile_disc semantics): window
     // rank + conditional agg picks the exact q1/median/q3 elements —
     // integer arithmetic end to end, no interpolation floats. One

@@ -420,11 +420,18 @@ object LlmQueries {
       val toks = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
       // trigram-hash array materialized once per doc (HOFs are
-      // interpreted; inlining would re-hash per consumer — the x08 rule)
+      // interpreted; inlining would re-hash per consumer — the x08
+      // rule), and the whole gram frame materialized ONCE via eager
+      // localCheckpoint: three consumers (both join sides + the
+      // benchmark totals) would otherwise each re-run the hash
+      // pipeline — 6 scans / 3 hash passes, PlanAudit-pinned down to
+      // one. Checkpoint, not cache: leak-free (the CacheHygieneSpec
+      // rule).
       val grams = toks.filter(size(col("t")) >= 3)
         .select(col("doc_id"), TF.wordShingles(col("t"), 3).as("sh"))
         .select(col("doc_id"),
           array_distinct(transform(col("sh"), x => TF.hash60(x))).as("ghs"))
+        .localCheckpoint(true)
       val exploded = grams.select(col("doc_id"), explode(col("ghs")).as("h"))
       val bench = exploded.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("h"))
@@ -444,27 +451,29 @@ object LlmQueries {
 
     // Repetition / boilerplate metrics (Gopher-style quality rules):
     // duplicate-token fraction and the most-frequent-bigram share per
-    // document. The bigram counter is a two-level hash agg keyed by
-    // (doc, bigram) — map-side combine keeps the shuffle ∝ distinct
-    // bigrams, and the per-doc reduction is a second tiny agg; no
-    // windows, no per-doc driver loops.
+    // document. ONE corpus scan: tokens and bigrams explode together
+    // as tagged grams, a (doc, kind, gram) hash agg counts both
+    // vocabularies (map-side combine keeps the shuffle ∝ distinct
+    // grams), and a per-doc conditional agg folds the five summaries —
+    // no self-join, no window, no second scan (the naive two-branch
+    // form paid 4 scans / 8 exchanges; PlanAudit pinned this at 2/4).
     "x29_repetition" -> ((s, d) => {
-      val base = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val tagged = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
-        .select(col("doc_id"),
-          size(col("t")).cast("long").as("n_tokens"),
-          size(array_distinct(col("t"))).cast("long").as("n_distinct_tokens"),
-          TF.wordShingles(col("t"), 2).as("bg"))
-      val perDoc = base
-        .select(col("doc_id"), explode(col("bg")).as("bigram"))
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), explode(concat(
+          transform(col("t"), x => struct(lit("t").as("kind"), x.as("g"))),
+          transform(TF.wordShingles(col("t"), 2),
+            x => struct(lit("b").as("kind"), x.as("g"))))).as("kg"))
+        .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.g").as("g"))
+      tagged
+        .groupBy("doc_id", "kind", "g").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id").agg(
-          sum("cnt").as("n_bigrams"),
-          count(lit(1)).as("n_distinct_bigrams"),
-          max("cnt").as("top_bigram_cnt"))
-      base.select("doc_id", "n_tokens", "n_distinct_tokens")
-        .join(perDoc, "doc_id")
+          sum(when(col("kind") === "t", col("cnt"))).as("n_tokens"),
+          count(when(col("kind") === "t", lit(1))).as("n_distinct_tokens"),
+          sum(when(col("kind") === "b", col("cnt"))).as("n_bigrams"),
+          count(when(col("kind") === "b", lit(1))).as("n_distinct_bigrams"),
+          max(when(col("kind") === "b", col("cnt"))).as("top_bigram_cnt"))
         .withColumn("top_bigram_share_e6",
           floor(lit(1000000.0) * col("top_bigram_cnt") / col("n_bigrams")).cast("long"))
         .withColumn("dup_token_frac_e6",
@@ -524,9 +533,15 @@ object LlmQueries {
     // window over ≤|vocab| rows per doc.
     "x32_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // tf is consumed three times (itself + both derived aggs):
+      // materialize the explode+agg ONCE (eager localCheckpoint, the
+      // leak-free Dedup pattern) — unmaterialized, the plan re-scanned
+      // and re-aggregated the corpus per consumer (8 scans /
+      // 22 exchanges, PlanAudit-pinned down to one scan)
       val tf = docs
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val dlen = tf.groupBy("doc_id").agg(sum("cnt").as("doc_len"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))

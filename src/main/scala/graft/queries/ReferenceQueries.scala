@@ -122,6 +122,39 @@ object ReferenceQueries {
         .join(broadcast(watch), Seq("user_id"), "left_semi")
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
+    }),
+
+    // Longest-prefix-match classification (operators/LpmJoin) — the
+    // generalization of the reference's exact-IP/net watch list to
+    // CIDR tables: each dst_ip gets its most specific containing
+    // prefix. The prefix table is derived from traffic itself (top-2
+    // /24s, top /16, top /8 by row count, rank-tiebroken on the net)
+    // so both engines build the identical table; the LPM machinery —
+    // per-masklen candidate explosion, broadcast (net, len) equi-join,
+    // longest-wins struct max — is what's under test.
+    "r10_lpm_match" -> ((s, d) => {
+      import graft.operators.LpmJoin
+      val (h, _) = hist(s, d)
+      // all three prefix levels from ONE scan: explode each row into
+      // its 3 masked nets, count by (len, net), rank WITHIN each len
+      // (the per-level union form re-derived the histogram 3x —
+      // PlanAudit pinned 8 scans down to 4)
+      val levels = Seq(8, 16, 24)
+      val counts = h.select(explode(array(levels.map(l =>
+          struct(lit(l).as("len"), LpmJoin.netOf(col("dst_ip"), l).as("net"))): _*)).as("c"))
+        .groupBy(col("c.len").as("len"), col("c.net").as("net"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("len").orderBy(col("n").desc, col("net"))
+      val prefixes = counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= when(col("len") === 24, 2).otherwise(1))
+        .select(col("net"), col("len"),
+          when(col("len") === 24, "hot24")
+            .when(col("len") === 16, "hot16")
+            .otherwise("hot8").as("label"))
+      LpmJoin.lpm(h.select("dst_ip"), prefixes, "dst_ip")
+        .orderBy("dst_ip")
     })
   )
 
@@ -286,7 +319,33 @@ object ReferenceQueries {
     "r07_watchlist_semijoin" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // the prefix table is rank-derived from the same histogram; the
+    // LPM itself is the shift-mask containment + longest-wins rank
+    "r10_lpm_match" ->
+      s"""$H,
+         |b24 AS (SELECT ((dst_ip >> 8) << 8) AS net, count(*) AS n FROM histogram GROUP BY 1),
+         |h24 AS (SELECT net, 24 AS len, 'hot24' AS label
+         |        FROM (SELECT *, row_number() OVER (ORDER BY n DESC, net) AS rk FROM b24)
+         |        WHERE rk <= 2),
+         |b16 AS (SELECT ((dst_ip >> 16) << 16) AS net, count(*) AS n FROM histogram GROUP BY 1),
+         |h16 AS (SELECT net, 16 AS len, 'hot16' AS label
+         |        FROM (SELECT *, row_number() OVER (ORDER BY n DESC, net) AS rk FROM b16)
+         |        WHERE rk <= 1),
+         |b8 AS (SELECT ((dst_ip >> 24) << 24) AS net, count(*) AS n FROM histogram GROUP BY 1),
+         |h8 AS (SELECT net, 8 AS len, 'hot8' AS label
+         |       FROM (SELECT *, row_number() OVER (ORDER BY n DESC, net) AS rk FROM b8)
+         |       WHERE rk <= 1),
+         |pfx AS (SELECT * FROM h24 UNION ALL SELECT * FROM h16 UNION ALL SELECT * FROM h8),
+         |ips AS (SELECT DISTINCT dst_ip FROM histogram),
+         |cand AS (SELECT i.dst_ip, p.len, p.net, p.label
+         |         FROM ips i JOIN pfx p
+         |           ON p.net = ((i.dst_ip >> (32 - p.len)) << (32 - p.len)))
+         |SELECT dst_ip, len, net, label
+         |FROM (SELECT *, row_number() OVER (PARTITION BY dst_ip ORDER BY len DESC) AS rk
+         |      FROM cand)
+         |WHERE rk = 1 ORDER BY dst_ip""".stripMargin
   )
 
   /** r08 is a different physical plan for r05's semantics — it must

@@ -21,6 +21,21 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("count-min estimates are one-sided and within the eps bound") {
+    val d = "/root/testdata/sf0.001"
+    val rows = GeneralQueries.all("q33_heavy_hitters")(spark, d).collect()
+    assert(rows.length === 5)
+    val total = LlmQueries.all("x04_token_stats")(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
+    rows.foreach { r =>
+      val exact = r.getLong(1)
+      val est = r.getLong(2)
+      assert(est >= exact, s"CMS never undercounts: ${r.getString(0)}")
+      assert(est <= exact + (0.001 * total).ceil.toLong,
+        s"${r.getString(0)}: est=$est exact=$exact total=$total")
+    }
+  }
+
   test("percentile_approx stays within the accuracy-bound rank error") {
     // with accuracy=1000 the summary guarantees rank error <= n/1000;
     // on these value ranges that keeps the approx median within 10%
