@@ -418,6 +418,45 @@ object GeneralQueries {
         .orderBy("event_id")
     }),
 
+    // MERGE INTO semantics (operators/SnapshotMerge): fold inserts,
+    // updates, and delete tombstones into a base snapshot, latest
+    // version wins per key — dataset versioning for a continuously
+    // -ingesting pipeline, in one key-shuffle window pass. The change
+    // sets are carved deterministically out of `orders` so both
+    // engines fold the identical batch.
+    "q34_snapshot_merge" -> ((s, d) => {
+      import graft.operators.SnapshotMerge
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        asInt(col("o_totalprice"), 2).as("price_c"))
+      val base = o.filter(col("o_orderkey") % 3 =!= 0).withColumn("ver", lit(0L))
+      val inserts = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("ver", lit(1L)).withColumn("op", lit("u"))
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("price_c", col("price_c") + 100000L)
+        .withColumn("ver", lit(2L)).withColumn("op", lit("u"))
+      val deletes = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("ver", lit(3L)).withColumn("op", lit("d"))
+      SnapshotMerge(base, inserts.unionByName(updates).unionByName(deletes),
+          Seq("o_orderkey"), "ver", "op")
+        .orderBy("o_orderkey")
+    }),
+
+    // Skew-safe salted join (operators/SaltedJoin, the join companion
+    // of q25's SaltedAgg): left rows salted across 4 sub-keys, right
+    // side replicated 4x, result identical to the plain join — the
+    // oracle IS the plain join, so the equivalence is hash-gated, and
+    // SaltedJoinSpec asserts it frame-to-frame.
+    "q35_salted_join" -> ((s, d) => {
+      import graft.operators.SaltedJoin
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        asInt(col("l_extendedprice"), 2).as("price_c"))
+      val r = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      SaltedJoin.inner(l, r, Seq("o_orderkey"), salts = 4)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_items"), sum("price_c").as("sum_price_c"))
+        .orderBy("o_custkey")
+    }),
+
     "q29_asof_forward" -> ((s, d) => {
       val r = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
@@ -655,6 +694,29 @@ object GeneralQueries {
          |       (CAST(floor(value * 100) AS BIGINT) % 1024) AS zy,
          |       ${ZOrder.zkeySql(Seq("user_id", "(CAST(floor(value * 100) AS BIGINT) % 1024)"), bits = 10)} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "q34_snapshot_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |           FROM orders),
+        |allr AS (
+        |  SELECT o_orderkey, o_custkey, price_c, 0 AS ver, 'u' AS op FROM o WHERE o_orderkey % 3 <> 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, price_c, 1, 'u' FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, price_c + 100000, 2, 'u' FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, price_c, 3, 'd' FROM o WHERE o_orderkey % 10 = 0),
+        |latest AS (SELECT *, row_number() OVER (
+        |             PARTITION BY o_orderkey ORDER BY ver DESC, op DESC) AS rn
+        |           FROM allr)
+        |SELECT o_orderkey, o_custkey, price_c, CAST(ver AS BIGINT) AS ver
+        |FROM latest WHERE rn = 1 AND op = 'u' ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle is the UNSALTED join: hash equality IS the
+    // salting-changes-nothing proof
+    "q35_salted_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // forward = backward ASOF over NEGATED times: max(-ord_sec) with
     // -evt_sec >= -ord_sec is exactly min(ord_sec >= evt_sec)
