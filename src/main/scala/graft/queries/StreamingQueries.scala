@@ -209,6 +209,107 @@ object StreamingQueries {
 
       buf.toSeq.toDF("new_id", "old_id", "n_match", "est_jaccard_e6")
         .orderBy("new_id", "old_id")
+    }),
+
+    // TTL'd streaming dedup — dropDuplicatesWithinWatermark, the
+    // fourth stateful primitive (st03 is the unbounded-retention
+    // form): a key's state entry EXPIRES once the watermark passes
+    // its event time by the delay, so re-occurrences beyond the TTL
+    // are kept, not dropped — which is what alert-style dedup means
+    // (the reference's AlertDedup TTL semantics, on the streaming
+    // engine's own state eviction instead of a custom timer).
+    // Protocol: batch 1 = one row per key at a per-key fixed time;
+    // sentinel advances the watermark far past every entry's TTL;
+    // batch 2 re-sends the SAME keys 10 days later — all kept again
+    // (expired state), plus in-batch duplicates of key 0 — dropped.
+    // Output = both generations; deterministic because each (key,
+    // generation) carries exactly one distinct timestamp.
+    "st05_streaming_dedup_ttl" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val t0 = RefHistogram.tmax(s, d)
+      val keys = Tables.events(s, d)
+        .select((col("event_id") % 100).as("k")).distinct()
+        .as[Long].collect().sorted.toSeq
+      def gen(offsetSec: Long): Seq[(Long, Long)] =
+        keys.map(k => (k, t0 + k + offsetSec))
+      val sentinel = (-1L, t0 + 5L * 86400L)
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("k", "sec")
+          .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+          .withWatermark("ts", "2 days")
+          .dropDuplicatesWithinWatermark("k")
+          .select(col("k"), unix_timestamp(col("ts")).as("sec"))
+          .writeStream.format("memory").queryName("st05_kept")
+          .outputMode("append").start()
+        try {
+          in.addData(gen(0L) ++ gen(0L).take(10)) // batch 1 + in-batch dups (dropped)
+          q.processAllAvailable()
+          in.addData(sentinel) // watermark -> t0+5d: every entry expires (ttl 2d)
+          q.processAllAvailable()
+          in.addData(gen(10L * 86400L)) // same keys, next generation: kept
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st05_kept").filter(col("k") >= 0).orderBy("k", "sec")
+    }),
+
+    // Stream-stream inner join with event-time bounds — the remaining
+    // streaming join primitive (st01–st05 are per-key state): the odd
+    // half of the event stream joins the even half on user_id within
+    // a (0, 1h] window. Both sides are watermarked and the join
+    // condition carries the time bound, so the state store retains
+    // only the watermark horizon — the unbounded-state join a naive
+    // implementation would build is exactly what this primitive
+    // avoids at scale. Inner-join results emit as soon as both sides
+    // arrive; batching cannot change the match set.
+    "st06_stream_stream_join" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("sec"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val (evens, odds) = ev.partition(_._1 % 2 == 0)
+
+      val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        // the delay exceeds the feed's event-time span so no batch-2
+        // row is ever "late" (the engine drops late stream-stream
+        // inputs): state holds the full horizon here, which IS the
+        // knob — production sizes the delay to its real out-of-order
+        // bound and the state store holds only that window
+        val l = inL.toDF().toDF("l_event", "user_id", "l_sec")
+          .withColumn("l_ts", timestamp_seconds(col("l_sec")))
+          .withWatermark("l_ts", "400 days")
+        val r = inR.toDF().toDF("r_event", "r_user", "r_sec")
+          .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+          .withWatermark("r_ts", "400 days")
+        val q = l.join(r,
+            col("user_id") === col("r_user") &&
+              col("r_ts") > col("l_ts") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+          .select("l_event", "r_event", "user_id", "l_sec", "r_sec")
+          .writeStream.format("memory").queryName("st06_matches")
+          .outputMode("append").start()
+        try {
+          // two batches per side with a cross-batch split: matches
+          // whose halves arrive in different batches must still pair
+          val (l1, l2) = evens.partition(_._1 % 4 == 0)
+          val (r1, r2) = odds.partition(_._1 % 4 == 1)
+          inL.addData(l1); inR.addData(r1)
+          q.processAllAvailable()
+          inL.addData(l2); inR.addData(r2)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st06_matches").orderBy("l_event", "r_event")
     })
   )
 
@@ -268,6 +369,33 @@ object StreamingQueries {
     // x19's oracle verbatim: batching new docs cannot change
     // new-vs-old pair results
     "st04_streaming_incremental_dedup" ->
-      graft.queries.LlmQueries.oracles("x19_incremental_dedup")
+      graft.queries.LlmQueries.oracles("x19_incremental_dedup"),
+
+    // both generations survive: gen-1 rows are first occurrences,
+    // gen-2 rows re-send every key AFTER its state entry expired
+    // (watermark advanced past event time + 2-day TTL); the in-batch
+    // duplicates of gen 1 are identical rows, so the kept set is
+    // exactly keys x 2 generations
+    "st05_streaming_dedup_ttl" ->
+      """WITH tmax AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS t FROM events),
+        |ks AS (SELECT DISTINCT event_id % 100 AS k FROM events)
+        |SELECT k, (SELECT t FROM tmax) + k AS sec FROM ks
+        |UNION ALL
+        |SELECT k, (SELECT t FROM tmax) + k + 864000 AS sec FROM ks
+        |ORDER BY k, sec""".stripMargin,
+
+    // the stream-stream join's match set is the plain batch join:
+    // batching cannot change it (nothing is late under the delay)
+    "st06_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events)
+        |SELECT a.event_id AS l_event, b.event_id AS r_event,
+        |       a.user_id, a.sec AS l_sec, b.sec AS r_sec
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+        | AND b.sec > a.sec AND b.sec <= a.sec + 3600
+        |ORDER BY l_event, r_event""".stripMargin
   )
 }
