@@ -168,9 +168,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    val edges0 = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair producer ONCE: the symmetrizing union has
+    // two branches, and an unmaterialized `pairs` (typically the whole
+    // minhash candidate pipeline) would run end to end twice
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val edges0 = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     // Right-size the iteration width from the MEASURED edge count (the
@@ -194,7 +198,7 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var round = 0
-    var lastSum = labels.agg(labelSum).head.get(0)
+    var lastSum = labels.agg(labelSum).head().get(0)
     while (!converged && round < maxIter) {
       // ONE join per round: the label table doubles as a second edge
       // list (node -> label), so gathering "my neighbors' labels" and
@@ -223,7 +227,7 @@ object Dedup {
       val next = labels.union(gathered)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(false)
-      val nextSum = next.agg(labelSum).head.get(0)
+      val nextSum = next.agg(labelSum).head().get(0)
       converged = nextSum == lastSum
       lastSum = nextSum
       labels = next
@@ -260,7 +264,8 @@ object Dedup {
     def withMin(e: DataFrame): DataFrame =
       e.withColumn("m", least(min("v").over(w), col("u")))
 
-    var edges = sym(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    var edges = sym(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .localCheckpoint(true)) // materialize once: sym()'s union has two branches
       .localCheckpoint(true)
     var converged = edges.isEmpty
     var round = 0

@@ -51,7 +51,7 @@ object DedupIndex {
              idCol: String, table: String): Unit = {
     val meta = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
     val buckets = meta.filter(col("col_name") === "Num Buckets")
-      .head.getString(1).trim.toInt
+      .head().getString(1).trim.toInt
     GenericSource.writeBucketed(
       Dedup.bandIndex(docs, textCol, idCol), table, path = null,
       buckets, keys = Seq("band", "bkey"), mode = SaveMode.Append)

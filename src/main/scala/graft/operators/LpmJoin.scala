@@ -38,7 +38,7 @@ object LpmJoin {
   def lpm(ips: DataFrame, prefixes: DataFrame, ipCol: String,
           netCol: String = "net", lenCol: String = "len"): DataFrame = {
     val lens = prefixes.select(lenCol).distinct()
-      .collect().map(_.get(0).asInstanceOf[Number].intValue()).sorted
+      .collect().map(_.get(0).asInstanceOf[Number].intValue()).sorted.toIndexedSeq
     require(lens.nonEmpty && lens.forall(l => l >= 0 && l <= 32),
       s"mask lengths out of range: ${lens.mkString(",")}")
     val payload = prefixes.columns.filterNot(c => c == netCol || c == lenCol)

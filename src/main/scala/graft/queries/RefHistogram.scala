@@ -32,7 +32,7 @@ object RefHistogram {
     tmaxCache.getOrElseUpdate(sfDir,
       Tables.events(spark, sfDir)
         .agg(max(Tables.tsSec))
-        .head.getLong(0))
+        .head().getLong(0))
 
   /** The histogram table (see class doc). `tMax` from [[tmax]]. */
   def derive(events: DataFrame, tMax: Long): DataFrame = {

@@ -96,4 +96,24 @@ object GenericSource {
     val located = if (path == null) sorted else sorted.option("path", path)
     located.saveAsTable(table)
   }
+
+  /** Raw binary ingestion — the first hop of a MULTIMODAL pipeline:
+    * every file under `path` (optionally glob-filtered) becomes one
+    * row of (path, modificationTime, length, content BINARY), the
+    * shape [[graft.llm.Multimodal]] consumes (opaque payload + typed
+    * metadata). Spark's binaryFile source; files are not splittable
+    * (one file = one row), so parallelism = file count — fine for
+    * media corpora, wrong for a few giant archives (shard those
+    * upstream). `maxLength` guards the executor heap: files above it
+    * fail fast instead of OOMing a task.
+    */
+  def readBinary(spark: SparkSession, path: String,
+                 pathGlobFilter: Option[String] = None,
+                 maxLength: Option[Long] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    val globbed = pathGlobFilter.fold(base)(g => base.option("pathGlobFilter", g))
+    maxLength.foreach(m => spark.conf.set(
+      "spark.sql.sources.binaryFile.maxLength", m.toString))
+    globbed.load(path)
+  }
 }

@@ -37,6 +37,21 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("", "alpha beta", "gamma"))
   }
 
+  test("binaryFile: every file is one opaque-payload row; glob filters by extension") {
+    val dir = Files.createTempDirectory("src_bin")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.img"), "media-bytes".getBytes("UTF-8"))
+    Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    val back = GenericSource.readBinary(spark, dir.toString,
+      pathGlobFilter = Some("*.img"))
+    assert(back.columns.toSet === Set("path", "modificationTime", "length", "content"))
+    val rows = back.orderBy("length").collect()
+    assert(rows.length === 2, "the glob must exclude skip.txt")
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3))
+    assert(new String(rows(1).getAs[Array[Byte]]("content"), "UTF-8") === "media-bytes")
+    assert(rows.map(_.getLong(rows(0).fieldIndex("length"))).toSeq === Seq(3L, 11L))
+  }
+
   test("hive-partitioned write prunes directories on a partition filter") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("src_hive").toString + "/data"
