@@ -524,6 +524,59 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_start")
     }),
 
+    // Deterministic TRAINING-ORDER shuffle — the global randomization
+    // pass between chunking and batching: every chunk gets a seeded
+    // hash position ('ep0' = the epoch salt; a new epoch reshuffles by
+    // changing it), and the corpus streams in shuffle_key order. No
+    // rand() (irreproducible across retries) and no global
+    // row_number() (a single-partition window): the KEY is the order —
+    // range-partitioning by it at write time yields globally shuffled
+    // shards with zero driver state.
+    "x33_training_order" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(24))).as("start"))
+        .select(col("doc_id"),
+          col("start").cast("long").as("chunk_start"),
+          size(slice(col("t"), col("start") + 1, lit(32))).cast("long").as("n_chunk_tokens"))
+        .withColumn("shuffle_key", TF.hash60(concat_ws(":",
+          lit("ep0"), col("doc_id").cast("string"), col("chunk_start").cast("string"))))
+        .orderBy("shuffle_key", "doc_id", "chunk_start")
+    }),
+
+    // SEQUENCE PACKING — fill fixed token budgets (256 here) with
+    // shuffled chunks, the last step before tensors: chunks hash into
+    // 64 independent packing buckets, and within each bucket a running
+    // token count assigns greedy sequence ids (a chunk straddling the
+    // boundary stays with the earlier sequence — the documented
+    // overflow policy). The bucket split is the scale design: packing
+    // is inherently sequential, so parallelism comes from 64 (or 64k)
+    // independent streams, each a bounded window — never one global
+    // cumulative sum.
+    "x34_sequence_packing" -> ((s, d) => {
+      val budget = 256L
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(24))).as("start"))
+        .select(col("doc_id"),
+          col("start").cast("long").as("chunk_start"),
+          size(slice(col("t"), col("start") + 1, lit(32))).cast("long").as("n_chunk_tokens"))
+        .withColumn("shuffle_key", TF.hash60(concat_ws(":",
+          lit("ep0"), col("doc_id").cast("string"), col("chunk_start").cast("string"))))
+      val w = Window.partitionBy("bucket")
+        .orderBy("shuffle_key", "doc_id", "chunk_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("bucket", pmod(col("shuffle_key"), lit(64L)))
+        .withColumn("cum_tokens", sum("n_chunk_tokens").over(w))
+        .withColumn("seq_id",
+          col("bucket") * 1000000L + floor((col("cum_tokens") - 1) / budget).cast("long"))
+        .select("doc_id", "chunk_start", "n_chunk_tokens", "bucket", "cum_tokens", "seq_id")
+        .orderBy("bucket", "cum_tokens", "doc_id", "chunk_start")
+    }),
+
     // TF-IDF top terms per document, in integer-exact arithmetic
     // (score = tf·N/(len·df), ×1e6, integer division — both engines
     // truncate identically on non-negative longs, where a float idf
@@ -1119,6 +1172,38 @@ object LlmQueries {
          |                   unnest(generate_series(0, len(t) - 1, 24)) AS start
          |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
          |ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "x33_training_order" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+         |         CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS start
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
+         |SELECT doc_id, chunk_start, n_chunk_tokens,
+         |       ${dH("'ep0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_start AS VARCHAR)")} AS shuffle_key
+         |FROM ch ORDER BY shuffle_key, doc_id, chunk_start""".stripMargin,
+
+    "x34_sequence_packing" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+         |         CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS start
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+         |keyed AS (
+         |  SELECT *, ${dH("'ep0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_start AS VARCHAR)")} AS shuffle_key
+         |  FROM ch),
+         |packed AS (
+         |  SELECT doc_id, chunk_start, n_chunk_tokens,
+         |         shuffle_key % 64 AS bucket,
+         |         CAST(sum(n_chunk_tokens) OVER (
+         |           PARTITION BY shuffle_key % 64
+         |           ORDER BY shuffle_key, doc_id, chunk_start
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM keyed)
+         |SELECT doc_id, chunk_start, n_chunk_tokens, bucket, cum_tokens,
+         |       bucket * 1000000 + CAST(floor((cum_tokens - 1) / 256) AS BIGINT) AS seq_id
+         |FROM packed
+         |ORDER BY bucket, cum_tokens, doc_id, chunk_start""".stripMargin,
 
     "x32_tfidf" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS cnt

@@ -90,6 +90,30 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     assert(bad === 0)
   }
 
+  test("x34: packing covers every chunk once and respects the budget+overflow bound") {
+    val packed = q("x34_sequence_packing")
+    val chunks = q("x31_chunk")
+    // same chunk set as x31 (shuffling/packing reorders, never drops)
+    assert(packed.count() === chunks.count())
+    assert(packed.select("doc_id", "chunk_start").distinct().count() === chunks.count())
+    // each packed sequence holds at most budget + the overflow chunk's
+    // tail (a chunk is <= 32 tokens, so a straddler adds < 32)
+    val bad = packed.groupBy("bucket", "seq_id")
+      .agg(sum("n_chunk_tokens").as("seq_tokens"))
+      .filter(col("seq_tokens") > 256L + 31L)
+      .count()
+    assert(bad === 0)
+    // within a bucket the cumulative count is strictly increasing —
+    // the deterministic packing order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("cum_tokens")
+    val nonMono = packed
+      .withColumn("prev", lag("cum_tokens", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") >= col("cum_tokens"))
+      .count()
+    assert(nonMono === 0)
+  }
+
   test("q31: sampling is per-stratum and hits the configured rate band") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val sampled = graft.SparkEntry.queries("q31_stratified_sample")(
