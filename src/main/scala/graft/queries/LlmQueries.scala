@@ -609,6 +609,30 @@ object LlmQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // The corpus-cleaning FUNNEL end to end, composed from the public
+    // operators a real pipeline would chain: normalize (x23's cleaning)
+    // → exact dedup on the normalized hash → near-dup clustering drop
+    // (Dedup.dropNearDuplicates = minhash candidates → connected
+    // components → anti-join, all on the NORMALIZED text) → token-count
+    // quality floor. One oracle hash-gates the whole composition —
+    // operators that each pass alone can still disagree when chained
+    // (column contracts, null edges), which is exactly what this pins.
+    "x35_pipeline_e2e" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val d0 = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), norm.as("norm"))
+        .withColumn("norm_h", TF.hash60(col("norm")))
+      val w = Window.partitionBy("norm_h").orderBy("doc_id")
+      val kept1 = d0.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      Dedup.dropNearDuplicates(kept1, "norm", "doc_id")
+        .select(col("doc_id"), col("norm_h"),
+          size(TF.tokens(col("norm"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -646,11 +670,11 @@ object LlmQueries {
     "CASE band " + (0 until TF.MinHashBands - 1).map(b => s"WHEN $b THEN bk$b").mkString(" ") +
       s" ELSE bk${TF.MinHashBands - 1} END"
 
-  /** Shared CTE chain ending in `bands(doc_id, sig, band, bkey)` —
-    * the DuckDB rendering of Dedup.bandIndex over `documents`.
+  /** CTE chain ending in `bands(doc_id, sig, band, bkey)` — the DuckDB
+    * rendering of Dedup.bandIndex over `src`'s `textCol` column.
     */
-  private val minhashBandsCtes: String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private def minhashBandsCtesOver(src: String, textCol: String): String =
+    s"""toks AS (SELECT doc_id, string_split($textCol, ' ') AS t FROM $src),
        |sh AS (SELECT doc_id,
        |              list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) AS sh
        |       FROM toks),
@@ -662,6 +686,31 @@ object LlmQueries {
        |  FROM sigs),
        |bands AS (SELECT doc_id, sig, band, $bandCaseSql AS bkey
        |          FROM keyed, (SELECT unnest(generate_series(0, ${TF.MinHashBands - 1})) AS band))""".stripMargin
+
+  private val minhashBandsCtes: String = minhashBandsCtesOver("documents", "text")
+
+  /** CTE chain from `bands` to `lab(doc_id, cluster_rep)` — the DuckDB
+    * rendering of minhashCandidates + connectedComponents (recursive
+    * transitive closure; fine at oracle scale).
+    */
+  private val ccClosureCtes: String =
+    s"""prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |               any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+       |        FROM bands a JOIN bands b
+       |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |cand AS (SELECT doc_a, doc_b FROM (
+       |           SELECT doc_a, doc_b,
+       |                  CAST(len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i])) AS BIGINT) AS n_match
+       |           FROM prs)
+       |         WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand),
+       |reach AS (SELECT src, dst FROM edges
+       |          UNION
+       |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+       |        FROM reach GROUP BY src)""".stripMargin
 
   private val simhashSql: String =
     (0 until TF.SimHashBits).map { j =>
@@ -771,26 +820,32 @@ object LlmQueries {
     // propagation fixpoint the Spark loop converges to
     "x20_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashBandsCtes,
-         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |               any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
-         |        FROM bands a JOIN bands b
-         |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |        GROUP BY 1, 2),
-         |cand AS (SELECT doc_a, doc_b FROM (
-         |           SELECT doc_a, doc_b,
-         |                  CAST(len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i])) AS BIGINT) AS n_match
-         |           FROM prs)
-         |         WHERE CAST(floor(1000000.0 * n_match / ${K.toDouble}) AS BIGINT) >= 250000),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-         |          UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (SELECT src, dst FROM edges
-         |          UNION
-         |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-         |        FROM reach GROUP BY src)
+         |$ccClosureCtes
          |SELECT doc_id, cluster_rep,
          |       CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // the funnel, mirrored stage by stage: normalize → exact dedup on
+    // the normalized hash → near-dup closure over normalized-bigram
+    // minhash (the SAME band/closure CTEs as x02/x20, re-pointed at
+    // the deduped normalized corpus) → token-count quality floor
+    "x35_pipeline_e2e" ->
+      s"""WITH RECURSIVE nd AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, norm, ${dH("norm")} AS norm_h FROM nd),
+         |kept1 AS (SELECT doc_id, norm, norm_h FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY norm_h ORDER BY doc_id) AS rn
+         |            FROM d0) WHERE rn = 1),
+         |${minhashBandsCtesOver("kept1", "norm")},
+         |$ccClosureCtes
+         |SELECT doc_id, norm_h,
+         |       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+         |FROM kept1
+         |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_rep)
+         |  AND len(string_split(norm, ' ')) >= 20
+         |ORDER BY doc_id""".stripMargin,
 
     "x19_incremental_dedup" ->
       s"""WITH $minhashBandsCtes,
