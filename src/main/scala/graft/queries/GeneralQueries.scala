@@ -559,6 +559,49 @@ object GeneralQueries {
           max(when(col("rn") === ceil(col("n") * 3.0 / 4.0), col("value_c"))).as("q3_c"),
           max("n").as("n"))
         .orderBy("event_type")
+    }),
+
+    // §2.2 reshaping — UNPIVOT/melt (wide → long), the inverse of
+    // q17's pivot. Dataset.unpivot is a narrow projection (an Expand
+    // node — no shuffle, no join): each input row emits one row per
+    // value column, exactly how a metrics-wide fact table feeds a
+    // long-format store at scale. The %5 filter sits BEFORE the
+    // Expand so the scan prunes first.
+    "q36_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          asInt(col("l_quantity"), 0).as("qty"),
+          asInt(col("l_extendedprice"), 2).as("price_c"),
+          asInt(col("l_discount"), 2).as("disc_c"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price_c"), col("disc_c")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // §2.2 windows — the ranking family q04 doesn't cover: rank /
+    // dense_rank (real ties: the window orders by date only),
+    // percent_rank / cume_dist (doubles, but exact small-integer
+    // ratios — identical IEEE in both engines — scaled ×1e6 to
+    // longs), ntile + lead over the fully tie-broken order. One
+    // shuffle on o_custkey serves both window specs (same partition
+    // key, compatible sort).
+    "q37_window_ranks" -> ((s, d) => {
+      val w1 = Window.partitionBy("o_custkey").orderBy("ord_sec")
+      val w2 = Window.partitionBy("o_custkey").orderBy("ord_sec", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"),
+          asInt(col("o_totalprice"), 2).as("price_c"))
+        .withColumn("rnk", rank().over(w1).cast("long"))
+        .withColumn("drnk", dense_rank().over(w1).cast("long"))
+        .withColumn("prank_e6", round(percent_rank().over(w1) * 1000000).cast("long"))
+        .withColumn("cdist_e6", round(cume_dist().over(w1) * 1000000).cast("long"))
+        .withColumn("quartile", ntile(4).over(w2).cast("long"))
+        .withColumn("next_key", lead("o_orderkey", 1).over(w2))
+        .orderBy("o_custkey", "ord_sec", "o_orderkey")
     })
   )
 
@@ -919,6 +962,33 @@ object GeneralQueries {
         |       max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN value_c END) AS median_c,
         |       max(CASE WHEN rn = CAST(ceil(n * 3.0 / 4.0) AS BIGINT) THEN value_c END) AS q3_c,
         |       max(n) AS n
-        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q36_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, CAST(value AS BIGINT) AS value
+        |FROM (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |             CAST(round(l_quantity) AS BIGINT) AS qty,
+        |             CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+        |             CAST(round(l_discount*100) AS BIGINT) AS disc_c
+        |      FROM lineitem WHERE l_orderkey % 5 = 0)
+        |UNPIVOT (value FOR metric IN (qty, price_c, disc_c))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q37_window_ranks" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey, ord_sec, price_c,
+        |       CAST(rank()       OVER w1 AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+        |       CAST(round(percent_rank() OVER w1 * 1000000) AS BIGINT) AS prank_e6,
+        |       CAST(round(cume_dist()    OVER w1 * 1000000) AS BIGINT) AS cdist_e6,
+        |       CAST(ntile(4) OVER w2 AS BIGINT) AS quartile,
+        |       lead(o_orderkey) OVER w2 AS next_key
+        |FROM o
+        |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY ord_sec),
+        |       w2 AS (PARTITION BY o_custkey ORDER BY ord_sec, o_orderkey)
+        |ORDER BY o_custkey, ord_sec, o_orderkey""".stripMargin
   )
 }

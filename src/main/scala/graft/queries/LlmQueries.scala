@@ -633,6 +633,55 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Boilerplate-span mining (the C4/CCNet cleaning primitive: find
+    // token spans that repeat across documents — headers, footers,
+    // cookie banners — so a cleaning pass can strip them). Every
+    // 3-token span, counted by distinct-document frequency; spans in
+    // >= 3 distinct docs are the boilerplate set. Scale shape: the
+    // span explode is linear in corpus tokens; the two-level agg
+    // shuffles once on (gram, doc_id) — map-side partials collapse
+    // within-doc repeats — then once on the (already tiny) per-gram
+    // frame. No count(DISTINCT) Expand doubling the exploded rows.
+    "x36_boilerplate_spans" -> ((s, d) => {
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          explode(TF.wordShingles(TF.tokens(col("text")), 3)).as("gram"))
+        .groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occ"))
+        .filter(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("gram"))
+    }),
+
+    // Unigram-LM document scoring (the KenLM-filter shape: score each
+    // doc against a language model fit on the corpus itself; low
+    // scores = rare-token-heavy outliers). The model here is the
+    // corpus unigram distribution and the score is the per-token mean
+    // model probability ×1e6 in exact integer arithmetic (DIV), so
+    // both engines agree bit-for-bit. int64 headroom: wsum*1e6 needs
+    // doc_len*max_gcnt < 9e12 — holds to ~1e9-token corpora with 1e4
+    // docs; past that, promote wsum to decimal(38,0).
+    // Scale shape: tf is ONE explode+agg pass (materialized once —
+    // x32's pattern); the token-frequency model joins back BROADCAST
+    // (a vocab is ~1e7 entries × 16 B at web scale — fits), so the
+    // only corpus-sized shuffle is the tf aggregation itself.
+    "x37_unigram_lm" -> ((s, d) => {
+      val tf = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val g = tf.groupBy("token").agg(sum("cnt").as("gcnt"))
+      val tot = g.agg(sum("gcnt").as("total"))
+      tf.join(broadcast(g), "token")
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("doc_len"),
+          sum(col("cnt") * col("gcnt")).as("wsum"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("doc_len"),
+          expr("(wsum * 1000000) DIV (doc_len * total)").as("score_e6"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1285,6 +1334,34 @@ object LlmQueries {
          |       CAST(ceil(n_chars / 64.0) AS BIGINT) AS n_frames,
          |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
          |       lang, source
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 3-token spans via list slicing; range(1, len-1) is
+    // end-exclusive, mirroring wordShingles' sequence(1, size-2)
+    "x36_boilerplate_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id,
+        |                 unnest(list_transform(range(1, len(t) - 1),
+        |                                       i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |perdoc AS (SELECT gram, doc_id, count(*) AS occ FROM grams GROUP BY 1, 2),
+        |agg AS (SELECT gram, count(*) AS n_docs, sum(occ) AS n_occ
+        |        FROM perdoc GROUP BY 1)
+        |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
+        |FROM agg WHERE n_docs >= 3 ORDER BY n_docs DESC, gram""".stripMargin,
+
+    "x37_unigram_lm" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS cnt
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |g AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS gcnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS total FROM g),
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_len,
+        |             CAST(sum(cnt * gcnt) AS BIGINT) AS wsum
+        |      FROM tf JOIN g USING (token) GROUP BY 1)
+        |SELECT doc_id, doc_len,
+        |       CAST((wsum * 1000000) // (doc_len * total) AS BIGINT) AS score_e6
+        |FROM d, tot ORDER BY doc_id""".stripMargin
   )
 }
