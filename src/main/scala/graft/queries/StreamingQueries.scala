@@ -310,8 +310,59 @@ object StreamingQueries {
       }
 
       s.table("st06_matches").orderBy("l_event", "r_event")
+    }),
+
+    // Streaming SESSION windows — the variable-length window primitive
+    // (st02 is fixed tumbling): session_window(ts, gap) grows a
+    // per-key window while events keep arriving within the gap and
+    // the state store MERGES overlapping sessions (empirically, and
+    // per MergingSessionsIterator: an event at exactly prev_end still
+    // merges — break only when the gap is strictly exceeded; the
+    // emitted end is last event + gap). Windows finalize when the
+    // watermark passes their end — same sentinel protocol as st01/
+    // st02. At scale this is the engine's own numberOfSessionWindows
+    // state format: one stateful shuffle on the grouping key, state
+    // size = open sessions, not events.
+    "st07_session_window" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val rows = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsSec.as("sec"))
+        .as[(Long, Long)].collect().toSeq
+      val tmax = rows.map(_._2).max
+      val sentinel = (-1L, tmax + 100L * SessionGapSec)
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("user_id", "sec")
+          .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), s"$SessionGapSec seconds"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_timestamp(col("session_window.start")).as("start_sec"),
+            unix_timestamp(col("session_window.end")).as("end_sec"),
+            col("n_events"))
+          .writeStream.format("memory").queryName("st07_sessions")
+          .outputMode("append").start()
+        try {
+          in.addData(rows) // batch 1: everything, watermark 0
+          q.processAllAvailable()
+          in.addData(sentinel) // advance watermark past every session end
+          q.processAllAvailable()
+          in.addData(sentinel)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st07_sessions").filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_sec")
     })
   )
+
+  /** Session gap for st07 (matches q20's batch sessionize). */
+  val SessionGapSec: Long = 1800L
 
   /** The sequential-window spike semantics as SQL: per key, truncated
     * per-window avg, lag() as the previous window (StreamingDetect's
@@ -383,6 +434,28 @@ object StreamingQueries {
         |UNION ALL
         |SELECT k, (SELECT t FROM tmax) + k + 864000 AS sec FROM ks
         |ORDER BY k, sec""".stripMargin,
+
+    // lag-based sessionization mirrors the engine's merge rule
+    // exactly: break only when the inter-event gap STRICTLY exceeds
+    // the gap duration (an event at exactly prev_end merges);
+    // emitted end = last event + gap
+    "st07_session_window" ->
+      s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+         |           FROM events),
+         |m AS (SELECT user_id, sec,
+         |             CASE WHEN lag(sec) OVER w IS NULL
+         |                    OR sec - lag(sec) OVER w > $SessionGapSec THEN 1
+         |                  ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+         |sess AS (SELECT user_id, sec,
+         |                sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+         |                               ROWS UNBOUNDED PRECEDING) AS sid
+         |         FROM m)
+         |SELECT user_id, min(sec) AS start_sec,
+         |       max(sec) + $SessionGapSec AS end_sec,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, start_sec""".stripMargin,
 
     // the stream-stream join's match set is the plain batch join:
     // batching cannot change it (nothing is late under the delay)

@@ -99,4 +99,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(sink.alerts.size === 1)
     } finally q.stop()
   }
+
+  // Pins the merge rule st07's DuckDB oracle mirrors: an event at
+  // EXACTLY prev session end (last event + gap) still merges; one
+  // second past it starts a new session. If an engine upgrade ever
+  // flips the boundary to exclusive, this fails before the oracle does.
+  test("session_window: event at exactly session end merges; past it splits") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val gap = 1800L
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), s"$gap seconds"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), unix_timestamp(col("session_window.start")).as("st"),
+        unix_timestamp(col("session_window.end")).as("en"), col("n"))
+      .writeStream.format("memory").queryName("sesswin").outputMode("append").start()
+    try {
+      // k=1: 0, 1799 (merges), 3599 = exactly 1799+gap (still merges),
+      //      5400 = one past 3599+gap (new session)
+      in.addData((1L, 0L), (1L, 1799L), (1L, 3599L), (1L, 5400L))
+      q.processAllAvailable()
+      in.addData((-1L, 1000000L)) // sentinel: close everything real
+      q.processAllAvailable()
+      in.addData((-1L, 2000000L))
+      q.processAllAvailable()
+      val rows = s.table("sesswin").filter(col("k") >= 0).orderBy("st").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq === Seq((1L, 0L, 5399L, 3L), (1L, 5400L, 7200L, 1L)))
+    } finally q.stop()
+  }
 }
