@@ -97,6 +97,49 @@ object GenericSource {
     located.saveAsTable(table)
   }
 
+  /** Schema-evolution read: parquet/orc written over time with ADDED
+    * columns reads as the union schema (absent columns null-fill).
+    * This is the footer-merge path (`mergeSchema`) — it reads every
+    * file's footer at planning time, so at 100 TB you either pin the
+    * expected union schema explicitly via [[read]] (zero extra I/O)
+    * or pay one planning pass here when the union is genuinely
+    * unknown. csv/json evolve by pinned schema only.
+    */
+  def readMerged(spark: SparkSession, format: Format, path: String): DataFrame =
+    format match {
+      case Parquet => spark.read.option("mergeSchema", "true").parquet(path)
+      case Orc => spark.read.option("mergeSchema", "true").orc(path)
+      case f => throw new IllegalArgumentException(
+        s"mergeSchema applies to parquet/orc, not ${f.name}")
+    }
+
+  /** Small-files compaction — the maintenance pass every long-lived
+    * ingest layout needs: streaming sinks and per-batch appends leave
+    * thousands of KB-sized files, and at scale the NameNode/listing
+    * pressure plus per-file task overhead dominate reads. Rewrites
+    * `inPath` to `outPath` with file count = ceil(bytes /
+    * targetFileBytes) (floor 1), preserving rows and schema; distinct
+    * paths because an in-place overwrite of a live directory isn't
+    * atomic on object stores. Uses coalesce (no shuffle): compaction
+    * packs existing partitions; it doesn't need a re-hash.
+    */
+  def compact(spark: SparkSession, format: Format, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    require(inPath != outPath, "compact writes to a NEW path (non-atomic overwrite)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = format match {
+      case Parquet => spark.read.parquet(inPath)
+      case Orc => spark.read.orc(inPath)
+      case f => throw new IllegalArgumentException(
+        s"compact self-describing columnar data (parquet/orc), not ${f.name}")
+    }
+    write(df.coalesce(nFiles), format, outPath)
+    nFiles.toLong
+  }
+
   /** Raw binary ingestion — the first hop of a MULTIMODAL pipeline:
     * every file under `path` (optionally glob-filtered) becomes one
     * row of (path, modificationTime, length, content BINARY), the

@@ -79,4 +79,41 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
     val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.length === 1)
   }
+
+  test("readMerged: columns added over time read as the union schema, null-filled") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("src_evolve").toString + "/data"
+    // epoch 1: (id, name); epoch 2 adds score
+    Seq((1L, "a")).toDF("id", "name").write.parquet(dir + "/e=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(dir + "/e=2")
+    val back = GenericSource.readMerged(spark, GenericSource.Parquet, dir)
+    assert(back.columns.toSet === Set("id", "name", "score", "e"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(r.fieldIndex("score"))) None else Some(r.getDouble(r.fieldIndex("score")))))
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    intercept[IllegalArgumentException] {
+      GenericSource.readMerged(spark, GenericSource.Csv, dir)
+    }
+  }
+
+  test("compact: shattered ingest directory rewrites to sized files, rows intact") {
+    val s = spark; import s.implicits._
+    val base = Files.createTempDirectory("src_compact").toString
+    val in = base + "/in"; val out = base + "/out"
+    (1L to 1000L).toDF("id").repartition(32).write.parquet(in)
+    val shattered = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(shattered === 32)
+    // a generous target => everything packs into one file
+    val n = GenericSource.compact(spark, GenericSource.Parquet, in, out)
+    assert(n === 1L)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 1000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 500500L)
+    intercept[IllegalArgumentException] {
+      GenericSource.compact(spark, GenericSource.Parquet, in, in)
+    }
+  }
 }
