@@ -682,6 +682,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Sparse retrieval — the text-side complement of the embedding ANN
+    // family (x10–x18): score query docs against the corpus through an
+    // INVERTED INDEX (token → postings) with integer tf/df weights
+    // (w_e6 = tf/(doc_len·df), the 1/df factor playing idf), then
+    // bounded top-3 per query. The token equi-join IS the
+    // postings-list intersection — pairs exist only where a token is
+    // shared, never all-pairs. Scale note: join fan-out per token is
+    // |probe postings|×|corpus postings|, dominated by high-df tokens;
+    // a web-scale deployment caps df (x03's df-cap knob) — this
+    // corpus' toy vocab is all high-df, so the cap stays off here.
+    "x38_sparse_retrieval" -> ((s, d) => {
+      val tf = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val dlen = tf.groupBy("doc_id").agg(sum("cnt").as("doc_len"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = tf.join(dlen, "doc_id").join(dfreq, "token")
+        .select(col("doc_id"), col("token"),
+          expr("(cnt * 1000000) DIV (doc_len * df)").as("w_e6"))
+        .localCheckpoint(true) // probe side + corpus side read it
+      val probes = w.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"), col("token"), col("w_e6").as("qw_e6"))
+      val win = Window.partitionBy("q_id")
+        .orderBy(col("score_e12").desc, col("doc_id"))
+      probes.join(w, "token")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("qw_e6") * col("w_e6")).as("score_e12"))
+        .withColumn("rnk", row_number().over(win).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1349,6 +1383,25 @@ object LlmQueries {
         |        FROM perdoc GROUP BY 1)
         |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
         |FROM agg WHERE n_docs >= 3 ORDER BY n_docs DESC, gram""".stripMargin,
+
+    "x38_sparse_retrieval" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS cnt
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT doc_id, token, (cnt * 1000000) // (doc_len * df) AS w_e6
+        |      FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token)),
+        |p AS (SELECT doc_id AS q_id, token, w_e6 AS qw_e6 FROM w WHERE doc_id % 97 = 0),
+        |sc AS (SELECT q_id, doc_id, sum(qw_e6 * w_e6) AS score_e12
+        |       FROM p JOIN w USING (token) WHERE doc_id <> q_id GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY q_id ORDER BY score_e12 DESC, doc_id) AS rnk
+        |      FROM sc)
+        |SELECT q_id, doc_id, CAST(score_e12 AS BIGINT) AS score_e12,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     "x37_unigram_lm" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS cnt
