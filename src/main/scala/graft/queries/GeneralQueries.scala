@@ -602,6 +602,38 @@ object GeneralQueries {
         .withColumn("quartile", ntile(4).over(w2).cast("long"))
         .withColumn("next_key", lead("o_orderkey", 1).over(w2))
         .orderBy("o_custkey", "ord_sec", "o_orderkey")
+    }),
+
+    // §2.2 SQL surface — the spark.sql entry point over temp views:
+    // TPC-H-Q5-shaped 5-table join + a SCALAR SUBQUERY in the filter
+    // (above-average orders). Catalyst plans it exactly like the
+    // DataFrame API (region/nation broadcast; the subquery becomes a
+    // one-row broadcast evaluated once, not per-row). The average is
+    // integer cents DIV count so the threshold is exact in both
+    // engines — a double AVG would make boundary rows hash-unstable.
+    "q38_sql_api" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.region(s, d).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT n.n_name,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_e4,
+               COUNT(*) AS n_items
+        FROM v_customer c
+        JOIN v_orders o   ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN v_nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) >
+              (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV COUNT(*)
+               FROM v_orders)
+        GROUP BY n.n_name
+        ORDER BY revenue_e4 DESC, n_name
+      """)
     })
   )
 
@@ -989,6 +1021,24 @@ object GeneralQueries {
         |FROM o
         |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY ord_sec),
         |       w2 AS (PARTITION BY o_custkey ORDER BY ord_sec, o_orderkey)
-        |ORDER BY o_custkey, ord_sec, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, ord_sec, o_orderkey""".stripMargin,
+
+    "q38_sql_api" ->
+      """SELECT n.n_name,
+        |       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |       COUNT(*) AS n_items
+        |FROM customer c
+        |JOIN orders o   ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) >
+        |      (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              // COUNT(*)
+        |       FROM orders)
+        |GROUP BY n.n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin
   )
 }

@@ -358,6 +358,43 @@ object StreamingQueries {
 
       s.table("st07_sessions").filter(col("user_id") >= 0)
         .orderBy("user_id", "start_sec")
+    }),
+
+    // COMPLETE output mode — the remaining output-mode primitive
+    // (st01–st07 are all append): a running global aggregation where
+    // every trigger re-emits the whole result table (the live-
+    // dashboard shape). No watermark — state is the aggregate itself,
+    // bounded by |event_type|, which is what makes complete mode
+    // viable at scale (it is NOT viable for high-cardinality keys;
+    // that's append + watermark territory, st02). The final table
+    // after the last batch equals the plain batch aggregate, so
+    // batching cannot change the oracle.
+    "st08_streaming_complete_agg" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val rows = Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("value_c"))
+        .as[(String, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("event_type", "value_c")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
+          .writeStream.format("memory").queryName("st08_totals")
+          .outputMode("complete").start()
+        try {
+          // three uneven batches: totals must accumulate across them
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st08_totals").orderBy("event_type")
     })
   )
 
@@ -456,6 +493,13 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n_events
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, start_sec""".stripMargin,
+
+    // complete mode re-emits the FULL aggregate each trigger; the
+    // final table is the plain batch aggregate over everything
+    "st08_streaming_complete_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the stream-stream join's match set is the plain batch join:
     // batching cannot change it (nothing is late under the delay)
