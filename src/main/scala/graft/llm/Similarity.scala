@@ -414,4 +414,108 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  // ---- Product quantization (the IVF-PQ compression half) ---------
+
+  /** Squared L2 between an array<float> slice and a literal codeword,
+    * as the same left-fold both engines reproduce bit-for-bit
+    * (DuckDB: list_reduce over (a-b)*(a-b) terms).
+    */
+  private def sqDistLit(sub: Column, w: Seq[Float]): Column =
+    aggregate(
+      zip_with(sub, typedLit(w), (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Build M per-subspace codebooks by slicing a small SAMPLE of
+    * vectors (codes = 0..ks-1 in vec-id order — the same sampled-
+    * quantizer discipline the IVF family uses for its coarse
+    * centroids; a production build would Lloyd-refine each subspace
+    * codebook exactly like [[lloydIterateE6]] refines the coarse one).
+    * Collected once: a codebook is M·ks·subDim floats — literal-sized
+    * by construction (FAISS-style: 8×256×8 floats = 64 KB).
+    */
+  def pqCodebooks(sample: DataFrame, m: Int, subDim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[(Long, Seq[Float])]] = {
+    val rows = sample.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    (0 until m).map { mi =>
+      rows.zipWithIndex.map { case ((_, v), code) =>
+        (code.toLong, v.slice(mi * subDim, (mi + 1) * subDim))
+      }
+    }
+  }
+
+  /** PQ-encode: each vector becomes M one-byte-sized codes (argmin
+    * squared-L2 codeword per subspace, ties to the smaller code).
+    * A PURE PER-ROW EXPRESSION — codebooks are inlined as literals,
+    * every subspace's ks distances are materialized once in a struct
+    * array and sorted, so encoding folds into the scan with no join,
+    * window, or shuffle. 100 TB shape: a vector compresses dim·4 B →
+    * M bytes (64× here); the codes table is what downstream ADC scans
+    * read instead of raw vectors.
+    *
+    * Returns (idCol, subspace, code) — one row per (vector, subspace).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[(Long, Seq[Float])]],
+               subDim: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val subs = array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col(vecCol), mi * subDim + 1, subDim)
+      val sorted = array_sort(array(cb.map { case (code, w) =>
+        struct(sqDistLit(sub, w).as("dist"), lit(code).as("code"))
+      }: _*))
+      struct(lit(mi.toLong).as("subspace"),
+        element_at(sorted, 1).getField("code").as("code"))
+    }: _*)
+    corpus.select(col(idCol), explode(subs).as("sc"))
+      .select(col(idCol), col("sc.subspace").as("subspace"), col("sc.code").as("code"))
+  }
+
+  /** The ADC lookup table: for each probe, the e9-scaled integer
+    * squared-L2 to EVERY codeword of every subspace (M·ks rows per
+    * probe — broadcast-sized by construction). Scaling each term to
+    * an integer BEFORE the Σ_m aggregation keeps the sum order-free,
+    * so the asymmetric distance is engine- and partitioning-exact.
+    */
+  def pqProbeLutE9(probes: DataFrame, codebooks: Seq[Seq[(Long, Seq[Float])]],
+                   subDim: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val entries = array((for {
+      (cb, mi) <- codebooks.zipWithIndex
+      (code, w) <- cb
+    } yield {
+      val sub = slice(col(vecCol), mi * subDim + 1, subDim)
+      struct(lit(mi.toLong).as("subspace"), lit(code).as("code"),
+        floor(sqDistLit(sub, w) * lit(1000000000.0)).cast("long").as("pd_e9"))
+    }): _*)
+    probes.select(col(idCol).as("probe_id"), explode(entries).as("e"))
+      .select(col("probe_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.pd_e9").as("pd_e9"))
+  }
+
+  /** PQ asymmetric-distance top-k: probes score the ENCODED corpus
+    * without ever touching raw corpus vectors — the LUT join on
+    * (subspace, code) replaces every per-pair float kernel with an
+    * integer add. The broadcast LUT keeps the corpus-side scan
+    * shuffle-free until the final |probes|·|corpus| → top-k
+    * aggregation, which the (dist, id) window bounds at k. This is
+    * the FAISS IVFADC read path as a Spark plan.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame,
+             codebooks: Seq[Seq[(Long, Seq[Float])]], k: Int, subDim: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = pqEncode(corpus, codebooks, subDim, idCol, vecCol)
+    val lut = pqProbeLutE9(probes, codebooks, subDim, idCol, vecCol)
+    val w = Window.partitionBy("probe_id").orderBy(col("dist_e9"), col(idCol))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .groupBy("probe_id", idCol)
+      .agg(sum("pd_e9").as("dist_e9"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

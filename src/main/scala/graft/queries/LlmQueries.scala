@@ -716,6 +716,35 @@ object LlmQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Product quantization, encode side (the IVF-PQ compression half:
+    // dim·4 bytes → M codes per vector, 64× here). Codebooks are
+    // sampled like x16's coarse centroids (8 subspaces × 8 codewords
+    // over dim 64) and inlined as literals, so encoding is a pure
+    // per-row projection — no join, no shuffle, folds into the scan.
+    "x39_pq_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cbs = Similarity.pqCodebooks(emb.filter(col("vec_id") < 8), m = 8, subDim = 8)
+      Similarity.pqEncode(Tables.splitForCpu(s, emb, "vec_id"), cbs, subDim = 8)
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // PQ asymmetric-distance top-k (the IVFADC read path): probes
+    // precompute an e9-integer LUT of distances to every codeword
+    // (M·ks rows per probe, broadcast), the encoded corpus joins it
+    // on (subspace, code), and Σ over subspaces is an order-free
+    // integer sum — raw corpus vectors are never touched at query
+    // time. Exact-oracle-checkable precisely because every float op
+    // happens before the integer scaling.
+    "x40_pq_adc_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cbs = Similarity.pqCodebooks(emb.filter(col("vec_id") < 8), m = 8, subDim = 8)
+      Similarity.pqTopK(
+          Tables.splitForCpu(s, emb, "vec_id"),
+          probes = emb.filter(col("vec_id") % 97 === 0),
+          codebooks = cbs, k = 3, subDim = 8)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -737,6 +766,34 @@ object LlmQueries {
   )
 
   // ---------------- DuckDB oracles ----------------
+
+  /** Squared L2 between subspace `s.m` slices of `$v` and the codeword
+    * `c.cvec` — the same left-fold (index order, from 0.0) as
+    * Similarity.sqDistLit, bit-for-bit.
+    */
+  private def pqDistSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, 9), i ->
+       |    (CAST($v[s.m*8+i] AS DOUBLE) - CAST(c.cvec[s.m*8+i] AS DOUBLE))
+       |    * (CAST($v[s.m*8+i] AS DOUBLE) - CAST(c.cvec[s.m*8+i] AS DOUBLE)))),
+       |  (acc, t) -> acc + t)""".stripMargin
+
+  /** CTEs `cb` (codes 0..7 in vec-id order), `sub` (subspaces 0..7),
+    * and `codes` (the PQ-encoded corpus) — the DuckDB rendering of
+    * Similarity.pqCodebooks + pqEncode.
+    */
+  private val pqCodesCtes: String =
+    s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cvec
+       |       FROM embeddings WHERE vec_id < 8),
+       |sub AS (SELECT unnest(range(0, 8)) AS m),
+       |pq_d AS (SELECT e.vec_id, s.m AS subspace, c.code,
+       |                ${pqDistSql("e.embedding")} AS dist
+       |         FROM embeddings e, sub s, cb c),
+       |pq_best AS (SELECT vec_id, subspace, code,
+       |                   row_number() OVER (PARTITION BY vec_id, subspace
+       |                                      ORDER BY dist, code) AS rn
+       |            FROM pq_d),
+       |codes AS (SELECT vec_id, subspace, code FROM pq_best WHERE rn = 1)""".stripMargin
 
   private val sigSql: String =
     "[" + (0 until K).map { i =>
@@ -1402,6 +1459,28 @@ object LlmQueries {
         |SELECT q_id, doc_id, CAST(score_e12 AS BIGINT) AS score_e12,
         |       CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x39_pq_encode" ->
+      s"""WITH $pqCodesCtes
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+         |       CAST(code AS BIGINT) AS code
+         |FROM codes ORDER BY vec_id, subspace""".stripMargin,
+
+    "x40_pq_adc_topk" ->
+      s"""WITH $pqCodesCtes,
+         |lut AS (SELECT p.vec_id AS probe_id, s.m AS subspace, c.code,
+         |               CAST(floor(${pqDistSql("p.embedding")} * 1000000000) AS BIGINT) AS pd_e9
+         |        FROM embeddings p, sub s, cb c WHERE p.vec_id % 97 = 0),
+         |sc AS (SELECT l.probe_id, k.vec_id,
+         |              CAST(sum(l.pd_e9) AS BIGINT) AS dist_e9
+         |       FROM codes k JOIN lut l USING (subspace, code)
+         |       WHERE k.vec_id <> l.probe_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY dist_e9, vec_id) AS rnk
+         |      FROM sc)
+         |SELECT probe_id, vec_id, dist_e9, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     "x37_unigram_lm" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS cnt
