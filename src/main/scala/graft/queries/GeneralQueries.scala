@@ -634,6 +634,24 @@ object GeneralQueries {
         GROUP BY n.n_name
         ORDER BY revenue_e4 DESC, n_name
       """)
+    }),
+
+    // §2.2 windows — RANGE frame (q04/q37 are ROWS/rank frames): a
+    // trailing 90-DAY revenue window keyed on the order timestamp,
+    // the moving-aggregate shape time-series dashboards run. A range
+    // frame includes every peer row at the same ordering value, so
+    // ties contribute symmetrically and the result is deterministic
+    // without a unique-key tiebreak in the frame itself.
+    "q39_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("ord_sec"))
+        .rangeBetween(-90L * 86400L, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"),
+          asInt(col("o_totalprice"), 2).as("price_c"))
+        .withColumn("sum90d_c", sum("price_c").over(w))
+        .withColumn("n90d", count(lit(1)).over(w))
+        .orderBy("o_custkey", "ord_sec", "o_orderkey")
     })
   )
 
@@ -1039,6 +1057,19 @@ object GeneralQueries {
         |              // COUNT(*)
         |       FROM orders)
         |GROUP BY n.n_name
-        |ORDER BY revenue_e4 DESC, n_name""".stripMargin
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+
+    "q39_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey, ord_sec, price_c,
+        |       CAST(sum(price_c) OVER w AS BIGINT) AS sum90d_c,
+        |       CAST(count(*) OVER w AS BIGINT) AS n90d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ord_sec
+        |             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, ord_sec, o_orderkey""".stripMargin
   )
 }

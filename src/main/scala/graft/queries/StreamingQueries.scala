@@ -395,6 +395,42 @@ object StreamingQueries {
       }
 
       s.table("st08_totals").orderBy("event_type")
+    }),
+
+    // Stream-STATIC join — the dimension-enrichment primitive (st06
+    // is stream-stream): each micro-batch joins a static per-customer
+    // aggregate built once from the batch world. STATELESS — no
+    // watermark, no state store; the static side broadcasts into
+    // every micro-batch exactly like a batch dimension join, which is
+    // why this is the cheapest (and most common) streaming join in
+    // production. The match set is batching-invariant by construction.
+    "st09_stream_static_join" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val dim = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      val rows = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"))
+        .as[(Long, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("event_id", "user_id")
+          .join(broadcast(dim), "user_id")
+          .writeStream.format("memory").queryName("st09_enriched")
+          .outputMode("append").start()
+        try {
+          val (a, b) = rows.partition(_._1 % 2 == 0)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st09_enriched")
+        .select(col("event_id"), col("user_id"), col("n_orders"))
+        .orderBy("event_id")
     })
   )
 
@@ -500,6 +536,14 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // stream-static is stateless: the result is the plain batch join
+    "st09_stream_static_join" ->
+      """WITH dim AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+        |             FROM orders GROUP BY 1)
+        |SELECT e.event_id, e.user_id, CAST(d.n_orders AS BIGINT) AS n_orders
+        |FROM events e JOIN dim d USING (user_id)
+        |ORDER BY event_id""".stripMargin,
 
     // the stream-stream join's match set is the plain batch join:
     // batching cannot change it (nothing is late under the delay)

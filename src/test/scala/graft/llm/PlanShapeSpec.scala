@@ -58,4 +58,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("ObjectHashAggregate"), s"bounded per-cluster top-k missing:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"assigned probes not broadcast:\n$plan")
   }
+
+  test("pqEncode: pure per-row projection — no exchange, no join, no window") {
+    val cbs = Similarity.pqCodebooks(emb.filter(col("vec_id") < 8), m = 8, subDim = 8)
+    val plan = executedPlan(Similarity.pqEncode(emb, cbs, subDim = 8))
+    assert(!plan.contains("Exchange"), s"encoding must fold into the scan:\n$plan")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("pqTopK: broadcast LUT join on (subspace, code); corpus side never shuffled pre-agg") {
+    val cbs = Similarity.pqCodebooks(emb.filter(col("vec_id") < 8), m = 8, subDim = 8)
+    val plan = executedPlan(Similarity.pqTopK(emb, probes, cbs, k = 3, subDim = 8))
+    assert(plan.contains("BroadcastHashJoin"), s"LUT must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the encoded corpus must not shuffle to meet the LUT:\n$plan")
+  }
 }

@@ -81,4 +81,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // every dim row carries the full member count; 8 dims per cluster
     assert(got.count(_._1 == 0L) === 8 && got.count(_._1 == 1L) === 8)
   }
+
+  test("pqEncode: codebook sample vectors encode to their own codes (dist 0); " +
+    "ADC ranks an exact codeword match first") {
+    // 4-dim vectors, 2 subspaces of 2 dims, codebook from ids 0/1
+    def v4(rows: (Long, Seq[Float])*) = {
+      val s = spark; import s.implicits._
+      rows.toDF("vec_id", "embedding")
+    }
+    val sample = v4((0L, Seq(1f, 0f, 5f, 5f)), (1L, Seq(0f, 2f, -1f, 3f)))
+    val cbs = Similarity.pqCodebooks(sample, m = 2, subDim = 2)
+    assert(cbs === Seq(
+      Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 2f))),
+      Seq((0L, Seq(5f, 5f)), (1L, Seq(-1f, 3f)))))
+
+    // a corpus mixing the sample itself and a cross-combined vector:
+    // sub 0 nearest code 1 (exact), sub 1 nearest code 0 (exact)
+    val corpus = sample.union(v4((7L, Seq(0f, 2f, 5f, 5f))))
+    val codes = Similarity.pqEncode(corpus, cbs, subDim = 2)
+      .orderBy("vec_id", "subspace").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(codes.toSeq === Seq(
+      (0L, 0L, 0L), (0L, 1L, 0L),
+      (1L, 0L, 1L), (1L, 1L, 1L),
+      (7L, 0L, 1L), (7L, 1L, 0L)))
+
+    // ADC from probe 7: vector 7 itself is excluded; of 0 and 1,
+    // whichever shares more codeword mass ranks first — exact check:
+    // dist(7,0) = d(sub0: [0,2]vs cw0 [1,0]) + 0 = (1+4)e9 = 5e9
+    // dist(7,1) = 0 + d(sub1: [5,5] vs cw1 [-1,3]) = (36+4)e9 = 40e9
+    val adc = Similarity.pqTopK(corpus, corpus.filter(col("vec_id") === 7L),
+        cbs, k = 2, subDim = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(adc.toSeq === Seq((0L, 5000000000L, 1L), (1L, 40000000000L, 2L)))
+  }
 }
