@@ -462,7 +462,8 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[(Long, Seq[Float])]],
                subDim: Int, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               keepCols: Seq[String] = Nil): DataFrame = {
     val subs = array(codebooks.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(col(vecCol), mi * subDim + 1, subDim)
       val sorted = array_sort(array(cb.map { case (code, w) =>
@@ -471,8 +472,10 @@ object Similarity {
       struct(lit(mi.toLong).as("subspace"),
         element_at(sorted, 1).getField("code").as("code"))
     }: _*)
-    corpus.select(col(idCol), explode(subs).as("sc"))
-      .select(col(idCol), col("sc.subspace").as("subspace"), col("sc.code").as("code"))
+    val kept = keepCols.map(col)
+    corpus.select(col(idCol) +: kept :+ explode(subs).as("sc"): _*)
+      .select(col(idCol) +: kept :+ col("sc.subspace").as("subspace")
+        :+ col("sc.code").as("code"): _*)
   }
 
   /** The ADC lookup table: for each probe, the e9-scaled integer
@@ -514,6 +517,44 @@ object Similarity {
     codes.join(broadcast(lut), Seq("subspace", "code"))
       .filter(col(idCol) =!= col("probe_id"))
       .groupBy("probe_id", idCol)
+      .agg(sum("pd_e9").as("dist_e9"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Full IVF-PQ (FAISS IVFADC): the coarse quantizer prunes the
+    * candidate set to the probe's `nprobe` inverted lists — the same
+    * literal-centroid per-row assignment [[ivfTopK]] plans, no
+    * shuffle — and ADC scores only those lists through the broadcast
+    * LUT. The two quantizers compose their savings: the corpus is
+    * stored as M codes per vector (64× smaller) AND each probe
+    * touches nprobe/K of it. A (probe, neighbor) pair matches in at
+    * most one cluster (corpus vectors live in exactly one list), so
+    * the Σ_m aggregation is unambiguous.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+                codebooks: Seq[Seq[(Long, Seq[Float])]], k: Int, nprobe: Int,
+                subDim: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
+      .sortBy(_._1).toSeq
+    val codes = pqEncode(
+      assignClusters(corpus, cents, nprobe = 1, "neighbor_id", "n_vec", "n_nrm", idCol, vecCol),
+      codebooks, subDim, idCol = "neighbor_id", vecCol = "n_vec",
+      keepCols = Seq("cluster"))
+    val probeClusters = assignClusters(probes, cents, nprobe,
+        "probe_id", "p_vec", "p_nrm", idCol, vecCol)
+      .select(col("probe_id"), col("cluster"))
+    val lut = pqProbeLutE9(probes, codebooks, subDim, idCol, vecCol)
+    // both probe-sized: the (cluster, subspace, code) LUT stays broadcast
+    val probeSide = probeClusters.join(lut, "probe_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("dist_e9"), col("neighbor_id"))
+    codes.join(broadcast(probeSide), Seq("cluster", "subspace", "code"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .groupBy("probe_id", "neighbor_id")
       .agg(sum("pd_e9").as("dist_e9"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -745,6 +745,24 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Full IVF-PQ (the FAISS IVFADC read path end to end): coarse
+    // quantizer prunes to each probe's 2 inverted lists, ADC scores
+    // only those lists through the broadcast integer LUT — the
+    // composition of x16's pruning and x40's compression. Both
+    // quantizers share the vec_id<8 sample (a production build
+    // Lloyd-refines each; x27 shows the loop).
+    "x41_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val sample = emb.filter(col("vec_id") < 8)
+      val cbs = Similarity.pqCodebooks(sample, m = 8, subDim = 8)
+      Similarity.ivfPqTopK(
+          Tables.splitForCpu(s, emb, "vec_id"),
+          probes = emb.filter(col("vec_id") % 97 === 0),
+          centroids = sample, codebooks = cbs,
+          k = 3, nprobe = 2, subDim = 8)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1481,6 +1499,45 @@ object LlmQueries {
          |      FROM sc)
          |SELECT probe_id, vec_id, dist_e9, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    "x41_ivfpq_topk" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      s"""WITH $pqCodesCtes,
+         |cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |corpus_sc AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM corpus_sc) WHERE c_rnk = 1),
+         |probe_sc AS (
+         |  SELECT e.vec_id AS probe_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c WHERE e.vec_id % 97 = 0),
+         |p_assigned AS (
+         |  SELECT probe_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM probe_sc) WHERE c_rnk <= 2),
+         |lut AS (SELECT p.vec_id AS probe_id, s.m AS subspace, c.code,
+         |               CAST(floor(${pqDistSql("p.embedding")} * 1000000000) AS BIGINT) AS pd_e9
+         |        FROM embeddings p, sub s, cb c WHERE p.vec_id % 97 = 0),
+         |sc AS (SELECT pa.probe_id, a.vec_id AS neighbor_id,
+         |              CAST(sum(l.pd_e9) AS BIGINT) AS dist_e9
+         |       FROM codes k
+         |       JOIN assigned a USING (vec_id)
+         |       JOIN p_assigned pa ON pa.cluster = a.cluster
+         |       JOIN lut l ON l.probe_id = pa.probe_id
+         |                 AND l.subspace = k.subspace AND l.code = k.code
+         |       WHERE a.vec_id <> pa.probe_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY dist_e9, neighbor_id) AS rnk
+         |      FROM sc)
+         |SELECT probe_id, neighbor_id, dist_e9, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+    },
 
     "x37_unigram_lm" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS cnt
