@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative row-quality expectations — the validation gate every
+  * production ingest runs between "landed" and "consumable" (the
+  * dbt-test / Delta-expectations shape, as plain Spark):
+  *
+  *   - [[audit]]: per-rule violation counts in ONE scan + ONE
+  *     single-row reduce (each rule compiles to a conditional sum in
+  *     the same aggregate — adding rules never adds passes), melted
+  *     to (rule, n_bad, n_rows) rows via unpivot;
+  *   - [[flag]] / [[split]]: per-row violation lists and the
+  *     valid/quarantine split — a projection, no shuffle, so gating
+  *     composes with any downstream write at scan cost.
+  *
+  * NULL discipline: a rule holds only when its predicate is TRUE —
+  * NULL (the three-valued trap that silently passes bad rows in
+  * WHERE-based checks) counts as a violation.
+  */
+object QualityGate {
+
+  /** An expectation: `holds` must evaluate TRUE for a valid row. */
+  final case class Rule(name: String, holds: Column)
+
+  private def violated(r: Rule): Column =
+    when(coalesce(r.holds, lit(false)), lit(0L)).otherwise(lit(1L))
+
+  /** (rule, n_bad, n_rows) per rule, rule-name ordered. */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => sum(violated(r)).as(r.name))
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col("n_rows")), rules.map(r => col(r.name)).toArray,
+        "rule", "n_bad")
+      .select(col("rule"), col("n_bad"), col("n_rows"))
+      .orderBy("rule")
+  }
+
+  /** The input plus a `violations` array<string> of failed rule names
+    * (empty = valid row). Pure projection.
+    */
+  def flag(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "flag needs at least one rule")
+    val marks = array(rules.map { r =>
+      when(coalesce(r.holds, lit(false)), lit(null).cast("string"))
+        .otherwise(lit(r.name))
+    }: _*)
+    df.withColumn("violations", filter(marks, _.isNotNull))
+  }
+
+  /** (valid rows without the marker column, quarantined rows WITH
+    * their violation list) — write the second somewhere auditable.
+    */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val flagged = flag(df, rules)
+    (flagged.filter(size(col("violations")) === 0).drop("violations"),
+      flagged.filter(size(col("violations")) > 0))
+  }
+}

@@ -652,6 +652,22 @@ object GeneralQueries {
         .withColumn("sum90d_c", sum("price_c").over(w))
         .withColumn("n90d", count(lit(1)).over(w))
         .orderBy("o_custkey", "ord_sec", "o_orderkey")
+    }),
+
+    // §2.2 pipeline hygiene — the declarative data-quality gate
+    // (QualityGate.audit): five expectations over lineitem compile
+    // into ONE conditional-sum aggregate (one scan, one single-row
+    // reduce, rules melted to rows by unpivot). NULL counts as a
+    // violation — the three-valued-logic trap WHERE-based checks
+    // silently pass.
+    "q40_quality_gate" -> ((s, d) => {
+      import graft.operators.QualityGate.{audit, Rule}
+      audit(Tables.lineitem(s, d), Seq(
+        Rule("disc_range", col("l_discount").between(0.0, 0.05)),
+        Rule("flag_domain", col("l_returnflag").isin("A", "N", "R")),
+        Rule("line_range", col("l_linenumber").between(1, 7)),
+        Rule("price_positive", col("l_extendedprice") > 0.0),
+        Rule("qty_range", col("l_quantity").between(1.0, 30.0))))
     })
   )
 
@@ -1070,6 +1086,22 @@ object GeneralQueries {
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY ord_sec
         |             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, ord_sec, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, ord_sec, o_orderkey""".stripMargin,
+
+    "q40_quality_gate" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.05, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS disc_range,
+        |  CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS flag_domain,
+        |  CAST(sum(CASE WHEN coalesce(l_linenumber BETWEEN 1 AND 7, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS line_range,
+        |  CAST(sum(CASE WHEN coalesce(l_extendedprice > 0.0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+        |  CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1.0 AND 30.0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS qty_range
+        |  FROM lineitem)
+        |SELECT rule, n_bad, n_rows FROM (
+        |  SELECT 'disc_range' AS rule, disc_range AS n_bad, n_rows FROM t
+        |  UNION ALL SELECT 'flag_domain', flag_domain, n_rows FROM t
+        |  UNION ALL SELECT 'line_range', line_range, n_rows FROM t
+        |  UNION ALL SELECT 'price_positive', price_positive, n_rows FROM t
+        |  UNION ALL SELECT 'qty_range', qty_range, n_rows FROM t)
+        |ORDER BY rule""".stripMargin
   )
 }
