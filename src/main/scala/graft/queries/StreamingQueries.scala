@@ -431,6 +431,50 @@ object StreamingQueries {
       s.table("st09_enriched")
         .select(col("event_id"), col("user_id"), col("n_orders"))
         .orderBy("event_id")
+    }),
+
+    // transformWithState — Spark 4's operator-state API (the successor
+    // to st01's flatMapGroupsWithState): typed ValueState in the
+    // REQUIRED RocksDB provider, mutation separated from emission
+    // (data rows fold into per-key totals; a query row snapshots
+    // them), so intra-batch row order can't touch the answer. Batch 1
+    // streams every event; batch 2 streams one query row per key and
+    // reads back the accumulated totals — st08's aggregate through
+    // explicit operator state instead of the engine's.
+    "st10_transform_with_state" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+      val rows = Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("value_c"))
+        .as[(String, Long)].collect().toSeq
+      val keys = rows.map(_._1).distinct.sorted
+
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Boolean)]
+      try withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDS()
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.RunningTotalsProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("event_type", "n", "sum_value_c")
+          .writeStream.format("memory").queryName("st10_totals")
+          .outputMode("append").start()
+        try {
+          in.addData(rows.map { case (k, v) => (k, v, false) })
+          q.processAllAvailable()
+          in.addData(keys.map(k => (k, 0L, true)))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally {
+        prevProvider.fold(s.conf.unset(providerKey))(v => s.conf.set(providerKey, v))
+      }
+
+      s.table("st10_totals").orderBy("event_type")
     })
   )
 
@@ -533,6 +577,12 @@ object StreamingQueries {
     // complete mode re-emits the FULL aggregate each trigger; the
     // final table is the plain batch aggregate over everything
     "st08_streaming_complete_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the queried operator-state totals are st08's batch aggregate
+    "st10_transform_with_state" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
