@@ -522,6 +522,99 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Driver-side mirror of [[dot]] for literal vectors — same index
+    * order, same double ops.
+    */
+  private def dotOf(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+
+  /** Residual PQ codebooks (the encoding real FAISS IVF-PQ trains):
+    * each SAMPLE vector is assigned to its argmax-cosine centroid with
+    * the exact arithmetic the expression path uses (left-fold dot,
+    * floor(1e6·cos), ties to the smaller centroid id), and its
+    * RESIDUAL v − c — the part the coarse quantizer didn't explain,
+    * which is what's left to compress — is sliced into the M
+    * codebooks. Codes are 0..|sample|-1 in vec-id order.
+    */
+  def residualCodebooks(sample: DataFrame, centroids: DataFrame, m: Int, subDim: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[(Long, Seq[Double])]] = {
+    val cents = centroids.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
+      .sortBy(_._1).toSeq
+    val residuals = sample.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+      .map { case (_, v) =>
+        val nv = normOf(v)
+        // max cos_e6, ties to smaller cid — assignClusters' sort order
+        val (_, cv, _) = cents.minBy { case (cid, c, nc) =>
+          (math.floor(1000000.0 * dotOf(v, c) / (nv * nc)).toLong * -1L, cid)
+        }
+        v.zip(cv).map { case (x, c) => x.toDouble - c.toDouble }.toSeq
+      }
+    (0 until m).map { mi =>
+      residuals.zipWithIndex.map { case (r, code) =>
+        (code.toLong, r.slice(mi * subDim, (mi + 1) * subDim))
+      }
+    }
+  }
+
+  /** v − centroid(cluster) as an array<double> — a literal-centroid
+    * CASE chain, still a pure per-row expression.
+    */
+  private def residualCol(vec: Column, cluster: Column,
+                          cents: Seq[(Long, Seq[Float], Double)]): Column =
+    cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (cid, cv, _)) =>
+      when(cluster === cid,
+        zip_with(vec, typedLit(cv), (x, y) => x.cast("double") - y.cast("double")))
+        .otherwise(acc)
+    }
+
+  /** Squared L2 against a DOUBLE codeword (residuals are already
+    * double) — same fold as [[sqDistLit]].
+    */
+  private def sqDistLitD(sub: Column, w: Seq[Double]): Column =
+    aggregate(
+      zip_with(sub, typedLit(w), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Residual IVF-PQ encode: assign (per-row literal-centroid argmax,
+    * no shuffle), subtract the centroid, quantize THE RESIDUAL per
+    * subspace. One projection start to finish — the encode path of
+    * production FAISS IVF-PQ, where codes capture what the coarse
+    * quantizer missed (tighter reconstruction than x39's raw-vector
+    * codes at the same bit budget).
+    *
+    * Returns (idCol, cluster, subspace, code).
+    */
+  def ivfPqResidualEncode(corpus: DataFrame, centroids: DataFrame,
+                          codebooks: Seq[Seq[(Long, Seq[Double])]], subDim: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
+      .sortBy(_._1).toSeq
+    val assigned = assignClusters(corpus, cents, nprobe = 1, idCol, "v_vec", "v_nrm",
+        idCol, vecCol)
+      .withColumn("resid", residualCol(col("v_vec"), col("cluster"), cents))
+    val subs = array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col("resid"), mi * subDim + 1, subDim)
+      val sorted = array_sort(array(cb.map { case (code, w) =>
+        struct(sqDistLitD(sub, w).as("dist"), lit(code).as("code"))
+      }: _*))
+      struct(lit(mi.toLong).as("subspace"),
+        element_at(sorted, 1).getField("code").as("code"))
+    }: _*)
+    assigned.select(col(idCol), col("cluster"), explode(subs).as("sc"))
+      .select(col(idCol), col("cluster"),
+        col("sc.subspace").as("subspace"), col("sc.code").as("code"))
+  }
+
   /** Full IVF-PQ (FAISS IVFADC): the coarse quantizer prunes the
     * candidate set to the probe's `nprobe` inverted lists — the same
     * literal-centroid per-row assignment [[ivfTopK]] plans, no

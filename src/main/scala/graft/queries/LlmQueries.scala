@@ -763,6 +763,24 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Residual IVF-PQ encode (what production FAISS actually trains):
+    // codes quantize v − centroid — the part the coarse quantizer
+    // missed — giving tighter reconstruction than x39's raw-vector
+    // codes at the same bit budget. Codebooks come from the residuals
+    // of a SEPARATE sample (ids 8..15; the centroid sample's own
+    // residuals are identically zero), computed driver-side with the
+    // exact fold/floor arithmetic the expression path uses. Still one
+    // shuffle-free projection end to end.
+    "x42_pq_residual_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+      val cbs = Similarity.residualCodebooks(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 16), cents, m = 8, subDim = 8)
+      Similarity.ivfPqResidualEncode(
+          Tables.splitForCpu(s, emb, "vec_id"), cents, cbs, subDim = 8)
+        .orderBy("vec_id", "subspace")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1499,6 +1517,44 @@ object LlmQueries {
          |      FROM sc)
          |SELECT probe_id, vec_id, dist_e9, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // self-contained: the oracle recomputes assignment, residuals, and
+    // the residual codebooks (sample ids 8..15, codes in vec-id order)
+    // in SQL — no double literals cross the engine boundary
+    "x42_pq_residual_encode" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |all_sc AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c),
+         |asg AS (
+         |  SELECT vec_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM all_sc) WHERE c_rnk = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.cluster,
+         |         list_transform(range(1, 65),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS r
+         |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
+         |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
+         |        FROM resid WHERE vec_id >= 8 AND vec_id < 16),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |d AS (SELECT t.vec_id, t.cluster, s.m AS subspace, c.code,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               list_transform(range(1, 9),
+         |                 i -> (t.r[s.m*8+i] - c.w[s.m*8+i]) * (t.r[s.m*8+i] - c.w[s.m*8+i]))),
+         |               (acc, x) -> acc + x) AS dist
+         |      FROM resid t, sub s, scb c),
+         |best AS (SELECT vec_id, cluster, subspace, code,
+         |                row_number() OVER (PARTITION BY vec_id, subspace
+         |                                   ORDER BY dist, code) AS rn
+         |         FROM d)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+         |FROM best WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
 
     "x41_ivfpq_topk" -> {
       def cosSql(a: String, b: String) =
