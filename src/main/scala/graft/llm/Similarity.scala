@@ -615,6 +615,45 @@ object Similarity {
         col("sc.subspace").as("subspace"), col("sc.code").as("code"))
   }
 
+  /** Residual IVF-PQ search — [[ivfPqTopK]] with [[ivfPqResidualEncode]]'s
+    * codes: each probe's LUT is computed against ITS residual in each
+    * probed cluster (r_p = p − c_ℓ differs per list, so LUT rows are
+    * keyed (probe, cluster, subspace, code) — |probes|·nprobe·M·ks,
+    * still broadcast-sized). Same plan economics as x41; the residual
+    * arithmetic buys reconstruction accuracy, not plan cost.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+                        codebooks: Seq[Seq[(Long, Seq[Double])]], k: Int, nprobe: Int,
+                        subDim: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
+      .sortBy(_._1).toSeq
+    val codes = ivfPqResidualEncode(corpus, centroids, codebooks, subDim, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val pc = assignClusters(probes, cents, nprobe, "probe_id", "p_vec", "p_nrm",
+        idCol, vecCol)
+      .withColumn("p_resid", residualCol(col("p_vec"), col("cluster"), cents))
+    val entries = array((for {
+      (cb, mi) <- codebooks.zipWithIndex
+      (code, w) <- cb
+    } yield struct(lit(mi.toLong).as("subspace"), lit(code).as("code"),
+      floor(sqDistLitD(slice(col("p_resid"), mi * subDim + 1, subDim), w)
+        * lit(1000000000.0)).cast("long").as("pd_e9"))): _*)
+    val lut = pc.select(col("probe_id"), col("cluster"), explode(entries).as("e"))
+      .select(col("probe_id"), col("cluster"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.pd_e9").as("pd_e9"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist_e9"), col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("cluster", "subspace", "code"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum("pd_e9").as("dist_e9"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Full IVF-PQ (FAISS IVFADC): the coarse quantizer prunes the
     * candidate set to the probe's `nprobe` inverted lists — the same
     * literal-centroid per-row assignment [[ivfTopK]] plans, no

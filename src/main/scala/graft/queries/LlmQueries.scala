@@ -781,6 +781,24 @@ object LlmQueries {
         .orderBy("vec_id", "subspace")
     }),
 
+    // Residual IVF-PQ search — x41's read path over x42's residual
+    // codes: each probe's integer LUT is computed against its residual
+    // in each probed cluster, so LUT rows key on (probe, cluster,
+    // subspace, code) and still broadcast. The complete production
+    // FAISS IVFADC pipeline, exact-oracle-gated end to end.
+    "x43_ivfpq_residual_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+      val cbs = Similarity.residualCodebooks(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 16), cents, m = 8, subDim = 8)
+      Similarity.ivfPqResidualTopK(
+          Tables.splitForCpu(s, emb, "vec_id"),
+          probes = emb.filter(col("vec_id") % 97 === 0),
+          centroids = cents, codebooks = cbs,
+          k = 3, nprobe = 2, subDim = 8)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1554,6 +1572,67 @@ object LlmQueries {
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
          |       CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
          |FROM best WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
+
+    "x43_ivfpq_residual_topk" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |all_sc AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c),
+         |asg AS (
+         |  SELECT vec_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM all_sc) WHERE c_rnk = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.cluster,
+         |         list_transform(range(1, 65),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS r
+         |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
+         |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
+         |        FROM resid WHERE vec_id >= 8 AND vec_id < 16),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |d AS (SELECT t.vec_id, t.cluster, s.m AS subspace, c.code,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               list_transform(range(1, 9),
+         |                 i -> (t.r[s.m*8+i] - c.w[s.m*8+i]) * (t.r[s.m*8+i] - c.w[s.m*8+i]))),
+         |               (acc, x) -> acc + x) AS dist
+         |      FROM resid t, sub s, scb c),
+         |codes AS (SELECT vec_id, cluster, subspace, code FROM (
+         |            SELECT vec_id, cluster, subspace, code,
+         |                   row_number() OVER (PARTITION BY vec_id, subspace
+         |                                      ORDER BY dist, code) AS rn
+         |            FROM d) WHERE rn = 1),
+         |p_asg AS (
+         |  SELECT vec_id AS probe_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM all_sc WHERE vec_id % 97 = 0) WHERE c_rnk <= 2),
+         |p_resid AS (
+         |  SELECT pa.probe_id, pa.cluster,
+         |         list_transform(range(1, 65),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS pr
+         |  FROM p_asg pa JOIN embeddings e ON e.vec_id = pa.probe_id
+         |                JOIN cents c ON c.cent_id = pa.cluster),
+         |lut AS (SELECT t.probe_id, t.cluster, s.m AS subspace, c.code,
+         |               CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                 list_transform(range(1, 9),
+         |                   i -> (t.pr[s.m*8+i] - c.w[s.m*8+i]) * (t.pr[s.m*8+i] - c.w[s.m*8+i]))),
+         |                 (acc, x) -> acc + x) * 1000000000.0) AS BIGINT) AS pd_e9
+         |        FROM p_resid t, sub s, scb c),
+         |sc AS (SELECT l.probe_id, k.vec_id AS neighbor_id,
+         |              CAST(sum(l.pd_e9) AS BIGINT) AS dist_e9
+         |       FROM codes k
+         |       JOIN lut l ON l.cluster = k.cluster
+         |                 AND l.subspace = k.subspace AND l.code = k.code
+         |       WHERE k.vec_id <> l.probe_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY dist_e9, neighbor_id) AS rnk
+         |      FROM sc)
+         |SELECT probe_id, neighbor_id, dist_e9, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
     },
 
     "x41_ivfpq_topk" -> {
