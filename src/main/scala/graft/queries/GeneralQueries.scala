@@ -668,6 +668,34 @@ object GeneralQueries {
         Rule("line_range", col("l_linenumber").between(1, 7)),
         Rule("price_positive", col("l_extendedprice") > 0.0),
         Rule("qty_range", col("l_quantity").between(1.0, 30.0))))
+    }),
+
+    // §2.2 graph pattern — distributed TRIANGLE COUNTING over the
+    // part-co-occurrence graph (parts sharing an order). The classic
+    // a<b<c edge orientation makes every triangle match exactly one
+    // join pattern (no 6x overcount, no same-edge reuse), and turns
+    // the two self-joins into equi-joins whose fan-out is bounded by
+    // out-degree under the ordering — the standard distributed-
+    // triangle trick (at web scale you orient by DEGREE then id,
+    // which provably caps fan-out at O(sqrt(|E|)); id-orientation is
+    // the same plan with a weaker bound). x20's connected components
+    // covers the iterative-graph shape; this is the one-shot
+    // pattern-match shape.
+    "q41_triangles" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= 4)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = pairs.as("x").join(pairs.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+        .localCheckpoint(true) // three consumers — materialize once
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .join(edges.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
     })
   )
 
@@ -1102,6 +1130,17 @@ object GeneralQueries {
         |  UNION ALL SELECT 'line_range', line_range, n_rows FROM t
         |  UNION ALL SELECT 'price_positive', price_positive, n_rows FROM t
         |  UNION ALL SELECT 'qty_range', qty_range, n_rows FROM t)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q41_triangles" ->
+      """WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey
+        |               FROM lineitem WHERE l_linenumber <= 4),
+        |edges AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |          FROM pairs x JOIN pairs y USING (l_orderkey)
+        |          WHERE x.l_partkey < y.l_partkey)
+        |SELECT (SELECT count(*) FROM edges e1
+        |        JOIN edges e2 ON e1.b = e2.a
+        |        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+        |       (SELECT count(*) FROM edges) AS n_edges""".stripMargin
   )
 }
