@@ -50,7 +50,7 @@ object LpmJoin {
 
     // longest = max over a struct ordered by len first; (net, len)
     // uniqueness makes the max unambiguous
-    val m = struct(col(lenCol) +: col(netCol) +: payload.map(col): _*)
+    val m = struct(col(lenCol) +: col(netCol) +: payload.toIndexedSeq.map(col): _*)
     cands.join(broadcast(prefixes), Seq(netCol, lenCol))
       .groupBy(ipCol)
       .agg(max(m).as("m"))

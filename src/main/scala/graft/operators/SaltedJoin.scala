@@ -31,7 +31,7 @@ object SaltedJoin {
             salts: Int): DataFrame = {
     require(salts >= 1, "salts must be positive")
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")
