@@ -799,6 +799,40 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Dataset card — the one-row corpus summary a training-data
+    // release publishes (docs, tokens, vocab, dup rate, language
+    // spread, median length). The projected (id, lang, len, hash)
+    // frame materializes once and feeds every branch. Honest scale
+    // note: the exact global median ranks a single-partition window
+    // over the 3-column frame — fine to ~1e8 docs; a 100 TB card
+    // swaps in q27's mergeable quantile sketch (exactness is an
+    // oracle constraint here, not a product one).
+    "x44_dataset_card" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+          TF.hash60(col("text")).as("h"))
+        .localCheckpoint(true)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        min("n_tokens").as("min_len"), max("n_tokens").as("max_len"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("t"))
+        .agg(count_distinct(col("t")).as("vocab_size"))
+      val dups = docs.groupBy("h").agg(count(lit(1)).as("n"))
+        .agg((sum("n") - count(lit(1))).as("n_dup_docs"))
+      val w = Window.orderBy("n_tokens", "doc_id")
+      val median = docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .filter(col("rn") === ceil(col("n") / lit(2.0)).cast("long"))
+        .select(col("n_tokens").as("median_len"))
+      base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+        .crossJoin(broadcast(median))
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1513,6 +1547,26 @@ object LlmQueries {
         |SELECT q_id, doc_id, CAST(score_e12 AS BIGINT) AS score_e12,
         |       CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x44_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |           FROM documents),
+        |base AS (SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |                min(n_tokens) AS min_len, max(n_tokens) AS max_len
+        |         FROM d),
+        |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab_size
+        |          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |dups AS (SELECT CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
+        |         FROM (SELECT h, count(*) AS n FROM d GROUP BY h)),
+        |med AS (SELECT n_tokens AS median_len FROM (
+        |          SELECT n_tokens,
+        |                 row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+        |                 count(*) OVER () AS n
+        |          FROM d) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+        |SELECT * FROM base, vocab, dups, med""".stripMargin,
 
     "x39_pq_encode" ->
       s"""WITH $pqCodesCtes
