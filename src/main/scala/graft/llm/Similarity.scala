@@ -615,6 +615,46 @@ object Similarity {
         col("sc.subspace").as("subspace"), col("sc.code").as("code"))
   }
 
+  /** Per-vector quantization errors of BOTH coding schemes, e9-floored
+    * per subspace then summed (order-free): `raw_e9` is the squared
+    * reconstruction error of x39-style raw-vector codes, `res_e9` of
+    * x42-style residual codes (centroid + residual codeword). The
+    * per-subspace argmin distance IS the subspace's reconstruction
+    * error, so no decode pass is needed. One shuffle-free projection;
+    * the aggregate comparison (x45) is how a quantizer choice gets
+    * justified with a checked number instead of a claim.
+    */
+  def pqReconErrors(corpus: DataFrame, centroids: DataFrame,
+                    rawCbs: Seq[Seq[(Long, Seq[Float])]],
+                    resCbs: Seq[Seq[(Long, Seq[Double])]], subDim: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
+      .sortBy(_._1).toSeq
+    def minDistE9(arr: Column, cb: Seq[(Long, _ <: Seq[AnyVal])], mi: Int,
+                  double: Boolean): Column = {
+      val sub = slice(arr, mi * subDim + 1, subDim)
+      val dists = array(cb.map { case (_, w) =>
+        if (double) sqDistLitD(sub, w.asInstanceOf[Seq[Double]])
+        else sqDistLit(sub, w.asInstanceOf[Seq[Float]])
+      }: _*)
+      floor(array_min(dists) * lit(1000000000.0)).cast("long")
+    }
+    val assigned = assignClusters(corpus, cents, nprobe = 1, idCol, "v_vec", "v_nrm",
+        idCol, vecCol)
+      .withColumn("resid", residualCol(col("v_vec"), col("cluster"), cents))
+    val rawSum = rawCbs.zipWithIndex
+      .map { case (cb, mi) => minDistE9(col("v_vec"), cb, mi, double = false) }
+      .reduce(_ + _)
+    val resSum = resCbs.zipWithIndex
+      .map { case (cb, mi) => minDistE9(col("resid"), cb, mi, double = true) }
+      .reduce(_ + _)
+    assigned.select(col(idCol), rawSum.as("raw_e9"), resSum.as("res_e9"))
+  }
+
   /** Residual IVF-PQ search — [[ivfPqTopK]] with [[ivfPqResidualEncode]]'s
     * codes: each probe's LUT is computed against ITS residual in each
     * probed cluster (r_p = p − c_ℓ differs per list, so LUT rows are

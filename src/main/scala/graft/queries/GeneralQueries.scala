@@ -696,6 +696,26 @@ object GeneralQueries {
           col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       tri.agg(count(lit(1)).as("n_triangles"))
         .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // §2.2 set ops — schema-evolving union: unionByName with
+    // allowMissingColumns aligns by NAME (q08's positional union is
+    // the other semantics) and null-fills columns one epoch lacks —
+    // how heterogeneous snapshots append at scale without positional
+    // bugs. Aggregated so the oracle pins both the alignment and the
+    // null-fill.
+    "q42_union_by_name" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y96 = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_custkey"),
+          asInt(col("o_totalprice"), 2).as("price_c"))
+      val y97 = o.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey"), col("o_orderkey")) // reordered, price_c absent
+      y96.unionByName(y97, allowMissingColumns = true)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(coalesce(col("price_c"), lit(0L))).as("sum_price_c"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -1141,6 +1161,16 @@ object GeneralQueries {
         |SELECT (SELECT count(*) FROM edges e1
         |        JOIN edges e2 ON e1.b = e2.a
         |        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
-        |       (SELECT count(*) FROM edges) AS n_edges""".stripMargin
+        |       (SELECT count(*) FROM edges) AS n_edges""".stripMargin,
+
+    "q42_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders WHERE year(o_orderdate) = 1996
+        |  UNION ALL BY NAME
+        |  SELECT o_custkey, o_orderkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(coalesce(price_c, 0)) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

@@ -833,6 +833,23 @@ object LlmQueries {
         .crossJoin(broadcast(median))
     }),
 
+    // Quantizer justification as a CHECKED NUMBER: total squared
+    // reconstruction error of raw-vector codes (x39) vs residual
+    // codes (x42) at the same bit budget, e9-floored per subspace
+    // then integer-summed. The per-subspace argmin distance IS the
+    // reconstruction error, so no decode pass exists in the plan.
+    "x45_pq_error" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+      val rawCbs = Similarity.pqCodebooks(cents, m = 8, subDim = 8)
+      val resCbs = Similarity.residualCodebooks(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 16), cents, m = 8, subDim = 8)
+      Similarity.pqReconErrors(
+          Tables.splitForCpu(s, emb, "vec_id"), cents, rawCbs, resCbs, subDim = 8)
+        .agg(sum("raw_e9").as("raw_err_e9"), sum("res_e9").as("res_err_e9"),
+          count(lit(1)).as("n_vecs"))
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1567,6 +1584,43 @@ object LlmQueries {
         |                 count(*) OVER () AS n
         |          FROM d) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
         |SELECT * FROM base, vocab, dups, med""".stripMargin,
+
+    "x45_pq_error" -> {
+      def cosSql(a: String, b: String) =
+        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+      s"""WITH $pqCodesCtes,
+         |cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |all_sc AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM embeddings e, cents c),
+         |asg AS (
+         |  SELECT vec_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM all_sc) WHERE c_rnk = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.cluster,
+         |         list_transform(range(1, 65),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS r
+         |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
+         |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
+         |        FROM resid WHERE vec_id >= 8 AND vec_id < 16),
+         |rd AS (SELECT t.vec_id, s.m AS subspace, c.code,
+         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, 9),
+         |                  i -> (t.r[s.m*8+i] - c.w[s.m*8+i]) * (t.r[s.m*8+i] - c.w[s.m*8+i]))),
+         |                (acc, x) -> acc + x) AS dist
+         |       FROM resid t, sub s, scb c),
+         |rawmin AS (SELECT vec_id, subspace,
+         |                  CAST(floor(min(dist) * 1000000000.0) AS BIGINT) AS e9
+         |           FROM pq_d GROUP BY 1, 2),
+         |resmin AS (SELECT vec_id, subspace,
+         |                  CAST(floor(min(dist) * 1000000000.0) AS BIGINT) AS e9
+         |           FROM rd GROUP BY 1, 2)
+         |SELECT (SELECT CAST(sum(e9) AS BIGINT) FROM rawmin) AS raw_err_e9,
+         |       (SELECT CAST(sum(e9) AS BIGINT) FROM resmin) AS res_err_e9,
+         |       (SELECT count(*) FROM embeddings) AS n_vecs""".stripMargin
+    },
 
     "x39_pq_encode" ->
       s"""WITH $pqCodesCtes
