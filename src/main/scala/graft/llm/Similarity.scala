@@ -584,9 +584,11 @@ object Similarity {
   /** Residual IVF-PQ encode: assign (per-row literal-centroid argmax,
     * no shuffle), subtract the centroid, quantize THE RESIDUAL per
     * subspace. One projection start to finish — the encode path of
-    * production FAISS IVF-PQ, where codes capture what the coarse
-    * quantizer missed (tighter reconstruction than x39's raw-vector
-    * codes at the same bit budget).
+    * production FAISS IVF-PQ. Residual codes win when the coarse
+    * quantizer explains real variance (clustered corpora); on data
+    * with no cluster structure they can lose to raw-vector codes —
+    * which is measurable, not arguable: [[pqReconErrors]] (x45)
+    * returns both schemes' reconstruction error as checked integers.
     *
     * Returns (idCol, cluster, subspace, code).
     */

@@ -764,13 +764,17 @@ object LlmQueries {
     }),
 
     // Residual IVF-PQ encode (what production FAISS actually trains):
-    // codes quantize v − centroid — the part the coarse quantizer
-    // missed — giving tighter reconstruction than x39's raw-vector
-    // codes at the same bit budget. Codebooks come from the residuals
-    // of a SEPARATE sample (ids 8..15; the centroid sample's own
-    // residuals are identically zero), computed driver-side with the
-    // exact fold/floor arithmetic the expression path uses. Still one
-    // shuffle-free projection end to end.
+    // codes quantize v − centroid, the part the coarse quantizer
+    // missed. Worth it exactly when the centroids explain real
+    // variance — x45 measures both schemes' reconstruction error as
+    // checked integers (on this corpus' unclustered synthetic
+    // vectors, raw codes win; on clustered data the residual form
+    // does — the POINT is that the engine decides by measurement).
+    // Codebooks come from the residuals of a SEPARATE sample (ids
+    // 8..15; the centroid sample's own residuals are identically
+    // zero), computed driver-side with the exact fold/floor
+    // arithmetic the expression path uses. One shuffle-free
+    // projection end to end.
     "x42_pq_residual_encode" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") < 8)
