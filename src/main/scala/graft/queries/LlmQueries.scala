@@ -854,6 +854,24 @@ object LlmQueries {
           count(lit(1)).as("n_vecs"))
     }),
 
+    // Mixture-weight sampling — the data-mixing step of a corpus
+    // build (wiki ×3, CC ×0.3, ...): per-source keep-rates applied by
+    // SEEDED HASH, not rand() — reproducible across runs, executors,
+    // and engines, and a doc's fate never depends on partitioning
+    // (x21/q21's hash-sample discipline, lifted to per-group rates).
+    // The per-source rate itself derives from the source name here so
+    // the oracle can recompute it; production passes a weights map.
+    // One scan, one group-by; the kept set needs no second pass.
+    "x46_mixture_sample" -> ((s, d) => {
+      val w = TF.hash60(col("source")) % 9L * 100L + 100L // 100..900 per-mille
+      val keep = TF.hash60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000L < w
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("source"), w.as("w_permille"), keep.cast("long").as("kept"))
+        .groupBy("source", "w_permille")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+        .orderBy("source")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1588,6 +1606,17 @@ object LlmQueries {
         |                 count(*) OVER () AS n
         |          FROM d) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
         |SELECT * FROM base, vocab, dups, med""".stripMargin,
+
+    "x46_mixture_sample" ->
+      s"""WITH d AS (SELECT source,
+         |                  ${dH("source")} % 9 * 100 + 100 AS w_permille,
+         |                  CASE WHEN ${dH("('mix:' || CAST(doc_id AS VARCHAR))")} % 1000
+         |                            < ${dH("source")} % 9 * 100 + 100
+         |                       THEN 1 ELSE 0 END AS kept
+         |           FROM documents)
+         |SELECT source, CAST(w_permille AS BIGINT) AS w_permille,
+         |       count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept
+         |FROM d GROUP BY source, w_permille ORDER BY source""".stripMargin,
 
     "x45_pq_error" -> {
       def cosSql(a: String, b: String) =
