@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{MinHashSig, ParseIpv4}
+import graft.functions.{MinHashSig, ParseIpv4, ShingleGen}
 
 /** Engine extensions installed through the public
   * `SparkSessionExtensions` hook (usable via
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "minhash_sig expects exactly one argument")
         MinHashSig(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_gen"),
+      new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleGen.fromArgs(args)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

@@ -872,6 +872,23 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // The native GENERATOR (UDTF) through the SQL registry: LATERAL
+    // VIEW shingle_gen fuses tokenize → shingle → posexplode into one
+    // per-row pass (no intermediate arrays in the plan), exercising
+    // the third and last extension injection surface (scalar expr =
+    // parse_ipv4/x13's path, aggregate = TopKAggregator, generator =
+    // this). ShingleGenSpec pins parity with the composed
+    // posexplode(wordShingles(...)) form.
+    "x47_shingle_gen" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("v_docs")
+      s.sql("""
+        SELECT doc_id, t.pos, t.shingle
+        FROM v_docs LATERAL VIEW shingle_gen(text, 2) t AS pos, shingle
+        WHERE doc_id % 10 = 0
+        ORDER BY doc_id, pos
+      """)
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1606,6 +1623,16 @@ object LlmQueries {
         |                 count(*) OVER () AS n
         |          FROM d) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
         |SELECT * FROM base, vocab, dups, med""".stripMargin,
+
+    "x47_shingle_gen" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE doc_id % 10 = 0),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(t)),
+        |                    i -> struct_pack(pos := i - 1, shingle := t[i] || ' ' || t[i+1]))) AS e
+        |      FROM toks)
+        |SELECT doc_id, CAST(e.pos AS BIGINT) AS pos, e.shingle AS shingle
+        |FROM g ORDER BY doc_id, pos""".stripMargin,
 
     "x46_mixture_sample" ->
       s"""WITH d AS (SELECT source,

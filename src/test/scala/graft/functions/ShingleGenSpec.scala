@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.llm.{TextFunctions => TF}
+
+class ShingleGenSpec extends AnyFunSuite with SparkTestSession {
+
+  test("shingle_gen matches posexplode(wordShingles) exactly, edge cases included") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "solo"),          // below w: no rows
+      (3L, ""),              // empty: no rows
+      (4L, "x  y"),          // doubled space -> empty middle token, like split
+      (5L, "p q")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sg_docs")
+
+    val viaGen = spark.sql(
+      """SELECT doc_id, t.pos, t.shingle
+        |FROM sg_docs LATERAL VIEW shingle_gen(text, 2) t AS pos, shingle""".stripMargin)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+    val viaComposed = docs
+      .select(col("doc_id"),
+        posexplode(TF.wordShingles(TF.tokens(col("text")), 2)).as(Seq("pos", "shingle")))
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+
+    assert(viaGen.toSeq === viaComposed.toSeq)
+    assert(viaGen.count(_._1 == 1L) === 3) // "a b","b c","c d"
+    assert(viaGen.count(_._1 == 2L) === 0)
+    assert(viaGen.count(_._1 == 3L) === 0)
+    assert(viaGen.filter(_._1 == 4L).map(_._3).toSeq === Seq("x ", " y")) // split-like empties
+  }
+
+  test("width must be a literal; strings only") {
+    val s = spark; import s.implicits._
+    Seq((1L, "a b")).toDF("doc_id", "text").createOrReplaceTempView("sg_docs2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT t.* FROM sg_docs2 LATERAL VIEW shingle_gen(text, doc_id) t").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal") ||
+      e.getMessage.toLowerCase.contains("shingle"))
+  }
+}
