@@ -889,6 +889,21 @@ object LlmQueries {
       """)
     }),
 
+    // Feature hashing (the HashingTF trick, as plain SQL): tokens
+    // hash into a FIXED 16-dim space — no vocabulary build, no
+    // fit/transform state, which is why the hashing trick scales
+    // where a dictionary vectorizer needs a global vocab pass. Long
+    // (doc, dim, weight) form rather than array columns so the oracle
+    // hashes scalars. Feeds a downstream linear quality classifier
+    // the way x07's hand rules do, but learned-weight-ready.
+    "x48_hashing_tf" -> ((s, d) => {
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), pmod(TF.hash60(col("token")), lit(16L)).as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("weight"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1623,6 +1638,11 @@ object LlmQueries {
         |                 count(*) OVER () AS n
         |          FROM d) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
         |SELECT * FROM base, vocab, dups, med""".stripMargin,
+
+    "x48_hashing_tf" ->
+      s"""SELECT doc_id, ${dH("token")} % 16 AS dim, count(*) AS weight
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
 
     "x47_shingle_gen" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
