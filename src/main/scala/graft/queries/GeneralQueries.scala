@@ -716,6 +716,29 @@ object GeneralQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(coalesce(col("price_c"), lit(0L))).as("sum_price_c"))
         .orderBy("o_custkey")
+    }),
+
+    // §2.2 windows — ratio-to-report (percent-of-total): each
+    // nation's share of its region's revenue, as an exact integer
+    // ratio (part*1e6 DIV whole — no float division to disagree on).
+    // The unbounded-partition window reuses the groupBy's hash
+    // partitioning, so share computation adds no exchange beyond the
+    // aggregate's own.
+    "q43_ratio_to_report" -> ((s, d) => {
+      val rev = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(asInt(col("o_totalprice"), 2)).as("rev_c"))
+      val w = Window.partitionBy("r_name")
+      rev
+        .withColumn("region_rev_c", sum("rev_c").over(w))
+        .withColumn("share_e6", expr("(rev_c * 1000000) DIV region_rev_c"))
+        .orderBy("r_name", "n_name")
     })
   )
 
@@ -1171,6 +1194,20 @@ object GeneralQueries {
         |  SELECT o_custkey, o_orderkey FROM orders WHERE year(o_orderdate) = 1997)
         |SELECT o_custkey, count(*) AS n_orders,
         |       CAST(sum(coalesce(price_c, 0)) AS BIGINT) AS sum_price_c
-        |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q43_ratio_to_report" ->
+      """WITH rev AS (
+        |  SELECT r.r_name, n.n_name,
+        |         CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name)
+        |SELECT r_name, n_name, rev_c,
+        |       CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev_c,
+        |       CAST((rev_c * 1000000) // sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS share_e6
+        |FROM rev ORDER BY r_name, n_name""".stripMargin
   )
 }
