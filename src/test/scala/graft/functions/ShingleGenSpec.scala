@@ -37,6 +37,32 @@ class ShingleGenSpec extends AnyFunSuite with SparkTestSession {
     assert(viaGen.filter(_._1 == 4L).map(_._3).toSeq === Seq("x ", " y")) // split-like empties
   }
 
+  test("parity with the composed form over 200 seeded adversarial strings (w=2 and w=3)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab ", "αβ ", "日本語 ", "a  b\tc ", " x ")
+    val docs = (1L to 200L).map { i =>
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val len = rnd.nextInt(30)
+      (i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sg_prop_docs")
+
+    for (w <- Seq(2, 3)) {
+      val viaGen = spark.sql(
+        s"""SELECT doc_id, t.pos, t.shingle
+           |FROM sg_prop_docs LATERAL VIEW shingle_gen(text, $w) t AS pos, shingle""".stripMargin)
+        .orderBy("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val viaComposed = docs
+        .select(col("doc_id"),
+          posexplode(TF.wordShingles(TF.tokens(col("text")), w)).as(Seq("pos", "shingle")))
+        .orderBy("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+      assert(viaGen.toSeq === viaComposed.toSeq, s"divergence at w=$w")
+    }
+  }
+
   test("width must be a literal; strings only") {
     val s = spark; import s.implicits._
     Seq((1L, "a b")).toDF("doc_id", "text").createOrReplaceTempView("sg_docs2")
