@@ -33,6 +33,29 @@ class QualityGateSpec extends AnyFunSuite with SparkTestSession {
     assert("Expand".r.findAllIn(plan).size === 1, plan) // the unpivot melt
   }
 
+  test("audit totals equal flag-level counts over 300 seeded random rows") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map { i =>
+      (i, if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextLong() % 100L),
+        rnd.alphanumeric.take(rnd.nextInt(3)).mkString)
+    }.toDF("id", "v", "s")
+    val rs = Seq(
+      Rule("v_pos", col("v") > 0L),
+      Rule("s_nonempty", length(col("s")) > 0),
+      Rule("id_small", col("id") <= 150L))
+    val audited = audit(rows, rs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flagged = flag(rows, rs)
+      .select(explode(col("violations")).as("rule"))
+      .groupBy("rule").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audited.filter(_._2 > 0L) === flagged)
+    val (valid, bad) = split(rows, rs)
+    assert(valid.count() + bad.count() === 300L)
+  }
+
   test("flag/split: per-row violation lists; quarantine keeps reasons") {
     val flagged = flag(data, rules).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getSeq[String](r.fieldIndex("violations")).toSeq))
