@@ -721,9 +721,10 @@ object GeneralQueries {
     // §2.2 windows — ratio-to-report (percent-of-total): each
     // nation's share of its region's revenue, as an exact integer
     // ratio (part*1e6 DIV whole — no float division to disagree on).
-    // The unbounded-partition window reuses the groupBy's hash
-    // partitioning, so share computation adds no exchange beyond the
-    // aggregate's own.
+    // The share window re-shuffles on r_name (the aggregate's
+    // (r_name, n_name) partitioning doesn't satisfy it) — but it
+    // shuffles the POST-aggregate frame, |nations| rows, which is the
+    // point: compute shares after reduction, never over raw facts.
     "q43_ratio_to_report" -> ((s, d) => {
       val rev = Tables.customer(s, d)
         .join(Tables.orders(s, d),
