@@ -27,11 +27,25 @@ object QualityGate {
   private def violated(r: Rule): Column =
     when(coalesce(r.holds, lit(false)), lit(0L)).otherwise(lit(1L))
 
-  /** (rule, n_bad, n_rows) per rule, rule-name ordered. */
+  private val ReservedNames = Set("rule", "n_bad", "n_rows", "violations")
+
+  private def checkRuleNames(rules: Seq[Rule]): Unit = {
+    require(rules.nonEmpty, "need at least one rule")
+    val dup = rules.groupBy(_.name).collectFirst { case (n, rs) if rs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate rule name: ${dup.get}")
+    val clash = rules.map(_.name).find(ReservedNames)
+    require(clash.isEmpty, s"rule name '${clash.get}' collides with an output column")
+  }
+
+  /** (rule, n_bad, n_rows) per rule, rule-name ordered. An empty
+    * input audits as 0 violations per rule (coalesce'd — sum over
+    * zero rows is NULL, and an empty ingest partition is a normal
+    * thing to audit).
+    */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty, "audit needs at least one rule")
+    checkRuleNames(rules)
     val aggs = count(lit(1)).as("n_rows") +:
-      rules.map(r => sum(violated(r)).as(r.name))
+      rules.map(r => coalesce(sum(violated(r)), lit(0L)).as(r.name))
     df.agg(aggs.head, aggs.tail: _*)
       .unpivot(Array(col("n_rows")), rules.map(r => col(r.name)).toArray,
         "rule", "n_bad")
@@ -40,10 +54,13 @@ object QualityGate {
   }
 
   /** The input plus a `violations` array<string> of failed rule names
-    * (empty = valid row). Pure projection.
+    * (empty = valid row). Pure projection. Refuses a frame that
+    * already has a `violations` column rather than clobbering it.
     */
   def flag(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty, "flag needs at least one rule")
+    checkRuleNames(rules)
+    require(!df.columns.contains("violations"),
+      "input already has a 'violations' column — rename it before flagging")
     val marks = array(rules.map { r =>
       when(coalesce(r.holds, lit(false)), lit(null).cast("string"))
         .otherwise(lit(r.name))

@@ -37,6 +37,11 @@ object LlmQueries {
   private def dDot(a: String, b: String) =
     dSum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
 
+  /** DuckDB rendering of Similarity.cosineE6 (floored e6 long). */
+  private def cosSql(a: String, b: String) =
+    s"""CAST(floor(1000000.0 * ${dDot(a, b)}
+       |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
+
   private val enStops = TF.LangProfiles.head._2
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -954,6 +959,30 @@ object LlmQueries {
        |            FROM pq_d),
        |codes AS (SELECT vec_id, subspace, code FROM pq_best WHERE rn = 1)""".stripMargin
 
+  /** CTEs `cents` / `all_sc` / `asg` / `resid` / `scb` — coarse
+    * assignment, per-vector residuals, and the residual codebooks
+    * (sample ids 8..15, codes in vec-id order): the DuckDB rendering
+    * of Similarity.residualCodebooks + the residual half of
+    * ivfPqResidualEncode. Shared by the x42/x43/x45 oracles so the
+    * arithmetic can't drift between them.
+    */
+  private val residCtes: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+       |all_sc AS (
+       |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+       |  FROM embeddings e, cents c),
+       |asg AS (
+       |  SELECT vec_id, cent_id AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+       |    FROM all_sc) WHERE c_rnk = 1),
+       |resid AS (
+       |  SELECT e.vec_id, a.cluster,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS r
+       |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
+       |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
+       |        FROM resid WHERE vec_id >= 8 AND vec_id < 16)""".stripMargin
+
   private val sigSql: String =
     "[" + (0 until K).map { i =>
       s"list_min(list_transform(hs, h -> (${TF.MinHashA(i)}*h+${TF.MinHashB(i)})%$P))"
@@ -1255,9 +1284,6 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x27_ivf_lloyd" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
       // one Lloyd round as CTEs: assignment against `cents` + e6 dims
       def roundCtes(cents: String, n: Int) =
         s"""sc$n AS (
@@ -1342,9 +1368,6 @@ object LlmQueries {
          |WHERE cos_e6 >= 250000 ORDER BY vec_a, vec_b""".stripMargin,
 
     "x24_ivf_refine" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
          |corpus_sc AS (
          |  SELECT e.vec_id, e.embedding, c.cent_id,
@@ -1366,9 +1389,6 @@ object LlmQueries {
     },
 
     "x16_ivf_topk" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
          |corpus_sc AS (
          |  SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, c.cent_id,
@@ -1400,9 +1420,6 @@ object LlmQueries {
     },
 
     "x17_ivf_multiprobe" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
          |corpus_sc AS (
          |  SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, c.cent_id,
@@ -1666,25 +1683,8 @@ object LlmQueries {
          |FROM d GROUP BY source, w_permille ORDER BY source""".stripMargin,
 
     "x45_pq_error" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
       s"""WITH $pqCodesCtes,
-         |cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
-         |all_sc AS (
-         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
-         |  FROM embeddings e, cents c),
-         |asg AS (
-         |  SELECT vec_id, cent_id AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
-         |    FROM all_sc) WHERE c_rnk = 1),
-         |resid AS (
-         |  SELECT e.vec_id, a.cluster,
-         |         list_transform(range(1, 65),
-         |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS r
-         |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
-         |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
-         |        FROM resid WHERE vec_id >= 8 AND vec_id < 16),
+         |$residCtes,
          |rd AS (SELECT t.vec_id, s.m AS subspace, c.code,
          |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |                list_transform(range(1, 9),
@@ -1728,24 +1728,7 @@ object LlmQueries {
     // the residual codebooks (sample ids 8..15, codes in vec-id order)
     // in SQL — no double literals cross the engine boundary
     "x42_pq_residual_encode" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
-         |all_sc AS (
-         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
-         |  FROM embeddings e, cents c),
-         |asg AS (
-         |  SELECT vec_id, cent_id AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
-         |    FROM all_sc) WHERE c_rnk = 1),
-         |resid AS (
-         |  SELECT e.vec_id, a.cluster,
-         |         list_transform(range(1, 65),
-         |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS r
-         |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
-         |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
-         |        FROM resid WHERE vec_id >= 8 AND vec_id < 16),
+      s"""WITH $residCtes,
          |sub AS (SELECT unnest(range(0, 8)) AS m),
          |d AS (SELECT t.vec_id, t.cluster, s.m AS subspace, c.code,
          |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1763,24 +1746,7 @@ object LlmQueries {
     },
 
     "x43_ivfpq_residual_topk" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
-         |all_sc AS (
-         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
-         |  FROM embeddings e, cents c),
-         |asg AS (
-         |  SELECT vec_id, cent_id AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
-         |    FROM all_sc) WHERE c_rnk = 1),
-         |resid AS (
-         |  SELECT e.vec_id, a.cluster,
-         |         list_transform(range(1, 65),
-         |           i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS r
-         |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
-         |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
-         |        FROM resid WHERE vec_id >= 8 AND vec_id < 16),
+      s"""WITH $residCtes,
          |sub AS (SELECT unnest(range(0, 8)) AS m),
          |d AS (SELECT t.vec_id, t.cluster, s.m AS subspace, c.code,
          |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1824,9 +1790,6 @@ object LlmQueries {
     },
 
     "x41_ivfpq_topk" -> {
-      def cosSql(a: String, b: String) =
-        s"""CAST(floor(1000000.0 * ${dDot(a, b)}
-           |              / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) AS BIGINT)""".stripMargin
       s"""WITH $pqCodesCtes,
          |cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
          |corpus_sc AS (

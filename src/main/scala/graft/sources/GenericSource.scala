@@ -117,11 +117,14 @@ object GenericSource {
     * ingest layout needs: streaming sinks and per-batch appends leave
     * thousands of KB-sized files, and at scale the NameNode/listing
     * pressure plus per-file task overhead dominate reads. Rewrites
-    * `inPath` to `outPath` with file count = ceil(bytes /
-    * targetFileBytes) (floor 1), preserving rows and schema; distinct
+    * `inPath` to `outPath` with file count = min(ceil(bytes /
+    * targetFileBytes), scan partitions) (floor 1) — coalesce can
+    * MERGE partitions but never split them, so a directory of a few
+    * oversized files stays at its scan-partition count rather than
+    * being shuffled apart (splitting a monolith is a repartition job,
+    * not compaction). Returns the count actually written. Distinct
     * paths because an in-place overwrite of a live directory isn't
-    * atomic on object stores. Uses coalesce (no shuffle): compaction
-    * packs existing partitions; it doesn't need a re-hash.
+    * atomic on object stores; no shuffle by construction.
     */
   def compact(spark: SparkSession, format: Format, inPath: String, outPath: String,
               targetFileBytes: Long = 128L << 20): Long = {
@@ -129,13 +132,14 @@ object GenericSource {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     val df = format match {
       case Parquet => spark.read.parquet(inPath)
       case Orc => spark.read.orc(inPath)
       case f => throw new IllegalArgumentException(
         s"compact self-describing columnar data (parquet/orc), not ${f.name}")
     }
+    val nFiles = math.min(target, df.rdd.getNumPartitions.toLong.max(1L)).toInt
     write(df.coalesce(nFiles), format, outPath)
     nFiles.toLong
   }

@@ -40,15 +40,19 @@ object IdempotentSink {
     }
   }
 
-  /** Batch ids with a commit marker, ascending. */
+  /** Batch ids with a commit marker, ascending. Stray files that
+    * merely LOOK like markers (backup-tool suffixes, manual touches)
+    * are ignored — a malformed name must not take down every reader
+    * of the committed view.
+    */
   def committedBatches(spark: org.apache.spark.sql.SparkSession,
                        outDir: String): Seq[Long] = {
     val dir = new Path(outDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Marker = "_committed_(\\d+)".r
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("_committed_") =>
-        n.stripPrefix("_committed_").toLong }
+      .collect { case Marker(id) => id.toLong }
       .sorted
   }
 

@@ -56,6 +56,19 @@ class QualityGateSpec extends AnyFunSuite with SparkTestSession {
     assert(valid.count() + bad.count() === 300L)
   }
 
+  test("empty input audits as zero violations; reserved/duplicate rule names refused") {
+    val empty = data.filter(col("id") < 0L)
+    val got = audit(empty, rules).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("s_short", 0L, 0L), ("v_pos", 0L, 0L)))
+    intercept[IllegalArgumentException] { audit(data, Seq(Rule("n_rows", col("v") > 0L))) }
+    intercept[IllegalArgumentException] {
+      audit(data, Seq(Rule("a", col("v") > 0L), Rule("a", col("v") < 9L)))
+    }
+    intercept[IllegalArgumentException] {
+      flag(data.withColumn("violations", lit("x")), rules)
+    }
+  }
+
   test("flag/split: per-row violation lists; quarantine keeps reasons") {
     val flagged = flag(data, rules).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getSeq[String](r.fieldIndex("violations")).toSeq))

@@ -115,5 +115,12 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       GenericSource.compact(spark, GenericSource.Parquet, in, in)
     }
+    // a tiny target can't make coalesce SPLIT: the count is capped at
+    // the scan's partition count and the return value reports reality
+    val out2 = base + "/out2"
+    val n2 = GenericSource.compact(spark, GenericSource.Parquet, out, out2,
+      targetFileBytes = 1L)
+    val files2 = new java.io.File(out2).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n2.toInt === files2)
   }
 }

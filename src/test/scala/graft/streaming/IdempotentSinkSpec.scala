@@ -32,6 +32,10 @@ class IdempotentSinkSpec extends AnyFunSuite with SparkTestSession {
     // a half-written UNCOMMITTED attempt (data, no marker) is invisible
     Seq(99L).toDF("v").write.mode("overwrite").parquet(s"$out/batch=2")
     assert(IdempotentSink.committedBatches(spark, out) === Seq(0L, 1L))
+    // stray marker-lookalikes (backup suffixes) are ignored, not fatal
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_committed_0.bak"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_committed_tmp"))
+    assert(IdempotentSink.committedBatches(spark, out) === Seq(0L, 1L))
     assert(IdempotentSink.readCommitted(spark, out).count() === 5L)
     // the re-run of that batch overwrites the partial and commits it
     IdempotentSink.writer(out)(Seq(6L).toDF("v"), 2L)
