@@ -410,7 +410,10 @@ object GeneralQueries {
     // (both engines compute the identical interleave from the shared
     // constants, like the simhash/minhash oracles).
     "q32_zorder_key" -> ((s, d) => {
-      val zx = col("user_id")
+      // zkeySql's contract: inputs PRE-range-reduced to [0, 2^bits) —
+      // zkey's clamp and SQL's bit-slice agree only then (raw user_id
+      // broke this exactly when ids crossed 1024, i.e. only at sf0.1+)
+      val zx = col("user_id") % 1024
       val zy = floor(col("value") * 100).cast("long") % 1024
       Tables.events(s, d)
         .select(col("event_id"), zx.as("zx"), zy.as("zy"),
@@ -871,9 +874,9 @@ object GeneralQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q32_zorder_key" ->
-      s"""SELECT event_id, user_id AS zx,
+      s"""SELECT event_id, (user_id % 1024) AS zx,
          |       (CAST(floor(value * 100) AS BIGINT) % 1024) AS zy,
-         |       ${ZOrder.zkeySql(Seq("user_id", "(CAST(floor(value * 100) AS BIGINT) % 1024)"), bits = 10)} AS zkey
+         |       ${ZOrder.zkeySql(Seq("(user_id % 1024)", "(CAST(floor(value * 100) AS BIGINT) % 1024)"), bits = 10)} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
 
     "q34_snapshot_merge" ->
