@@ -53,6 +53,23 @@ object QualityGate {
       .orderBy("rule")
   }
 
+  /** [[audit]]'s counters collected DURING the caller's own action
+    * (write, count, collect) via the Observation API — zero extra
+    * scans, which is the difference between "we audit every batch"
+    * and "we audit when someone pays for it" at 100 TB. Use:
+    * `val (out, obs) = auditDuring(df, rules); out.write.parquet(p);
+    * obs.get` → n_rows + per-rule violation counts of exactly the
+    * rows the action processed.
+    */
+  def auditDuring(df: DataFrame, rules: Seq[Rule])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    checkRuleNames(rules)
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = count(lit(1)).as("n_rows") +:
+      rules.map(r => coalesce(sum(violated(r)), lit(0L)).as(r.name))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** The input plus a `violations` array<string> of failed rule names
     * (empty = valid row). Pure projection. Refuses a frame that
     * already has a `violations` column rather than clobbering it.

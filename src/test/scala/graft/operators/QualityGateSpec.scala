@@ -69,6 +69,16 @@ class QualityGateSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("auditDuring: metrics ride the caller's action and match audit()") {
+    val dir = java.nio.file.Files.createTempDirectory("qg_obs").toString + "/out"
+    val (out, obs) = QualityGate.auditDuring(data, rules)
+    out.write.mode("overwrite").parquet(dir) // the only action that runs
+    val m = obs.get
+    assert(m("n_rows") === 4L && m("v_pos") === 3L && m("s_short") === 1L)
+    // and the write really happened with all rows
+    assert(spark.read.parquet(dir).count() === 4L)
+  }
+
   test("flag/split: per-row violation lists; quarantine keeps reasons") {
     val flagged = flag(data, rules).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getSeq[String](r.fieldIndex("violations")).toSeq))
