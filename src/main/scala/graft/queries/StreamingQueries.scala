@@ -475,6 +475,41 @@ object StreamingQueries {
       }
 
       s.table("st10_totals").orderBy("event_type")
+    }),
+
+    // FILE streaming source + Trigger.AvailableNow — the incremental-
+    // batch ingest pattern (st01–st10 feed MemoryStream; this points
+    // the engine's own file source at the parquet landing path,
+    // schema-pinned like any production lake stream): drain all files
+    // present, aggregate, stop. Complete output mode so the final
+    // table is the full aggregate; the checkpoint's file log is what
+    // makes a SECOND run incremental (FileStreamSpec proves that
+    // half — one run is enough for the oracle).
+    "st11_file_stream_agg" -> ((s, d) => {
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.streaming.Trigger
+
+      withShufflePartitions(s, StreamPartitions) {
+        // ts declared BIGINT: the session reads TIMESTAMP(NANOS)
+        // parquet as long nanos (GraftSession's nanosAsLong). The file
+        // source's base path must be a DIRECTORY — the landing dir is
+        // the sf dir with a glob pinning this stream to its table.
+        val q = s.readStream
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+          .writeStream.format("memory").queryName("st11_totals")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(120000L) finally q.stop()
+      }
+
+      s.table("st11_totals").orderBy("event_type")
     })
   )
 
@@ -577,6 +612,12 @@ object StreamingQueries {
     // complete mode re-emits the FULL aggregate each trigger; the
     // final table is the plain batch aggregate over everything
     "st08_streaming_complete_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // draining the whole directory once = the plain batch aggregate
+    "st11_file_stream_agg" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
