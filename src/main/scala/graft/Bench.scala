@@ -112,7 +112,11 @@ object Bench {
       }
       b.append("\"").toString
     }
-    def n3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma-decimal locale would emit invalid JSON numbers —
+    // recreating the parsed:null failure this file exists to prevent
+    def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     val ts = timings.result()
     val qs = ts.map { case (k, med, _, _) => jstr(k) + ":" + n3(med) }.mkString("{", ",", "}")
     // per-query min and iteration count: on a noisy shared host a

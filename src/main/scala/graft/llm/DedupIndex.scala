@@ -67,11 +67,21 @@ object DedupIndex {
     */
   def compact(spark: SparkSession, fromTable: String, toTable: String,
               toPath: String, tombstones: DataFrame, idCol: String,
-              buckets: Int = 32): Unit =
+              buckets: Option[Int] = None): Unit = {
+    // default: INHERIT the source table's bucket count (the same
+    // introspection append does) — compaction is a maintenance pass
+    // and must not silently change the layout contract; pass Some(n)
+    // only to deliberately re-bucket
+    val n = buckets.getOrElse {
+      spark.sql(s"DESCRIBE TABLE EXTENDED $fromTable")
+        .filter(col("col_name") === "Num Buckets")
+        .head().getString(1).trim.toInt
+    }
     GenericSource.writeBucketed(
       spark.table(fromTable).join(
         tombstones.select(col(idCol)), Seq(idCol), "left_anti"),
-      toTable, toPath, buckets, keys = Seq("band", "bkey"))
+      toTable, toPath, n, keys = Seq("band", "bkey"))
+  }
 
   /** New-vs-corpus candidates against the PERSISTED index (the shape
     * st04 streams through): the index side joins in its bucket layout

@@ -303,12 +303,24 @@ object Similarity {
     */
   def centroidFrameFromE6(refined: DataFrame,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
-    val spark = refined.sparkSession
+                          vecCol: String = "embedding"): DataFrame =
+    centroidFrameFromTriples(refined.sparkSession,
+      refined.select(col("cluster"), col("pos"), col("cent_e6"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      idCol, vecCol)
+
+  /** [[centroidFrameFromE6]] from ALREADY-COLLECTED (cluster, pos,
+    * cent_e6) triples — so a driver loop that has the rows in hand
+    * (movement check) doesn't pay a second distributed job to rebuild
+    * the centroid frame (review finding on lloydIterateE6).
+    */
+  def centroidFrameFromTriples(spark: org.apache.spark.sql.SparkSession,
+                               triples: Seq[(Long, Long, Long)],
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    refined.select(col("cluster"), col("pos"), col("cent_e6"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    triples
       .groupBy(_._1).toSeq
       .map { case (cl, comps) =>
         (cl, comps.sortBy(_._2).map(c => (c._3 / 1000000.0).toFloat).toSeq)
@@ -337,15 +349,21 @@ object Similarity {
                      maxRounds: Int, epsE6: Long = 0L,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(maxRounds >= 1, "lloydIterateE6 needs at least one round")
+    val spark = corpus.sparkSession
     var cents = centroids
     var prevE6 = Map.empty[(Long, Long), Long]
-    var refined: DataFrame = null
+    var last: Seq[(Long, Long, Long, Long)] = Seq.empty
     var round = 0
     var moved = Long.MaxValue
     while (round < maxRounds && moved > epsE6) {
-      refined = refineCentroidsE6(corpus, cents, idCol, vecCol)
-      val rows = refined.select("cluster", "pos", "cent_e6").collect()
-        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // ONE distributed job per round: collect the full refinement
+      // once and derive the movement check, the next round's centroid
+      // literals, AND the final result from the same rows (the
+      // earlier form re-ran the job for each — review finding)
+      last = refineCentroidsE6(corpus, cents, idCol, vecCol)
+        .select("cluster", "pos", "cent_e6", "n_members").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val rows = last.map(t => ((t._1, t._2), t._3)).toMap
       moved =
         if (prevE6.isEmpty) Long.MaxValue
         else {
@@ -354,10 +372,13 @@ object Similarity {
           else common.map(k => math.abs(rows(k) - prevE6(k))).max
         }
       prevE6 = rows
-      cents = centroidFrameFromE6(refined, idCol, vecCol)
       round += 1
+      if (round < maxRounds && moved > epsE6)
+        cents = centroidFrameFromTriples(spark, last.map(t => (t._1, t._2, t._3)),
+          idCol, vecCol)
     }
-    refined
+    import spark.implicits._
+    last.toDF("cluster", "pos", "cent_e6", "n_members")
   }
 
   /** IVF-style approximate top-k: a small set of coarse centroids

@@ -30,6 +30,8 @@ object SaltedJoin {
   def inner(left: DataFrame, right: DataFrame, keys: Seq[String],
             salts: Int): DataFrame = {
     require(salts >= 1, "salts must be positive")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "input already has a '__salt' column — rename it before salting")
     val l = left.withColumn("__salt",
       pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val r = right.withColumn("__salt",

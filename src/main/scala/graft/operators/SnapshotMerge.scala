@@ -31,6 +31,8 @@ object SnapshotMerge {
     */
   def apply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
             verCol: String, opCol: String): DataFrame = {
+    require(!base.columns.contains("__rn") && !changes.columns.contains("__rn"),
+      "input already has a '__rn' column — rename it before merging")
     val all = base.withColumn(opCol, lit("u")).unionByName(changes)
     // ver desc, then op: ties between an upsert and a tombstone at the
     // same version resolve to the upsert ('u' > 'd') — deterministic,

@@ -65,6 +65,8 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
                     bits: Int = 16, files: Int = 0): Unit = {
+    require(!df.columns.contains("__zkey"),
+      "input already has a '__zkey' column — rename it before z-ordering")
     val keyed = df.withColumn("__zkey", zkey(dims.map(col), bits))
     val parts = if (files > 0) files else df.sparkSession.sessionState.conf.numShufflePartitions
     keyed

@@ -281,20 +281,34 @@ object LlmQueries {
     // near-uniform size; never all-pairs). The x14 counterpart for the
     // text-fingerprint side of the dedup story.
     "x26_simhash_neardup" -> ((s, d) => {
+      // TWO-band pigeonhole blocking: a hamming<=1 pair differs in at
+      // most one bit, which lives in exactly one of the two 8-bit
+      // halves — so the pair agrees on at least one FULL half. The
+      // earlier single-band (>>8) form silently missed every pair
+      // whose differing bit sat in the high byte (review finding).
+      // Candidates = union of both band equi-joins, deduped, then the
+      // exact hamming filter — still never all-pairs.
       val sims = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"),
           transform(TF.tokens(col("text")), t => TF.hash60(t)).as("th"))
         .select(col("doc_id"), TF.simhashFromHashes(col("th")).as("simhash"))
-        .withColumn("bucket", shiftright(col("simhash"), 8))
-      val a = sims.select(col("doc_id").as("doc_a"),
-        col("simhash").as("sim_a"), col("bucket"))
-      val b = sims.select(col("doc_id").as("doc_b"),
-        col("simhash").as("sim_b"), col("bucket").as("bucket_b"))
-      a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+      val banded = sims.select(col("doc_id"), col("simhash"),
+          explode(array(
+            struct(lit(0L).as("band"), (col("simhash") % 256).as("bkey")),
+            struct(lit(1L).as("band"), shiftright(col("simhash"), 8).as("bkey")))).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+        col("band"), col("bkey"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+        col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
         .withColumn("hamming",
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
         .filter(col("hamming") <= 1)
-        .select("doc_a", "doc_b", "bucket", "hamming")
+        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -576,8 +590,12 @@ object LlmQueries {
       chunks
         .withColumn("bucket", pmod(col("shuffle_key"), lit(64L)))
         .withColumn("cum_tokens", sum("n_chunk_tokens").over(w))
+        // bucket in the HIGH bits (<<40): 64 buckets × up to 2^40
+        // sequences each stays under 2^46 — the old ×1e6 form
+        // collided across buckets past ~256M tokens/bucket (review
+        // finding: exactly the 100 TB scale the scaladoc claims)
         .withColumn("seq_id",
-          col("bucket") * 1000000L + floor((col("cum_tokens") - 1) / budget).cast("long"))
+          col("bucket") * (1L << 40) + floor((col("cum_tokens") - 1) / budget).cast("long"))
         .select("doc_id", "chunk_start", "n_chunk_tokens", "bucket", "cum_tokens", "seq_id")
         .orderBy("bucket", "cum_tokens", "doc_id", "chunk_start")
     }),
@@ -1271,16 +1289,22 @@ object LlmQueries {
          |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
 
+    // two-band pigeonhole: hamming<=1 pairs agree on at least one
+    // full 8-bit half — union of both band joins, deduped
     "x26_simhash_neardup" ->
       s"""WITH s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
          |           FROM (SELECT doc_id,
          |                        list_transform(string_split(text, ' '), t -> ${dH("t")}) AS hs
          |                 FROM documents)),
-         |b AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM s)
-         |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b, a.bucket,
-         |       CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
-         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.doc_id < bb.doc_id
-         |WHERE bit_count(xor(a.simhash, bb.simhash)) <= 1
+         |b AS (SELECT doc_id, simhash, 0 AS band, simhash % 256 AS bkey FROM s
+         |      UNION ALL
+         |      SELECT doc_id, simhash, 1 AS band, simhash >> 8 AS bkey FROM s),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |                      a.simhash AS sa, c.simhash AS sb
+         |      FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
+         |                       AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(sa, sb)) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x27_ivf_lloyd" -> {
@@ -1572,7 +1596,7 @@ object LlmQueries {
          |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM keyed)
          |SELECT doc_id, chunk_start, n_chunk_tokens, bucket, cum_tokens,
-         |       bucket * 1000000 + CAST(floor((cum_tokens - 1) / 256) AS BIGINT) AS seq_id
+         |       bucket * 1099511627776 + CAST(floor((cum_tokens - 1) / 256) AS BIGINT) AS seq_id
          |FROM packed
          |ORDER BY bucket, cum_tokens, doc_id, chunk_start""".stripMargin,
 

@@ -151,16 +151,22 @@ object GenericSource {
     * metadata). Spark's binaryFile source; files are not splittable
     * (one file = one row), so parallelism = file count — fine for
     * media corpora, wrong for a few giant archives (shard those
-    * upstream). `maxLength` guards the executor heap: files above it
-    * fail fast instead of OOMing a task.
+    * upstream). `maxLength` guards the executor heap: oversized files
+    * are SKIPPED via a pushed-down filter on the source's `length`
+    * metadata column (binaryFile supports length/path/modTime
+    * pushdown, so skipped files' content is never loaded). A filter,
+    * not the global `binaryFile.maxLength` conf — the conf mutates
+    * shared session state, leaking the cap into every other
+    * binaryFile read and racing with lazy execution of earlier frames
+    * (review finding).
     */
   def readBinary(spark: SparkSession, path: String,
                  pathGlobFilter: Option[String] = None,
                  maxLength: Option[Long] = None): DataFrame = {
     val base = spark.read.format("binaryFile")
     val globbed = pathGlobFilter.fold(base)(g => base.option("pathGlobFilter", g))
-    maxLength.foreach(m => spark.conf.set(
-      "spark.sql.sources.binaryFile.maxLength", m.toString))
-    globbed.load(path)
+    val df = globbed.load(path)
+    maxLength.fold(df)(m =>
+      df.filter(org.apache.spark.sql.functions.col("length") <= m))
   }
 }

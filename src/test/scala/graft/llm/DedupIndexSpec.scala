@@ -81,7 +81,7 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestSession {
       // --- compact: tombstoned ids vanish, nothing is re-hashed ------
       val tombstones = batchA.filter(col("doc_id") <= 20L).select("doc_id")
       DedupIndex.compact(s, "dedup_idx", "dedup_idx2", s"$dir/idx2",
-        tombstones, "doc_id", buckets = 8)
+        tombstones, "doc_id") // bucket count INHERITED from the source table
       val afterCompact = sortedRows(DedupIndex.probe(s, probeC, "dedup_idx2", "text", "doc_id"))
       val survivors = batchA.filter(col("doc_id") > 20L).unionByName(batchB)
       assert(afterCompact === sortedRows(Dedup.incrementalCandidates(

@@ -50,6 +50,15 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(0).getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3))
     assert(new String(rows(1).getAs[Array[Byte]]("content"), "UTF-8") === "media-bytes")
     assert(rows.map(_.getLong(rows(0).fieldIndex("length"))).toSeq === Seq(3L, 11L))
+
+    // maxLength skips oversized files via a pushed-down length filter
+    // — per-read, no shared-conf mutation, no cross-read leak
+    val capped = GenericSource.readBinary(spark, dir.toString,
+      pathGlobFilter = Some("*.img"), maxLength = Some(5L))
+    assert(capped.collect().map(_.getLong(capped.columns.indexOf("length"))).toSeq === Seq(3L))
+    val uncapped = GenericSource.readBinary(spark, dir.toString,
+      pathGlobFilter = Some("*.img"))
+    assert(uncapped.count() === 2L, "a previous call's cap must not leak")
   }
 
   test("hive-partitioned write prunes directories on a partition filter") {
