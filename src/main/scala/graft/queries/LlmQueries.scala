@@ -44,6 +44,32 @@ object LlmQueries {
 
   private val enStops = TF.LangProfiles.head._2
 
+  // ---- shared chunk pipeline (x31 / x33 / x34) --------------------
+  // Context/stride and the epoch-0 shuffle key live in ONE place, in
+  // both engines' renderings — the three queries must stay on the
+  // same chunk grid or x31/x34's exactly-once coverage invariant
+  // silently breaks (review finding: the pipeline was triplicated).
+
+  private val ChunkContext = 32
+  private val ChunkStride = 24
+
+  /** (doc_id, t, start): exploded stride-aligned chunk starts. */
+  private def chunkStarts(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride))).as("start"))
+
+  /** (doc_id, chunk_start, n_chunk_tokens, shuffle_key): the chunk
+    * grid under the deterministic epoch-0 shuffle order.
+    */
+  private def shuffledChunks(docs: org.apache.spark.sql.DataFrame) =
+    chunkStarts(docs)
+      .select(col("doc_id"), col("start").cast("long").as("chunk_start"),
+        size(slice(col("t"), col("start") + 1, lit(ChunkContext)))
+          .cast("long").as("n_chunk_tokens"))
+      .withColumn("shuffle_key", TF.hash60(concat_ws(":",
+        lit("ep0"), col("doc_id").cast("string"), col("chunk_start").cast("string"))))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep lowest id + dup count.
     "x01_exact_dedup" -> ((s, d) => {
@@ -528,14 +554,9 @@ object LlmQueries {
     // then pure per-row slicing; output is ∝ corpus tokens / stride,
     // never buffered per doc.
     "x31_chunk" -> ((s, d) => {
-      val C = 32
-      val S = 24
-      Tables.documents(s, d)
-        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), size(col("t")) - 1, lit(S))).as("start"))
+      chunkStarts(Tables.documents(s, d))
         .select(col("doc_id"), col("start"),
-          slice(col("t"), col("start") + 1, lit(C)).as("ct"))
+          slice(col("t"), col("start") + 1, lit(ChunkContext)).as("ct"))
         .select(col("doc_id"),
           col("start").cast("long").as("chunk_start"),
           size(col("ct")).cast("long").as("n_chunk_tokens"),
@@ -552,15 +573,7 @@ object LlmQueries {
     // range-partitioning by it at write time yields globally shuffled
     // shards with zero driver state.
     "x33_training_order" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), size(col("t")) - 1, lit(24))).as("start"))
-        .select(col("doc_id"),
-          col("start").cast("long").as("chunk_start"),
-          size(slice(col("t"), col("start") + 1, lit(32))).cast("long").as("n_chunk_tokens"))
-        .withColumn("shuffle_key", TF.hash60(concat_ws(":",
-          lit("ep0"), col("doc_id").cast("string"), col("chunk_start").cast("string"))))
+      shuffledChunks(Tables.documents(s, d))
         .orderBy("shuffle_key", "doc_id", "chunk_start")
     }),
 
@@ -575,15 +588,7 @@ object LlmQueries {
     // cumulative sum.
     "x34_sequence_packing" -> ((s, d) => {
       val budget = 256L
-      val chunks = Tables.documents(s, d)
-        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), size(col("t")) - 1, lit(24))).as("start"))
-        .select(col("doc_id"),
-          col("start").cast("long").as("chunk_start"),
-          size(slice(col("t"), col("start") + 1, lit(32))).cast("long").as("n_chunk_tokens"))
-        .withColumn("shuffle_key", TF.hash60(concat_ws(":",
-          lit("ep0"), col("doc_id").cast("string"), col("chunk_start").cast("string"))))
+      val chunks = shuffledChunks(Tables.documents(s, d))
       val w = Window.partitionBy("bucket")
         .orderBy("shuffle_key", "doc_id", "chunk_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1000,6 +1005,20 @@ object LlmQueries {
        |  FROM embeddings e JOIN asg a USING (vec_id) JOIN cents c ON c.cent_id = a.cluster),
        |scb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS w
        |        FROM resid WHERE vec_id >= 8 AND vec_id < 16)""".stripMargin
+
+  /** CTE `ch(doc_id, chunk_start, n_chunk_tokens)` + the epoch-0
+    * shuffle-key expression — the DuckDB rendering of
+    * [[chunkStarts]]/[[shuffledChunks]], shared by x31/x33/x34.
+    */
+  private val chunkCte: String =
+    s"""ch AS (
+       |  SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+       |         CAST(len(list_slice(t, start + 1, start + $ChunkContext)) AS BIGINT) AS n_chunk_tokens
+       |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS start
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))""".stripMargin
+
+  private val shuffleKeySql: String =
+    dH("'ep0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_start AS VARCHAR)")
 
   private val sigSql: String =
     "[" + (0 until K).map { i =>
@@ -1558,34 +1577,28 @@ object LlmQueries {
          |       CAST(length(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS redacted_len
          |FROM events ORDER BY event_id""".stripMargin,
 
+    // needs the chunk TOKENS (for chunk_h), so it rebuilds the slice
+    // inline — on the same $ChunkContext/$ChunkStride grid as chunkCte
     "x31_chunk" ->
       s"""SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
          |       CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
          |       ${dH("array_to_string(ct, ' ')")} AS chunk_h
-         |FROM (SELECT doc_id, start, list_slice(t, start + 1, start + 32) AS ct
+         |FROM (SELECT doc_id, start, list_slice(t, start + 1, start + $ChunkContext) AS ct
          |      FROM (SELECT doc_id, t,
-         |                   unnest(generate_series(0, len(t) - 1, 24)) AS start
+         |                   unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS start
          |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
          |ORDER BY doc_id, chunk_start""".stripMargin,
 
     "x33_training_order" ->
-      s"""WITH ch AS (
-         |  SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
-         |         CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
-         |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS start
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
+      s"""WITH $chunkCte
          |SELECT doc_id, chunk_start, n_chunk_tokens,
-         |       ${dH("'ep0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_start AS VARCHAR)")} AS shuffle_key
+         |       $shuffleKeySql AS shuffle_key
          |FROM ch ORDER BY shuffle_key, doc_id, chunk_start""".stripMargin,
 
     "x34_sequence_packing" ->
-      s"""WITH ch AS (
-         |  SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
-         |         CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
-         |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS start
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      s"""WITH $chunkCte,
          |keyed AS (
-         |  SELECT *, ${dH("'ep0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_start AS VARCHAR)")} AS shuffle_key
+         |  SELECT *, $shuffleKeySql AS shuffle_key
          |  FROM ch),
          |packed AS (
          |  SELECT doc_id, chunk_start, n_chunk_tokens,
