@@ -932,6 +932,41 @@ object LlmQueries {
         .orderBy("doc_id", "dim")
     }),
 
+    // MinHash estimator CALIBRATION — validates the LSH estimator
+    // against ground truth instead of trusting it: for every x02
+    // candidate pair, the exact bigram-shingle jaccard (the quantity
+    // the signature estimates) is computed and aggregated per
+    // estimate decile → (bucket, n_pairs, mean exact, mean est). The
+    // exact side joins distinct shingles ONLY over candidate pairs —
+    // never all-pairs — so calibration costs Σ shared-shingles over
+    // candidates, not corpus². Two independent operators cross-check
+    // each other inside one oracle; a threshold/band retune reads
+    // this table, not a hunch.
+    "x49_minhash_calibration" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("text"))
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val ds = docs.select(col("doc_id"),
+        explode(TF.wordShingles(TF.tokens(col("text")), 2)).as("g")).distinct()
+      val nsz = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand.select("doc_a", "doc_b")
+        .join(ds.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(ds.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+        .na.fill(0L, Seq("ninter")) // a band can collide with zero overlap
+        .join(nsz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(nsz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("est_jaccard_e6"),
+          expr("(ninter * 1000000) DIV (na + nb - ninter)").as("exact_e6"))
+        .groupBy(expr("est_jaccard_e6 DIV 100000").as("est_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(exact_e6) DIV count(1)").as("mean_exact_e6"),
+          expr("sum(est_jaccard_e6) DIV count(1)").as("mean_est_e6"))
+        .orderBy("est_bucket")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1697,6 +1732,42 @@ object LlmQueries {
       s"""SELECT doc_id, ${dH("token")} % 16 AS dim, count(*) AS weight
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          |GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+
+    "x49_minhash_calibration" ->
+      s"""WITH $minhashBandsCtes,
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |cand AS (SELECT doc_a, doc_b,
+         |                CAST(floor(1000000.0 *
+         |                  len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i]))
+         |                  / ${K.toDouble}) AS BIGINT) AS est_jaccard_e6
+         |         FROM pairs
+         |         WHERE CAST(floor(1000000.0 *
+         |                 len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i]))
+         |                 / ${K.toDouble}) AS BIGINT) >= 250000),
+         |ds AS (SELECT DISTINCT doc_id, g
+         |       FROM (SELECT doc_id, unnest(sh) AS g FROM sh)),
+         |nsz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+         |          FROM cand c
+         |          JOIN ds a ON a.doc_id = c.doc_a
+         |          JOIN ds b ON b.doc_id = c.doc_b AND b.g = a.g
+         |          GROUP BY 1, 2),
+         |ex AS (SELECT c.est_jaccard_e6,
+         |              (coalesce(i.ninter, 0) * 1000000)
+         |                // (na.n + nb.n - coalesce(i.ninter, 0)) AS exact_e6
+         |       FROM cand c
+         |       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |       JOIN nsz na ON na.doc_id = c.doc_a
+         |       JOIN nsz nb ON nb.doc_id = c.doc_b)
+         |SELECT CAST(est_jaccard_e6 // 100000 AS BIGINT) AS est_bucket,
+         |       count(*) AS n_pairs,
+         |       CAST(sum(exact_e6) // count(*) AS BIGINT) AS mean_exact_e6,
+         |       CAST(sum(est_jaccard_e6) // count(*) AS BIGINT) AS mean_est_e6
+         |FROM ex GROUP BY 1 ORDER BY est_bucket""".stripMargin,
 
     "x47_shingle_gen" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
