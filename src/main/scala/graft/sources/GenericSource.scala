@@ -28,6 +28,15 @@ object GenericSource {
     */
   case object Text extends Format { val name = "text" }
 
+  /** Spark 4's built-in XML source (rowTag-delimited records; the
+    * `rowTag` option defaults to "row" here and is shared by read and
+    * write so round-trips need no ceremony). Schema-pinned like csv/
+    * json — XML inference is an extra full pass AND type-guessy, the
+    * worst of both. For interchange only; anything read twice belongs
+    * in parquet.
+    */
+  case object Xml extends Format { val name = "xml" }
+
   /** Schema-pinned read. csv expects a header by default (matched by
     * [[write]]); json is line-delimited (the only splittable layout).
     */
@@ -40,6 +49,7 @@ object GenericSource {
       case Csv => base.option("header", options.getOrElse("header", "true")).csv(path)
       case Json => base.json(path)
       case Text => base.text(path)
+      case Xml => base.option("rowTag", options.getOrElse("rowTag", "row")).xml(path)
     }
   }
 
@@ -74,6 +84,7 @@ object GenericSource {
       case Csv => base.option("header", options.getOrElse("header", "true")).csv(path)
       case Json => base.json(path)
       case Text => base.text(path)
+      case Xml => base.option("rowTag", options.getOrElse("rowTag", "row")).xml(path)
     }
   }
 

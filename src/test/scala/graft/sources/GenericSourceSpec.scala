@@ -16,7 +16,7 @@ class GenericSourceSpec extends AnyFunSuite with SparkTestSession {
   }
 
   for (fmt <- Seq(GenericSource.Parquet, GenericSource.Orc,
-                  GenericSource.Csv, GenericSource.Json)) {
+                  GenericSource.Csv, GenericSource.Json, GenericSource.Xml)) {
     test(s"${fmt.name}: write then schema-pinned read round-trips") {
       val dir = Files.createTempDirectory(s"src_${fmt.name}").toString + "/data"
       GenericSource.write(sample, fmt, dir, targetPartitions = Some(1))
