@@ -365,4 +365,67 @@ object Dedup {
       .filter(col("jaccard_e6") >= minJaccardE6)
       .select("probe_id", "other_id", "n_inter", "jaccard_e6")
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * standard — SIGMOD'03): over each sliding window of `w`
+    * consecutive `k`-char-gram hashes keep the window MINIMUM. The
+    * winnowing theorem guarantees any substring match of length >=
+    * k+w-1 yields at least one shared fingerprint, at ~2/(w+1)
+    * expected density — a third dedup family next to minhash
+    * (bag-of-shingles, blind to ordering) and simhash (global
+    * near-angle): winnowing is LOCAL, so it survives substring
+    * REORDERING and catches partial overlap (quotes, boilerplate
+    * splices) that whole-document sketches dilute away.
+    *
+    * One row per distinct (doc, fingerprint). Scale: pure per-row
+    * expression work + one explode — no shuffle; the consumer joins
+    * on `fp`, which is where [[winnowingPairs]]' df-cap bounds
+    * fan-out.
+    */
+  def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol), charGramHashes(col(textCol), k).as("gh"))
+      .select(col(idCol), array_distinct(
+        transform(sequence(lit(1), size(col("gh")) - (w - 1)),
+          i => array_min(slice(col("gh"), i, lit(w))))).as("fps"))
+      // explode_OUTER, deliberately: a plain explode makes
+      // InferFiltersFromGenerate add `size(fps)>0 AND isnotnull(fps)`
+      // below the Generate, and pushdown then inlines the WHOLE
+      // fps expression into a scan-level filter — where slice()'s
+      // child is the un-materialized gh transform, so every window
+      // position re-runs the full md5-per-gram pass: O(len²) md5
+      // calls per row, measured 110 s vs 0.4 s on 500 docs.
+      // explode_outer infers nothing; it is equivalent here because
+      // the length guard makes fps non-empty (len >= k+w-1 ⇒
+      // windows >= 1), so no null-fp rows can appear.
+      .select(col(idCol), explode_outer(col("fps")).as("fp"))
+
+  /** Candidate overlap pairs from shared winnowing fingerprints, with
+    * MOSS's own boilerplate rule: a fingerprint appearing in more
+    * than `dfCap` docs is template/boilerplate, not evidence of
+    * copying, and is dropped BEFORE the pair join — that cap is what
+    * bounds per-fingerprint join fan-out (Σ df² economics, the same
+    * argument as [[tokenJaccardPairs]]' maxDocFreq) at corpus scale.
+    * Pairs need `minShared` distinct shared fingerprints to survive.
+    */
+  def winnowingPairs(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, w: Int = 4, dfCap: Long = 16L,
+                     minShared: Long = 3L,
+                     materialize: Boolean = true): DataFrame = {
+    // one md5-heavy fingerprint pass feeds the df-count AND both join
+    // sides; eager localCheckpoint (not cache) for leak-freedom, as
+    // everywhere in this file
+    val fps0 = winnowingFingerprints(docs, textCol, idCol, k, w)
+    val fps = if (materialize) fps0.localCheckpoint(true) else fps0
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("fp")
+    val kept = fps.join(rare, "fp")
+    val a = kept.select(col(idCol).as("doc_a"), col("fp"))
+    val b = kept.select(col(idCol).as("doc_b"), col("fp"))
+    a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

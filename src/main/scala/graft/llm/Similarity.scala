@@ -161,6 +161,65 @@ object Similarity {
       .select("vec_a", "vec_b", "bucket", "cos_e6")
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-compare, the
+    * published recipe for embedding-level dedup of web-scale training
+    * corpora): assign every vector to its argmax-cosine coarse
+    * centroid, compare pairs only WITHIN a cluster, connect pairs
+    * above `minCosE6` into semantic-duplicate groups, and keep the
+    * minimum id per group. Returns the DROP list: (idCol, kept_id)
+    * for every vector that loses to a semantically-equivalent
+    * lower id — `left_anti` it against the corpus to materialize the
+    * deduped set ([[dropSemanticDuplicates]]).
+    *
+    * Scale: assignment is per-row literal-centroid scoring fused into
+    * the scan (no shuffle — [[ivfTopK]]'s argument); the pair join is
+    * an equi-join on cluster id, so comparisons are Σ cluster² not
+    * n² — the knob is the centroid count, which a real deployment
+    * scales so clusters stay ~constant-size (the SemDeDup paper runs
+    * k≈10⁵ over 5B embeddings); the closure is the same O(log
+    * diameter) pointer-jumping as minhash cluster dedup.
+    */
+  def semanticDedupDrops(corpus: DataFrame, centroids: DataFrame,
+                         minCosE6: Long,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        (r.getLong(0), v, normOf(v))
+      }
+      .sortBy(_._1).toSeq
+    val assigned = assignClusters(corpus, cents, nprobe = 1,
+      "vid", "vec", "nrm", idCol, vecCol)
+    val a = assigned.select(col("vid").as("vec_a"), col("vec").as("va"),
+      col("nrm").as("na"), col("cluster"))
+    val b = assigned.select(col("vid").as("vec_b"), col("vec").as("vb"),
+      col("nrm").as("nb"), col("cluster").as("cluster_b"))
+    val pairs = a
+      .join(b, col("cluster") === col("cluster_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_e6", cosineE6Pre(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos_e6") >= minCosE6)
+      .select("vec_a", "vec_b")
+    Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol), col("label").as("kept_id"))
+  }
+
+  /** The kept corpus after [[semanticDedupDrops]]: one representative
+    * (minimum id) per semantic-duplicate group, everything else
+    * anti-joined away.
+    */
+  def dropSemanticDuplicates(corpus: DataFrame, centroids: DataFrame,
+                             minCosE6: Long,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame =
+    corpus.join(
+      semanticDedupDrops(corpus, centroids, minCosE6, idCol, vecCol)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Bucketed approximate top-k: probes only score corpus vectors in
     * their own sign bucket — the recall/cost trade of LSH-ANN.
     *

@@ -967,6 +967,105 @@ object LlmQueries {
         .orderBy("est_bucket")
     }),
 
+    // WINNOWING fingerprints (the MOSS/plagiarism-detection standard,
+    // a third dedup family next to minhash and simhash): per sliding
+    // window of w=4 consecutive 8-char-gram hashes keep the MINIMUM —
+    // guaranteeing any shared substring of length >= k+w-1 yields at
+    // least one shared fingerprint (the winnowing theorem), at ~2/(w+1)
+    // fingerprint density. Robust to substring REORDERING, which
+    // bag-of-shingles minhash is blind to. Candidates come from the
+    // fingerprint equi-join with a DF-CAP (MOSS's own rule: a
+    // fingerprint in >16 docs is boilerplate, not evidence of copying
+    // — and the cap is what bounds per-fp join fan-out at corpus
+    // scale, x03's knob).
+    "x50_winnowing" -> ((s, d) =>
+      graft.llm.Dedup.winnowingPairs(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
+        "text", "doc_id", k = 8, w = 4, dfCap = 16L, minShared = 3L)
+        .orderBy("doc_a", "doc_b")),
+
+    // Cross-source duplication audit: the near-dup pair stream rolled
+    // up to a source×source overlap matrix — the governance view a
+    // corpus curator reads ("how much of source A is copied in source
+    // B") before setting mixture weights. Pure composition: x02's
+    // candidate pairs + two joins to the (doc, source) map + one
+    // aggregate; pair keys are normalized with least/greatest because
+    // doc_a < doc_b does NOT order the sources. Scale: the pair frame
+    // is post-threshold (small); AQE broadcasts it against the doc→
+    // source map, so the audit adds no new shuffle class.
+    "x53_source_overlap" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"),
+          col("est_jaccard_e6"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"), sum("est_jaccard_e6").as("sum_est_e6"))
+        .orderBy("source_lo", "source_hi")
+    }),
+
+    // BM25 retrieval (the web-scale sparse-ranking standard) in FULLY
+    // RATIONAL integer arithmetic — BM25's ln-idf and float length
+    // normalization can never pass a cross-engine hash gate, so both
+    // factors become floored integer ratios with k1=1.2, b=0.75:
+    //   idf_e6  = (1e6·(2(N−df)+1)) DIV (2df+1)      [the +0.5 idf, ×2]
+    //   sat     = (880·tf·L) DIV (400·tf·L + 120·L + 360·len·N)
+    //             [tf(k1+1)/(tf+k1(1−b+b·len/avg)) with avg=L/N,
+    //              every coefficient ×400·L to clear the fractions]
+    //   score_e6 = Σ_t (idf_e6 · sat_e6) DIV 1e6
+    // Σ of floored per-term integers is order-free ⇒ deterministic.
+    // sat is floored to e6 BEFORE the idf product so every
+    // intermediate stays far inside Long even at SF 1 (worst factor
+    // sat numerator 8.8e8·tf·L ≈ 4e16; idf_e6·sat_e6 ≈ 7e16).
+    // Same inverted-index economics as x38: probes broadcast, join on
+    // token, never n² — BM25 is a different SCORE on the same plan.
+    "x52_bm25" -> ((s, d) => {
+      val tf = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // probe side, corpus side, dlen, dfreq
+      val dlen = tf.groupBy("doc_id").agg(sum("cnt").as("doc_len"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = dlen.agg(sum("doc_len").as("big_l"),
+        count(lit(1)).as("n_docs"))
+      val corpus = tf.join(dlen, "doc_id").join(dfreq, "token")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          expr("""((1000000 * (2*(n_docs - df) + 1)) DIV (2*df + 1)
+                 | * ((880000000 * cnt * big_l)
+                 |    DIV (400 * cnt * big_l + 120 * big_l + 360 * doc_len * n_docs)))
+                 | DIV 1000000
+                 |""".stripMargin.replace("\n", " ")).as("term_e6"))
+      val probes = tf.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"), col("token")).distinct()
+      val win = Window.partitionBy("q_id")
+        .orderBy(col("score_e6").desc, col("doc_id"))
+      corpus.join(broadcast(probes), "token")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum("term_e6").as("score_e6"))
+        .withColumn("rnk", row_number().over(win).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // SemDeDup semantic dedup (cluster-then-compare over embeddings):
+    // argmax-centroid assignment restricts pairs to within-cluster,
+    // cos >= 0.25 pairs connect into semantic groups, the minimum id
+    // survives. Output = the drop list with each loser's kept
+    // representative — the embedding-space sibling of x20's minhash
+    // cluster dedup, sharing its closure oracle pattern.
+    "x51_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDedupDrops(emb,
+          centroids = emb.filter(col("vec_id") < 8), minCosE6 = 250000L)
+        .orderBy("vec_id")
+    }),
+
     // Multimodal metadata pass: opaque binary payload + typed
     // metadata; deterministic byte-level features (the decode seam for
     // real codecs is graft.llm.Multimodal.extractFeatures).
@@ -1708,6 +1807,50 @@ object LlmQueries {
         |       CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
+    "x53_source_overlap" ->
+      s"""WITH $minhashBandsCtes,
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |cand AS (SELECT doc_a, doc_b,
+         |                CAST(floor(1000000.0 * len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i])) / ${K.toDouble}) AS BIGINT) AS est
+         |         FROM pairs
+         |         WHERE CAST(floor(1000000.0 * len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i])) / ${K.toDouble}) AS BIGINT) >= 250000),
+         |lab AS (SELECT least(da.source, db.source) AS source_lo,
+         |               greatest(da.source, db.source) AS source_hi, est
+         |        FROM cand
+         |        JOIN documents da ON cand.doc_a = da.doc_id
+         |        JOIN documents db ON cand.doc_b = db.doc_id)
+         |SELECT source_lo, source_hi, count(*) AS n_pairs,
+         |       CAST(sum(est) AS BIGINT) AS sum_est_e6
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x52_bm25" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS cnt
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(sum(doc_len) AS BIGINT) AS big_l,
+        |                 CAST(count(*) AS BIGINT) AS n_docs FROM dlen),
+        |corpus AS (SELECT t.doc_id, t.token,
+        |             ((1000000 * (2*(s.n_docs - f.df) + 1)) // (2*f.df + 1)
+        |              * ((880000000 * t.cnt * s.big_l)
+        |                 // (400 * t.cnt * s.big_l + 120 * s.big_l + 360 * l.doc_len * s.n_docs)))
+        |             // 1000000 AS term_e6
+        |           FROM tf t JOIN dlen l USING (doc_id) JOIN dfreq f USING (token), stats s),
+        |p AS (SELECT DISTINCT doc_id AS q_id, token FROM tf WHERE doc_id % 97 = 0),
+        |sc AS (SELECT q_id, c.doc_id, CAST(sum(c.term_e6) AS BIGINT) AS score_e6
+        |       FROM corpus c JOIN p USING (token) WHERE c.doc_id <> p.q_id GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS rnk
+        |      FROM sc)
+        |SELECT q_id, doc_id, score_e6, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
     "x44_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1732,6 +1875,46 @@ object LlmQueries {
       s"""SELECT doc_id, ${dH("token")} % 16 AS dim, count(*) AS weight
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          |GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+
+    "x50_winnowing" ->
+      s"""WITH gh AS (SELECT doc_id,
+         |                   list_transform(generate_series(1, length(text) - 7),
+         |                                  i -> ${dH("substr(text, i, 8)")}) AS gh
+         |            FROM documents WHERE length(text) >= 11),
+         |fps AS (SELECT doc_id,
+         |               list_distinct(list_transform(range(1, len(gh) - 2),
+         |                             j -> list_min(gh[j:j+3]))) AS fps
+         |        FROM gh),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY 1)
+         |         WHERE df <= 16),
+         |kept AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x51_semantic_dedup" ->
+      s"""WITH RECURSIVE cents AS (SELECT vec_id AS cent_id, embedding AS c_vec
+         |                         FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |              ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |       FROM embeddings e, cents c),
+         |assigned AS (SELECT vec_id, embedding, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM sc) WHERE c_rnk = 1),
+         |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |         FROM assigned a JOIN assigned b
+         |           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |         WHERE ${cosSql("a.embedding", "b.embedding")} >= 250000),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS kept_id
+         |        FROM reach GROUP BY src)
+         |SELECT vec_id, kept_id FROM lab WHERE vec_id <> kept_id
+         |ORDER BY vec_id""".stripMargin,
 
     "x49_minhash_calibration" ->
       s"""WITH $minhashBandsCtes,

@@ -141,6 +141,46 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").isEmpty)
   }
 
+  test("winnowing theorem: a shared >=k+w-1 substring yields a shared fingerprint") {
+    // k=8, w=4 -> guarantee threshold k+w-1 = 11; the copied segment
+    // is longer, the surroundings are disjoint, and the pair must
+    // surface with even ONE shared fingerprint required
+    val copied = "the exact copied segment of text"
+    val got = Dedup.winnowingPairs(
+      docs((1L, "alpha beta gamma " + copied + " delta epsilon"),
+           (2L, "one two three four " + copied + " five six seven"),
+           (3L, "completely unrelated content with nothing in common")),
+      "text", "doc_id", minShared = 1L, materialize = false)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("winnowing survives substring reordering") {
+    val p1 = "first long enough passage here"
+    val p2 = "second long enough passage there"
+    val got = Dedup.winnowingPairs(
+      docs((1L, p1 + " " + p2), (2L, p2 + " " + p1)),
+      "text", "doc_id", minShared = 1L, materialize = false)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("winnowing df-cap drops boilerplate fingerprints before the pair join") {
+    val boiler = "standard legal disclaimer boilerplate text"
+    val ds = docs((1L, "aardvark antelope " + boiler),
+                  (2L, "badger bison buffalo " + boiler),
+                  (3L, "cheetah cougar caracal " + boiler),
+                  (4L, "dingo dhole deerhound " + boiler))
+    // cap off: every pair shares the boilerplate fingerprints
+    val loose = Dedup.winnowingPairs(ds, "text", "doc_id",
+      dfCap = 100L, minShared = 1L, materialize = false).count()
+    assert(loose === 6L)
+    // df=4 > cap=3: the boilerplate fingerprints die before the join
+    val capped = Dedup.winnowingPairs(ds, "text", "doc_id",
+      dfCap = 3L, minShared = 1L, materialize = false).count()
+    assert(capped === 0L)
+  }
+
   test("token jaccard df-cap prunes ubiquitous tokens") {
     val got = Dedup.tokenJaccardPairs(
       docs((0L, "a b"), (1L, "a c"), (2L, "a d")),

@@ -116,4 +116,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(adc.toSeq === Seq((0L, 5000000000L, 1L), (1L, 40000000000L, 2L)))
   }
+
+  test("semanticDedupDrops: within-cluster near-dups collapse to the min id; " +
+       "cross-cluster twins survive (the SemDeDup trade)") {
+    // centroids 0 (+x) and 1 (+y); 10/11/12 land in cluster 0, 20/21
+    // in cluster 1. 10~11~12 are one semantic group (pairwise cos ≈ 1)
+    // -> 11 and 12 drop to 10. 20 is IDENTICAL to 21 but also to 10's
+    // direction? no — keep cluster 1's pair distinct: 20~21 -> 21
+    // drops to 20.
+    val corpus = vecs(
+      (0L, pad(1f, 0f)), (1L, pad(0f, 1f)),          // the centroids themselves
+      (10L, pad(10f, 1f)), (11L, pad(10f, 1.01f)), (12L, pad(9.9f, 1f)),
+      (20L, pad(1f, 10f)), (21L, pad(1.01f, 10f)),
+      (30L, pad(1f, -20f)))                          // isolated: no pair
+    val cents = corpus.filter(col("vec_id") < 2)
+    val drops = Similarity.semanticDedupDrops(corpus, cents, minCosE6 = 999000L)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(drops.toSeq === Seq((11L, 10L), (12L, 10L), (21L, 20L)))
+
+    val kept = Similarity.dropSemanticDuplicates(corpus, cents, minCosE6 = 999000L)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(0L, 1L, 10L, 20L, 30L))
+  }
 }
