@@ -743,6 +743,44 @@ object GeneralQueries {
         .withColumn("region_rev_c", sum("rev_c").over(w))
         .withColumn("share_e6", expr("(rev_c * 1000000) DIV region_rev_c"))
         .orderBy("r_name", "n_name")
+    }),
+
+    // Iterative graph analytics beyond connected components: 3 rounds
+    // of integer-arithmetic PageRank over the symmetrized q41
+    // co-occurrence graph. The oracle runs the identical unrolled
+    // rounds — possible ONLY because every division is integer
+    // (PageRank.pageRankE9's determinism contract).
+    "q44_pagerank" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= 4)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val und = pairs.as("x").join(pairs.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val edges = und.union(und.select(col("b"), col("a")))
+      graft.operators.PageRank.pageRankE9(edges, "a", "b", iters = 3)
+        .orderBy("node")
+    }),
+
+    // Multi-source BFS hop distance over the same graph: min-over-
+    // paths distances are a lattice (rounds are idempotent), so the
+    // iterative frontier expansion matches a bounded recursive-CTE
+    // closure exactly — no floats, no tie ambiguity.
+    "q45_bfs_hops" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= 4)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val und = pairs.as("x").join(pairs.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val edges = und.union(und.select(col("b"), col("a")))
+      val seeds = pairs.select("l_partkey").distinct()
+        .filter(col("l_partkey") % 509 === 0)
+      graft.operators.BfsHops.hopsFrom(edges, "a", "b", seeds, "l_partkey",
+          maxHops = 3)
+        .orderBy("node")
     })
   )
 
@@ -1212,6 +1250,56 @@ object GeneralQueries {
         |SELECT r_name, n_name, rev_c,
         |       CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev_c,
         |       CAST((rev_c * 1000000) // sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS share_e6
-        |FROM rev ORDER BY r_name, n_name""".stripMargin
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
+    "q44_pagerank" -> {
+      // one unrolled PageRank round: contribs from rPrev, then the
+      // teleport base + damped sum — all divisions integer (//)
+      def round(rPrev: String, c: String, r: String): String =
+        s"""$c AS (SELECT e.dst AS node,
+           |           CAST(sum(r.rank_e9 // o.odeg) AS BIGINT) AS s
+           |    FROM edges e JOIN $rPrev r ON e.src = r.node
+           |    JOIN outdeg o ON e.src = o.src GROUP BY 1),
+           |$r AS (SELECT n2.node,
+           |           (CAST(150000000 AS BIGINT) // nn.n)
+           |         + ((85 * coalesce($c.s, CAST(0 AS BIGINT))) // 100) AS rank_e9
+           |    FROM nodes n2 LEFT JOIN $c USING (node), nn)""".stripMargin
+      s"""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey
+         |               FROM lineitem WHERE l_linenumber <= 4),
+         |und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |        FROM pairs x JOIN pairs y USING (l_orderkey)
+         |        WHERE x.l_partkey < y.l_partkey),
+         |edges AS (SELECT a AS src, b AS dst FROM und
+         |          UNION ALL SELECT b, a FROM und),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+         |           FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // nn.n AS rank_e9
+         |       FROM nodes, nn),
+         |${round("r0", "c1", "r1")},
+         |${round("r1", "c2", "r2")},
+         |${round("r2", "c3", "r3")}
+         |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9
+         |FROM r3 ORDER BY node""".stripMargin
+    },
+
+    "q45_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT l_orderkey, l_partkey
+        |               FROM lineitem WHERE l_linenumber <= 4),
+        |und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |        FROM pairs x JOIN pairs y USING (l_orderkey)
+        |        WHERE x.l_partkey < y.l_partkey),
+        |edges AS (SELECT a AS src, b AS dst FROM und
+        |          UNION ALL SELECT b, a FROM und),
+        |seeds AS (SELECT DISTINCT l_partkey AS node FROM pairs
+        |          WHERE l_partkey % 509 = 0),
+        |reach AS (SELECT node, 0 AS hop FROM seeds
+        |          UNION
+        |          SELECT e.dst, r.hop + 1 FROM reach r
+        |          JOIN edges e ON r.node = e.src WHERE r.hop < 3)
+        |SELECT node, CAST(min(hop) AS BIGINT) AS hops
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin
   )
 }
