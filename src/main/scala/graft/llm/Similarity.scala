@@ -178,21 +178,38 @@ object Similarity {
     * scales so clusters stay ~constant-size (the SemDeDup paper runs
     * k≈10⁵ over 5B embeddings); the closure is the same O(log
     * diameter) pointer-jumping as minhash cluster dedup.
+    *
+    * `assignByJoin = false` collects the centroids and inlines them as
+    * literal expressions — right for IVF-sized quantizers (k ≤ a few
+    * hundred), where assignment fuses into the scan with no join at
+    * all. At SemDeDup's real k (~10⁵ centroids, tens of MB) literal
+    * inlining stops being a plan and starts being a codegen problem;
+    * `assignByJoin = true` instead broadcasts the centroid FRAME and
+    * computes the same argmax as a broadcast-nested-loop score +
+    * min(struct) aggregation — one broadcast, still no shuffle of the
+    * corpus beyond the aggregation's partials, identical assignments
+    * and tie-breaks (pinned by spec).
     */
   def semanticDedupDrops(corpus: DataFrame, centroids: DataFrame,
                          minCosE6: Long,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    val cents: Seq[(Long, Seq[Float], Double)] = centroids
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1)
-        (r.getLong(0), v, normOf(v))
+                         vecCol: String = "embedding",
+                         assignByJoin: Boolean = false): DataFrame = {
+    val assigned =
+      if (assignByJoin) assignClustersByJoin(corpus, centroids,
+        "vid", "vec", "nrm", idCol, vecCol)
+      else {
+        val cents: Seq[(Long, Seq[Float], Double)] = centroids
+          .select(col(idCol).cast("long"), col(vecCol))
+          .collect()
+          .map { r =>
+            val v = r.getSeq[Float](1)
+            (r.getLong(0), v, normOf(v))
+          }
+          .sortBy(_._1).toSeq
+        assignClusters(corpus, cents, nprobe = 1,
+          "vid", "vec", "nrm", idCol, vecCol)
       }
-      .sortBy(_._1).toSeq
-    val assigned = assignClusters(corpus, cents, nprobe = 1,
-      "vid", "vec", "nrm", idCol, vecCol)
     val a = assigned.select(col("vid").as("vec_a"), col("vec").as("va"),
       col("nrm").as("na"), col("cluster"))
     val b = assigned.select(col("vid").as("vec_b"), col("vec").as("vb"),
@@ -320,6 +337,37 @@ object Similarity {
       .select(col(idOut), col(vecOut), col(nrmOut),
         explode(slice(col("c_sorted"), 1, nprobe)).as("c"))
       .select(col(idOut), col(vecOut), col(nrmOut), col("c.cid").as("cluster"))
+  }
+
+  /** [[assignClusters]] for centroid sets too large to inline as
+    * literals (nprobe=1 only): broadcast the centroid frame, score
+    * every (row, centroid) pair, and take the argmax with a
+    * min(struct(-cos, cid)) hash aggregate — struct minima order
+    * lexicographically, so the tie-break (higher cosine, then lower
+    * centroid id) is IDENTICAL to the literal path's array_sort.
+    * Cost vs the literal path: one broadcast plus one hash-aggregate
+    * exchange of (id, vec, argmin) rows — the corpus crosses the wire
+    * once, which is the honest price of a quantizer that no longer
+    * fits in an expression tree.
+    */
+  private def assignClustersByJoin(corpus: DataFrame, centroids: DataFrame,
+                                   idOut: String, vecOut: String, nrmOut: String,
+                                   idCol: String, vecCol: String): DataFrame = {
+    val base = corpus.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .withColumn(nrmOut, norm(col(vecOut)))
+    val cents = centroids
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", norm(col("c_vec")))
+    base.crossJoin(broadcast(cents))
+      .select(col(idOut), col(vecOut), col(nrmOut),
+        struct(
+          (-cosineE6Pre(dot(col(vecOut), col("c_vec")), col(nrmOut), col("c_nrm"))).as("ns"),
+          col("cent_id").as("cid")).as("sc"))
+      .groupBy(idOut)
+      // first() on vec/nrm is deterministic here: every row in the
+      // group carries the same (vec, nrm) — ids are unique by contract
+      .agg(min("sc").as("sc"), first(vecOut).as(vecOut), first(nrmOut).as(nrmOut))
+      .select(col(idOut), col(vecOut), col(nrmOut), col("sc.cid").as("cluster"))
   }
 
   /** One Lloyd refinement round for the IVF coarse quantizer, in

@@ -139,4 +139,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
     assert(kept.toSeq === Seq(0L, 1L, 10L, 20L, 30L))
   }
+
+  test("broadcast-join assignment path produces the literal path's exact " +
+       "drop list (argmax + tie-break parity), including on random vectors") {
+    // planted case
+    val planted = vecs(
+      (0L, pad(1f, 0f)), (1L, pad(0f, 1f)),
+      (10L, pad(10f, 1f)), (11L, pad(10f, 1.01f)), (12L, pad(9.9f, 1f)),
+      (20L, pad(1f, 10f)), (21L, pad(1.01f, 10f)), (30L, pad(1f, -20f)))
+    // seeded random corpus: near-dups planted by construction (i and
+    // i+100 share a direction), plus exact ties for the cid tie-break
+    val rnd = new scala.util.Random(42)
+    val randomRows = (0L until 60L).map { i =>
+      val v = Seq.fill(8)(rnd.nextFloat() * 2f - 1f)
+      (i, v)
+    }
+    val randomCorpus = vecs(randomRows ++ randomRows.take(20).map {
+      case (i, v) => (i + 100L, v.map(x => x * 2f)) // same direction, cos=1
+    }: _*)
+    for ((corpus, thr) <- Seq((planted, 999000L), (randomCorpus, 999999L))) {
+      val cents = corpus.filter(col("vec_id") < 2)
+      val lit0 = Similarity.semanticDedupDrops(corpus, cents, thr)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val join0 = Similarity.semanticDedupDrops(corpus, cents, thr,
+          assignByJoin = true)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(lit0.nonEmpty, "test corpus must produce drops")
+      assert(join0.toSeq === lit0.toSeq)
+    }
+  }
 }
