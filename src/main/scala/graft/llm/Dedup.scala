@@ -428,4 +428,41 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Containment scores over shared winnowing fingerprints:
+    * n_shared / |fps(smaller doc)| as a floored e6 integer. THE
+    * distinctive winnowing consumer — a document spliced or quoted
+    * inside a larger one shares most of ITS OWN fingerprints while
+    * symmetric measures (jaccard over the union) dilute toward zero
+    * as the containing document grows. Sizes are counted over the
+    * same df-capped fingerprint set as the pair join, so boilerplate
+    * neither creates pairs nor inflates denominators.
+    *
+    * Scale: identical plan family to [[winnowingPairs]] — the df-cap
+    * bounds per-fingerprint fan-out; the two size joins are
+    * hash-aggregated (doc, n_fp) frames, broadcastable.
+    */
+  def winnowingContainment(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 8, w: Int = 4, dfCap: Long = 16L,
+                           minContE6: Long = 500000L,
+                           materialize: Boolean = true): DataFrame = {
+    val fps0 = winnowingFingerprints(docs, textCol, idCol, k, w)
+    val fps = if (materialize) fps0.localCheckpoint(true) else fps0
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("fp")
+    // sizes + both join sides read the capped set: materialize it too
+    val kept0 = fps.join(rare, "fp")
+    val kept = if (materialize) kept0.localCheckpoint(true) else kept0
+    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("n_fp"))
+    val a = kept.select(col(idCol).as("doc_a"), col("fp"))
+    val b = kept.select(col(idCol).as("doc_b"), col("fp"))
+    a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .withColumn("containment_e6",
+        expr("(n_shared * 1000000) DIV least(n_a, n_b)"))
+      .filter(col("containment_e6") >= minContE6)
+      .select("doc_a", "doc_b", "n_shared", "containment_e6")
+  }
 }

@@ -984,6 +984,16 @@ object LlmQueries {
         "text", "doc_id", k = 8, w = 4, dfCap = 16L, minShared = 3L)
         .orderBy("doc_a", "doc_b")),
 
+    // Winnowing containment: n_shared / |fps(smaller doc)| — detects a
+    // document spliced INSIDE another, where jaccard-style symmetric
+    // scores dilute toward zero as the container grows. Sizes count
+    // the same df-capped fingerprint set the pair join uses.
+    "x54_winnowing_containment" -> ((s, d) =>
+      graft.llm.Dedup.winnowingContainment(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
+        "text", "doc_id", k = 8, w = 4, dfCap = 16L, minContE6 = 500000L)
+        .orderBy("doc_a", "doc_b")),
+
     // Cross-source duplication audit: the near-dup pair stream rolled
     // up to a source×source overlap matrix — the governance view a
     // corpus curator reads ("how much of source A is copied in source
@@ -1806,6 +1816,33 @@ object LlmQueries {
         |SELECT q_id, doc_id, CAST(score_e12 AS BIGINT) AS score_e12,
         |       CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x54_winnowing_containment" ->
+      s"""WITH gh AS (SELECT doc_id,
+         |                   list_transform(generate_series(1, length(text) - 7),
+         |                                  i -> ${dH("substr(text, i, 8)")}) AS gh
+         |            FROM documents WHERE length(text) >= 11),
+         |fps AS (SELECT doc_id,
+         |               list_distinct(list_transform(range(1, len(gh) - 2),
+         |                             j -> list_min(gh[j:j+3]))) AS fps
+         |        FROM gh),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY 1)
+         |         WHERE df <= 16),
+         |kept AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+         |          FROM kept GROUP BY 1),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  count(*) AS n_shared
+         |           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |       CAST((n_shared * 1000000) // least(sa.n_fp, sb.n_fp) AS BIGINT) AS containment_e6
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE (n_shared * 1000000) // least(sa.n_fp, sb.n_fp) >= 500000
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x53_source_overlap" ->
       s"""WITH $minhashBandsCtes,

@@ -181,6 +181,19 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(capped === 0L)
   }
 
+  test("winnowing containment scores a doc spliced inside a larger one at " +
+       "exactly 1e6 (every window of the contained doc recurs in the container)") {
+    val small = "the quoted passage lives right here"
+    val big = "prefix material before the splice " + small +
+      " and plenty of trailing material after it"
+    val got = Dedup.winnowingContainment(
+      docs((1L, small), (2L, big),
+           (3L, "entirely unrelated content with nothing shared at all")),
+      "text", "doc_id", minContE6 = 900000L, materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 1000000L)))
+  }
+
   test("token jaccard df-cap prunes ubiquitous tokens") {
     val got = Dedup.tokenJaccardPairs(
       docs((0L, "a b"), (1L, "a c"), (2L, "a d")),
