@@ -429,6 +429,43 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** SimHash near-dup pairs under TWO-band pigeonhole blocking: a
+    * hamming<=1 pair differs in at most one bit, which lives in
+    * exactly one of the two 8-bit halves — so the pair agrees on at
+    * least one FULL half, and the candidate set is the union of both
+    * band equi-joins (never all-pairs), deduped before the exact
+    * hamming filter. Extracted from the x26 registry query so other
+    * consumers (the x56 family-agreement audit) reuse one definition.
+    *
+    * Scale: two equi-joins on 8-bit band keys — bucket sizes are
+    * n/256-ish, so candidates are Σ bucket², the same economics as
+    * minhash LSH with the hamming check as the exact confirm.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Long = 1L): DataFrame = {
+    val sims = docs
+      .select(col(idCol),
+        transform(tokens(col(textCol)), t => hash60(t)).as("th"))
+      .select(col(idCol), simhashFromHashes(col("th")).as("simhash"))
+    val banded = sims.select(col(idCol), col("simhash"),
+        explode(array(
+          struct(lit(0L).as("band"), (col("simhash") % 256).as("bkey")),
+          struct(lit(1L).as("band"), shiftright(col("simhash"), 8).as("bkey")))).as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sim_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sim_b"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Containment scores over shared winnowing fingerprints:
     * n_shared / |fps(smaller doc)| as a floored e6 integer. THE
     * distinctive winnowing consumer — a document spliced or quoted

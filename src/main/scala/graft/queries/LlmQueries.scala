@@ -306,37 +306,15 @@ object LlmQueries {
     // the only shuffle is the bucket equi-join (256 buckets of
     // near-uniform size; never all-pairs). The x14 counterpart for the
     // text-fingerprint side of the dedup story.
-    "x26_simhash_neardup" -> ((s, d) => {
-      // TWO-band pigeonhole blocking: a hamming<=1 pair differs in at
-      // most one bit, which lives in exactly one of the two 8-bit
-      // halves — so the pair agrees on at least one FULL half. The
-      // earlier single-band (>>8) form silently missed every pair
-      // whose differing bit sat in the high byte (review finding).
-      // Candidates = union of both band equi-joins, deduped, then the
-      // exact hamming filter — still never all-pairs.
-      val sims = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
-        .select(col("doc_id"),
-          transform(TF.tokens(col("text")), t => TF.hash60(t)).as("th"))
-        .select(col("doc_id"), TF.simhashFromHashes(col("th")).as("simhash"))
-      val banded = sims.select(col("doc_id"), col("simhash"),
-          explode(array(
-            struct(lit(0L).as("band"), (col("simhash") % 256).as("bkey")),
-            struct(lit(1L).as("band"), shiftright(col("simhash"), 8).as("bkey")))).as("bb"))
-        .select(col("doc_id"), col("simhash"),
-          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-        col("band"), col("bkey"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-        col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
-        .withColumn("hamming",
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-        .filter(col("hamming") <= 1)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Two-band pigeonhole blocking + exact hamming confirm; the
+    // single-band (>>8) form silently missed every pair whose
+    // differing bit sat in the high byte (round-5 review finding).
+    // Logic lives in Dedup.simhashPairs (x56 reuses it).
+    "x26_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
+        "text", "doc_id", maxHamming = 1L)
+        .orderBy("doc_a", "doc_b")),
 
     // Lloyd convergence driver (VERDICT r4 ask #7): two refinement
     // rounds of the IVF quantizer, each feeding its e6-integer means
@@ -983,6 +961,48 @@ object LlmQueries {
         Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
         "text", "doc_id", k = 8, w = 4, dfCap = 16L, minShared = 3L)
         .orderBy("doc_a", "doc_b")),
+
+    // Survivor-policy dedup: the same near-dup clusters as x20, but
+    // the survivor is the LONGEST member (ties to the lowest id), not
+    // the minimum id — the real curation policy ("keep the most
+    // complete version") decoupled from the clustering itself. One
+    // window over the (tiny) labeled frame on top of x20's plan.
+    "x55_dedup_keep_longest" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(docs, "text", "doc_id"), "doc_a", "doc_b")
+      val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("n_chars").desc, col("node"))
+      labels.join(meta, col("node") === col("doc_id"))
+        .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+          col("n_chars"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Dedup-family agreement audit: which near-dup pairs do minhash
+    // (bag-of-shingles jaccard), simhash (global near-angle), and
+    // winnowing (local substring) each flag, and how much do they
+    // overlap? The 2³-cell matrix is how a curator picks thresholds
+    // and families for a corpus — methods disagreeing wildly means
+    // the dup structure is partial-overlap (winnowing's case), not
+    // whole-document. Flags union positionally, collapse per pair
+    // with max(), then count by flag combination — three existing
+    // pipelines plus two tiny aggregates, no new shuffle class.
+    "x56_dedup_agreement" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      def flagged(df: DataFrame, m: Int, sh: Int, w: Int) =
+        df.select(col("doc_a"), col("doc_b"),
+          lit(m.toLong).as("mh"), lit(sh.toLong).as("sh"), lit(w.toLong).as("wn"))
+      flagged(Dedup.minhashCandidates(docs, "text", "doc_id"), 1, 0, 0)
+        .union(flagged(Dedup.simhashPairs(docs, "text", "doc_id"), 0, 1, 0))
+        .union(flagged(Dedup.winnowingPairs(docs, "text", "doc_id"), 0, 0, 1))
+        .groupBy("doc_a", "doc_b")
+        .agg(max("mh").as("mh"), max("sh").as("sh"), max("wn").as("wn"))
+        .groupBy("mh", "sh", "wn").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("mh", "sh", "wn")
+    }),
 
     // Winnowing containment: n_shared / |fps(smaller doc)| — detects a
     // document spliced INSIDE another, where jaccard-style symmetric
@@ -1816,6 +1836,65 @@ object LlmQueries {
         |SELECT q_id, doc_id, CAST(score_e12 AS BIGINT) AS score_e12,
         |       CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x56_dedup_agreement" ->
+      s"""WITH $minhashBandsCtes,
+         |mprs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |mcand AS (SELECT doc_a, doc_b FROM (
+         |            SELECT doc_a, doc_b,
+         |                   CAST(floor(1000000.0 * len(list_filter(generate_series(1, $K), i -> sig_a[i] = sig_b[i])) / ${K.toDouble}) AS BIGINT) AS est
+         |            FROM mprs) WHERE est >= 250000),
+         |s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
+         |      FROM (SELECT doc_id,
+         |                   list_transform(string_split(text, ' '), t -> ${dH("t")}) AS hs
+         |            FROM documents)),
+         |b2 AS (SELECT doc_id, simhash, 0 AS band, simhash % 256 AS bkey FROM s
+         |       UNION ALL
+         |       SELECT doc_id, simhash, 1 AS band, simhash >> 8 AS bkey FROM s),
+         |scand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |          FROM b2 a JOIN b2 c ON a.band = c.band AND a.bkey = c.bkey
+         |                             AND a.doc_id < c.doc_id
+         |          WHERE bit_count(xor(a.simhash, c.simhash)) <= 1),
+         |gh AS (SELECT doc_id,
+         |              list_transform(generate_series(1, length(text) - 7),
+         |                             i -> ${dH("substr(text, i, 8)")}) AS gh
+         |       FROM documents WHERE length(text) >= 11),
+         |fps AS (SELECT doc_id,
+         |               list_distinct(list_transform(range(1, len(gh) - 2),
+         |                             j -> list_min(gh[j:j+3]))) AS fps
+         |        FROM gh),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY 1)
+         |         WHERE df <= 16),
+         |kept AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+         |wcand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 3),
+         |u AS (SELECT doc_a, doc_b, 1 AS mh, 0 AS sh, 0 AS wn FROM mcand
+         |      UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM scand
+         |      UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM wcand),
+         |flags AS (SELECT doc_a, doc_b,
+         |                 CAST(max(mh) AS BIGINT) AS mh,
+         |                 CAST(max(sh) AS BIGINT) AS sh,
+         |                 CAST(max(wn) AS BIGINT) AS wn
+         |          FROM u GROUP BY 1, 2)
+         |SELECT mh, sh, wn, count(*) AS n_pairs
+         |FROM flags GROUP BY 1, 2, 3 ORDER BY mh, sh, wn""".stripMargin,
+
+    "x55_dedup_keep_longest" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |$ccClosureCtes
+         |SELECT l.doc_id, l.cluster_rep, d.n_chars,
+         |       CASE WHEN row_number() OVER (
+         |         PARTITION BY l.cluster_rep
+         |         ORDER BY d.n_chars DESC, l.doc_id) = 1
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+         |FROM lab l JOIN documents d USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin,
 
     "x54_winnowing_containment" ->
       s"""WITH gh AS (SELECT doc_id,
