@@ -429,6 +429,35 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental winnowing: a NEW batch probed against a persisted
+    * fingerprint index ([[winnowingFingerprints]] shape — one (doc,
+    * fp) row per distinct fingerprint) without re-fingerprinting the
+    * corpus — the winnowing sibling of [[incrementalCandidates]].
+    * The MOSS df-cap is computed over the INDEX: the corpus is what
+    * defines boilerplate, and a batch must not shift it. Emits
+    * (new_id, old_id, n_shared) for new-vs-old pairs only; new-vs-new
+    * overlap is [[winnowingPairs]] on the batch.
+    *
+    * Scale: only the batch pays the md5-per-gram pipeline; the one
+    * shuffle is the fp equi-join, and an index persisted bucketed by
+    * fp co-locates it — the same delta economics as the minhash
+    * index path.
+    */
+  def incrementalWinnowing(newDocs: DataFrame, fpIndex: DataFrame,
+                           textCol: String, idCol: String,
+                           k: Int = 8, w: Int = 4, dfCap: Long = 16L,
+                           minShared: Long = 3L): DataFrame = {
+    val newFps = winnowingFingerprints(newDocs, textCol, idCol, k, w)
+      .select(col(idCol).as("new_id"), col("fp"))
+    val rare = fpIndex.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("fp")
+    val kept = fpIndex.join(rare, "fp")
+      .select(col(idCol).as("old_id"), col("fp"))
+    newFps.join(kept, "fp")
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs under TWO-band pigeonhole blocking: a
     * hamming<=1 pair differs in at most one bit, which lives in
     * exactly one of the two 8-bit halves — so the pair agrees on at

@@ -510,6 +510,53 @@ object StreamingQueries {
       }
 
       s.table("st11_totals").orderBy("event_type")
+    }),
+
+    // Incremental winnowing against a persisted fingerprint index —
+    // st04's micro-batch shape with the winnowing family: only the
+    // arriving batch pays the fingerprint pipeline; the index (and
+    // its boilerplate df-cap, which the CORPUS defines, not the
+    // batch) is static. Batch split is stateless foreachBatch work,
+    // so two batches emit exactly the one-shot answer.
+    "st12_streaming_winnowing" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.llm.Dedup
+
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val index = Dedup.winnowingFingerprints(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id").cache()
+      val newDocs = docs.filter(col("doc_id") % 10 === 0)
+        .as[(Long, String)].collect().toSeq
+
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized {
+              buf ++= Dedup.incrementalWinnowing(batch, index, "text", "doc_id")
+                .collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            }
+            ()
+          }
+          .start()
+        try {
+          val (a, b) = newDocs.partition(_._1 % 20 == 0)
+          in.addData(a)
+          q.processAllAvailable()
+          in.addData(b)
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          index.unpersist()
+        }
+      }
+
+      buf.toSeq.toDF("new_id", "old_id", "n_shared")
+        .orderBy("new_id", "old_id")
     })
   )
 
@@ -528,6 +575,27 @@ object StreamingQueries {
     * both zero cases.
     */
   val oracles: Map[String, String] = Map(
+    // batching is stateless here: two micro-batches emit exactly the
+    // one-shot new-vs-old winnowing probe (df-cap over the OLD corpus)
+    "st12_streaming_winnowing" ->
+      """WITH gh AS (SELECT doc_id,
+        |                   list_transform(generate_series(1, length(text) - 7),
+        |                                  i -> (('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT)) AS gh
+        |            FROM documents WHERE length(text) >= 11),
+        |fps AS (SELECT doc_id,
+        |               list_distinct(list_transform(range(1, len(gh) - 2),
+        |                             j -> list_min(gh[j:j+3]))) AS fps
+        |        FROM gh),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+        |old AS (SELECT * FROM f WHERE doc_id % 10 <> 0),
+        |new AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM old GROUP BY 1)
+        |         WHERE df <= 16),
+        |kept AS (SELECT o.doc_id, o.fp FROM old o JOIN rare USING (fp))
+        |SELECT n.doc_id AS new_id, k.doc_id AS old_id, count(*) AS n_shared
+        |FROM new n JOIN kept k USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY new_id, old_id""".stripMargin,
     "st01_streaming_spikes" ->
       s"""${RefHistogram.sqlCtes},
          |w AS (
