@@ -52,4 +52,14 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.count() >= 2) // 1 and 4 are near-identical; one survives
     assert(GraftSqlBridge.cacheManagerIsEmpty(spark))
   }
+
+  test("the winnowing family (pairs + containment) stays cache-clean") {
+    spark.catalog.clearCache()
+    (1 to 3).foreach { _ =>
+      Dedup.winnowingPairs(docs, "text", "doc_id", minShared = 1L).count()
+      Dedup.winnowingContainment(docs, "text", "doc_id", minContE6 = 0L).count()
+      assert(GraftSqlBridge.cacheManagerIsEmpty(spark),
+        "winnowing operators must not pin CacheManager entries")
+    }
+  }
 }

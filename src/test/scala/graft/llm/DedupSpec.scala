@@ -165,6 +165,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("winnowing theorem holds on 20 seeded-random pairs at the exact " +
+       "guarantee boundary (shared substring of length k+w-1 = 11)") {
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // pair (2i, 2i+1): independent random 40-char docs with the same
+    // 11-char substring planted mid-string — the MINIMUM length the
+    // winnowing theorem guarantees a shared fingerprint for
+    val planted = (0 until 20).map { i =>
+      val shared = randStr(11)
+      (2L * i, randStr(20) + shared + randStr(20),
+       2L * i + 1, randStr(20) + shared + randStr(20))
+    }
+    val df = docs(planted.flatMap(p => Seq((p._1, p._2), (p._3, p._4))): _*)
+    val got = Dedup.winnowingPairs(df, "text", "doc_id",
+        dfCap = 1000L, minShared = 1L, materialize = false)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // chance 8-gram collisions across different pairs may add extras;
+    // the theorem demands every PLANTED pair is present
+    for (p <- planted)
+      assert(got.contains((p._1, p._3)),
+        s"planted pair (${p._1}, ${p._3}) missing — winnowing theorem violated")
+  }
+
   test("winnowing df-cap drops boilerplate fingerprints before the pair join") {
     val boiler = "standard legal disclaimer boilerplate text"
     val ds = docs((1L, "aardvark antelope " + boiler),

@@ -35,6 +35,30 @@ class PageRankSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.sum === 999999999L) // 1e9 minus one flooring unit
   }
 
+  test("mass bounds on seeded-random dangling-free graphs: total rank in " +
+       "(1e9 - flooring loss, 1e9], every rank >= the teleport base") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(20)
+      // symmetrize so no node dangles (mass leaks only to flooring)
+      val und = (0 until 3 * n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val g = edges((und ++ und.map(_.swap)).distinct: _*)
+      val iters = 3
+      val got = ranksOf(PageRank.pageRankE9(g, "src", "dst", iters))
+      val v = got.size.toLong
+      val base = 150000000L / v
+      val total = got.values.sum
+      // per round, each node floors <= 1 unit per in-edge contribution
+      // plus 2 for the base/damp divisions; loss compounds over rounds
+      val lossBound = (iters + 1).toLong * (2L * v + 2L * g.count())
+      assert(total <= 1000000000L, s"trial $trial: mass created ($total)")
+      assert(total > 1000000000L - lossBound,
+        s"trial $trial: lost more than flooring allows ($total)")
+      assert(got.values.forall(_ >= base), s"trial $trial: rank below teleport base")
+    }
+  }
+
   test("a node with no in-edges keeps only the teleport base") {
     // 1 -> 2: node 1 receives nothing; N=2, base = 150000000/2
     val got = ranksOf(PageRank.pageRankE9(edges((1L, 2L)), "src", "dst", 1))
