@@ -29,6 +29,22 @@ import graft.operators.{AsOfJoin, ZOrder}
 object GeneralQueries {
 
   /** round-to-cents as exact bigint: round(x * 10^s) */
+  /** The part co-occurrence graph shared by q41/q44/q45: (order, part)
+    * pairs and the undirected (a < b) distinct edge list between parts
+    * appearing in the same order. One definition so the three graph
+    * queries provably analyze the same graph.
+    */
+  private def coOccurrenceEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val pairs = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 4)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = pairs.as("x").join(pairs.as("y"), "l_orderkey")
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    (pairs, und)
+  }
+
   private def asInt(c: Column, scale: Int): Column =
     round(c * math.pow(10, scale).toLong).cast("long")
 
@@ -685,13 +701,7 @@ object GeneralQueries {
     // covers the iterative-graph shape; this is the one-shot
     // pattern-match shape.
     "q41_triangles" -> ((s, d) => {
-      val pairs = Tables.lineitem(s, d)
-        .filter(col("l_linenumber") <= 4)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = pairs.as("x").join(pairs.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      val edges = coOccurrenceEdges(s, d)._2
         .localCheckpoint(true) // three consumers — materialize once
       val tri = edges.as("e1")
         .join(edges.as("e2"), col("e1.b") === col("e2.a"))
@@ -751,13 +761,7 @@ object GeneralQueries {
     // rounds — possible ONLY because every division is integer
     // (PageRank.pageRankE9's determinism contract).
     "q44_pagerank" -> ((s, d) => {
-      val pairs = Tables.lineitem(s, d)
-        .filter(col("l_linenumber") <= 4)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val und = pairs.as("x").join(pairs.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      val und = coOccurrenceEdges(s, d)._2
       val edges = und.union(und.select(col("b"), col("a")))
       graft.operators.PageRank.pageRankE9(edges, "a", "b", iters = 3)
         .orderBy("node")
@@ -768,13 +772,7 @@ object GeneralQueries {
     // iterative frontier expansion matches a bounded recursive-CTE
     // closure exactly — no floats, no tie ambiguity.
     "q45_bfs_hops" -> ((s, d) => {
-      val pairs = Tables.lineitem(s, d)
-        .filter(col("l_linenumber") <= 4)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val und = pairs.as("x").join(pairs.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      val (pairs, und) = coOccurrenceEdges(s, d)
       val edges = und.union(und.select(col("b"), col("a")))
       val seeds = pairs.select("l_partkey").distinct()
         .filter(col("l_partkey") % 509 === 0)
