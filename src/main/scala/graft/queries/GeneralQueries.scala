@@ -779,6 +779,23 @@ object GeneralQueries {
       graft.operators.BfsHops.hopsFrom(edges, "a", "b", seeds, "l_partkey",
           maxHops = 3)
         .orderBy("node")
+    }),
+
+    // Consecutive-duplicate collapse (the CDC / sensor change-log
+    // pattern): keep only rows whose event_type differs from the same
+    // user's previous row in (time, id) order — state-change
+    // extraction as ONE lag window, where the naive form is a
+    // self-join on row adjacency. The window shuffles once on
+    // user_id; the filter is stateless after it.
+    "q46_collapse_consecutive" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("evt_sec", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select("event_id", "user_id", "evt_sec", "event_type")
+        .orderBy("event_id")
     })
   )
 
@@ -1298,6 +1315,17 @@ object GeneralQueries {
         |          SELECT e.dst, r.hop + 1 FROM reach r
         |          JOIN edges e ON r.node = e.src WHERE r.hop < 3)
         |SELECT node, CAST(min(hop) AS BIGINT) AS hops
-        |FROM reach GROUP BY node ORDER BY node""".stripMargin
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q46_collapse_consecutive" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec, event_type
+        |           FROM events),
+        |fl AS (SELECT *, lag(event_type) OVER (
+        |         PARTITION BY user_id ORDER BY evt_sec, event_id) AS prev_type
+        |       FROM e)
+        |SELECT event_id, user_id, evt_sec, event_type
+        |FROM fl WHERE prev_type IS NULL OR prev_type <> event_type
+        |ORDER BY event_id""".stripMargin
   )
 }

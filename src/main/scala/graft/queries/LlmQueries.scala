@@ -981,6 +981,30 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // N-gram novelty (memorization-risk scoring): the share of a
+    // doc's distinct 8-grams that appear in NO other document —
+    // duplicated text is what models memorize, and a low-novelty doc
+    // is a near-verbatim recombination even when no single pair
+    // flags it. One explode (explode_OUTER — the same
+    // InferFiltersFromGenerate trap x50 documents: a plain explode
+    // pushes a scan filter that re-runs the md5 transform per
+    // element), one df aggregate, one join back.
+    "x57_ngram_novelty" -> ((s, d) => {
+      val grams = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          explode_outer(array_distinct(TF.charGramHashes(col("text"), 8))).as("g"))
+        .localCheckpoint(true) // df count + per-doc stats read it
+      // grams are per-doc distinct, so count(*) IS the doc frequency
+      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_e6", expr("(n_novel * 1000000) DIV n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup-family agreement audit: which near-dup pairs do minhash
     // (bag-of-shingles jaccard), simhash (global near-angle), and
     // winnowing (local substring) each flag, and how much do they
@@ -1836,6 +1860,20 @@ object LlmQueries {
         |SELECT q_id, doc_id, CAST(score_e12 AS BIGINT) AS score_e12,
         |       CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x57_ngram_novelty" ->
+      s"""WITH g0 AS (SELECT doc_id,
+         |                   unnest(list_distinct(list_transform(
+         |                     generate_series(1, length(text) - 7),
+         |                     i -> ${dH("substr(text, i, 8)")}))) AS g
+         |            FROM documents WHERE length(text) >= 8),
+         |dfreq AS (SELECT g, count(*) AS df FROM g0 GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000)
+         |            // count(*) AS BIGINT) AS novelty_e6
+         |FROM g0 JOIN dfreq USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x56_dedup_agreement" ->
       s"""WITH $minhashBandsCtes,
