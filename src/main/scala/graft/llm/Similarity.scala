@@ -339,6 +339,62 @@ object Similarity {
       .select(col(idOut), col(vecOut), col(nrmOut), col("c.cid").as("cluster"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell/Goldstein
+    * λ=0.5): greedily pick the candidate maximizing relevance minus
+    * its max similarity to anything already picked — the re-ranker
+    * that keeps a RAG/retrieval result set from being k copies of the
+    * same document. λ is fixed at 1/2 and the /2 is dropped (argmax
+    * is scale-invariant) so every score is a DIFFERENCE of floored e6
+    * integers: no division whose negative-operand semantics differ
+    * between engines (Spark div truncates, DuckDB // floors).
+    *
+    * Scale: stage 1 is the distributed brute scan (probe literal fused
+    * into the scan, bounded orderBy-limit pool); stage 2 is the greedy
+    * over poolSize rows ON THE DRIVER — k·poolSize integer ops over a
+    * frame bounded by construction, the same collected-literal
+    * contract as the IVF centroid paths. Driver cosine mirrors the
+    * expression path bit-for-bit (left-fold dot, floor(1e6·cos)), so
+    * the unrolled-greedy SQL oracle hashes identically.
+    */
+  def mmrTopK(corpus: DataFrame, probeId: Long, k: Int, poolSize: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val probe: Seq[Float] = corpus.filter(col(idCol) === probeId)
+      .select(vecCol).head.getSeq[Float](0)
+    val pnrm = normOf(probe)
+    val pool: Seq[(Long, Seq[Float], Long)] = corpus
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol).cast("long"), col(vecCol),
+        cosineE6Pre(dot(col(vecCol), typedLit(probe)),
+          norm(col(vecCol)), lit(pnrm)).as("cq"))
+      .orderBy(col("cq").desc, col(idCol))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2))).toSeq
+
+    def cosE6(a: Seq[Float], b: Seq[Float]): Long =
+      math.floor(1000000.0 * dotOf(a, b) / (normOf(a) * normOf(b))).toLong
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Long)]
+    var remaining = pool
+    for (_ <- 1 to math.min(k, pool.size)) {
+      val best = remaining
+        .map { case (id, v, cq) =>
+          val pen = if (selected.isEmpty) 0L
+                    else selected.map(s => cosE6(v, s._2)).max
+          (id, v, cq - pen)
+        }
+        .minBy { case (id, _, m) => (-m, id) } // max mmr, ties to low id
+      selected += best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, m), i) => (i + 1L, id, m) }
+      .toDF("rnk", idCol, "mmr_e6")
+  }
+
   /** [[assignClusters]] for centroid sets too large to inline as
     * literals (nprobe=1 only): broadcast the centroid frame, score
     * every (row, centroid) pair, and take the argmax with a

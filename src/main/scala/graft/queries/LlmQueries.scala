@@ -981,6 +981,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MMR diversified retrieval (λ=0.5, division-free): the re-ranker
+    // that keeps a retrieval result from being k copies of one
+    // document. Distributed bounded pool, k greedy driver rounds,
+    // oracle = the greedy unrolled as chained LIMIT-1 CTEs.
+    "x58_mmr_topk" -> ((s, d) =>
+      Similarity.mmrTopK(Tables.embeddings(s, d), probeId = 0L,
+          k = 3, poolSize = 20)
+        .orderBy("rnk")),
+
     // N-gram novelty (memorization-risk scoring): the share of a
     // doc's distinct 8-grams that appear in NO other document —
     // duplicated text is what models memorize, and a low-novelty doc
@@ -1860,6 +1869,28 @@ object LlmQueries {
         |SELECT q_id, doc_id, CAST(score_e12 AS BIGINT) AS score_e12,
         |       CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x58_mmr_topk" ->
+      s"""WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.embedding, ${cosSql("e.embedding", "p.pv")} AS cq
+         |         FROM embeddings e, p WHERE e.vec_id <> 0
+         |         ORDER BY cq DESC, e.vec_id LIMIT 20),
+         |r1 AS (SELECT vec_id, embedding, cq, cq AS mmr
+         |       FROM cand ORDER BY cq DESC, vec_id LIMIT 1),
+         |r2 AS (SELECT c.vec_id, c.embedding, c.cq,
+         |              c.cq - ${cosSql("c.embedding", "r1.embedding")} AS mmr
+         |       FROM cand c, r1 WHERE c.vec_id <> r1.vec_id
+         |       ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         |r3 AS (SELECT c.vec_id, c.embedding, c.cq,
+         |              c.cq - greatest(${cosSql("c.embedding", "r1.embedding")},
+         |                              ${cosSql("c.embedding", "r2.embedding")}) AS mmr
+         |       FROM cand c, r1, r2
+         |       WHERE c.vec_id NOT IN (r1.vec_id, r2.vec_id)
+         |       ORDER BY mmr DESC, c.vec_id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rnk, vec_id, CAST(mmr AS BIGINT) AS mmr_e6 FROM r1
+         |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, CAST(mmr AS BIGINT) FROM r2
+         |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, CAST(mmr AS BIGINT) FROM r3
+         |ORDER BY rnk""".stripMargin,
 
     "x57_ngram_novelty" ->
       s"""WITH g0 AS (SELECT doc_id,

@@ -140,6 +140,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(kept.toSeq === Seq(0L, 1L, 10L, 20L, 30L))
   }
 
+  test("mmrTopK demotes a relevance-runner-up that duplicates the leader") {
+    // probe p = (1,1,0)-ish; B is most relevant, A nearly duplicates
+    // B, C is as relevant as A but orthogonal to B. Pure relevance
+    // order is B, A, C — MMR must pick C at rank 2.
+    val corpus = vecs(
+      (0L, pad(1f, 1f)),        // the probe itself (excluded)
+      (1L, pad(1f, 0f)),        // A: cq ~ 707106, near-dup of B
+      (2L, pad(1f, 0.05f)),     // B: cq ~ 741583 (leader)
+      (3L, pad(0f, 1f)))        // C: cq ~ 707106, orthogonal to A/B
+    val got = Similarity.mmrTopK(corpus, probeId = 0L, k = 3, poolSize = 10)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (2L, 3L), (3L, 1L)),
+      "MMR order must be B, C, A — diversity beats the near-duplicate")
+  }
+
   test("broadcast-join assignment path produces the literal path's exact " +
        "drop list (argmax + tie-break parity), including on random vectors") {
     // planted case
