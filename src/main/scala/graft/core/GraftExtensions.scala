@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{MinHashSig, ParseIpv4, ShingleGen}
+import graft.functions.{MinHashSig, ParseIpv4, ShingleGen, VecDot}
 
 /** Engine extensions installed through the public
   * `SparkSessionExtensions` hook (usable via
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 1, "minhash_sig expects exactly one argument")
         MinHashSig(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "vec_dot expects exactly two arguments")
+        VecDot(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_gen"),

@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-fold dot product in double (deterministic summation order —
-    * matches the oracle's list_reduce bit-for-bit).
+    * matches the oracle's list_reduce bit-for-bit). Lowered to the
+    * native codegen'd [[graft.functions.VecDot]] expression — one
+    * primitive loop per pair instead of an interpreted zip_with +
+    * aggregate lambda chain, identical IEEE operation sequence (see
+    * VecDotHelper's contract; DotParitySpec pins fold parity).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", a, b)
 
   /** Euclidean norm with the same fold order as [[dot]] — materialize
     * this once per vector side before a join.
