@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextFunctions => TF}
 
 /** LLM-training-data pipeline queries (builder brief: dedup,
   * similarity search, text analysis, multimodal — first-class
@@ -1086,34 +1086,28 @@ object LlmQueries {
     // sat numerator 8.8e8·tf·L ≈ 4e16; idf_e6·sat_e6 ≈ 7e16).
     // Same inverted-index economics as x38: probes broadcast, join on
     // token, never n² — BM25 is a different SCORE on the same plan.
-    "x52_bm25" -> ((s, d) => {
-      val tf = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // probe side, corpus side, dlen, dfreq
-      val dlen = tf.groupBy("doc_id").agg(sum("cnt").as("doc_len"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val stats = dlen.agg(sum("doc_len").as("big_l"),
-        count(lit(1)).as("n_docs"))
-      val corpus = tf.join(dlen, "doc_id").join(dfreq, "token")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("token"),
-          expr("""((1000000 * (2*(n_docs - df) + 1)) DIV (2*df + 1)
-                 | * ((880000000 * cnt * big_l)
-                 |    DIV (400 * cnt * big_l + 120 * big_l + 360 * doc_len * n_docs)))
-                 | DIV 1000000
-                 |""".stripMargin.replace("\n", " ")).as("term_e6"))
-      val probes = tf.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("q_id"), col("token")).distinct()
-      val win = Window.partitionBy("q_id")
-        .orderBy(col("score_e6").desc, col("doc_id"))
-      corpus.join(broadcast(probes), "token")
-        .filter(col("doc_id") =!= col("q_id"))
-        .groupBy("q_id", "doc_id")
-        .agg(sum("term_e6").as("score_e6"))
-        .withColumn("rnk", row_number().over(win).cast("long"))
-        .filter(col("rnk") <= 3)
-        .orderBy("q_id", "rnk")
+    "x52_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(
+          Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"), k = 3)
+        .orderBy("q_id", "rnk")),
+
+    // Hybrid retrieval: BM25 (lexical) and brute cosine (dense) top-10
+    // lists fused by reciprocal-rank fusion — the standard RAG-stack
+    // combiner (a doc ranked well by EITHER signal surfaces; rank
+    // positions, not incomparable scores, are what's summed). Probes
+    // are the same %97 sample in both legs (doc_id ≡ vec_id).
+    // Scale: each leg bounds its output at |probes|·10 rows before
+    // the fusion join — the fusion itself is asymptotically free.
+    "x59_rrf_hybrid" -> ((s, d) => {
+      val sparse = Retrieval.bm25TopK(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"), k = 10)
+        .select("q_id", "doc_id", "rnk")
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteTopKAgg(
+          emb, emb.filter(col("vec_id") % 97 === 0), k = 10)
+        .select(col("probe_id").as("q_id"),
+          col("neighbor_id").as("doc_id"), col("rnk"))
+      Retrieval.rrfFuse(sparse, dense, k = 3).orderBy("q_id", "rnk")
     }),
 
     // SemDeDup semantic dedup (cluster-then-compare over embeddings):
@@ -2035,6 +2029,43 @@ object LlmQueries {
         |      FROM sc)
         |SELECT q_id, doc_id, score_e6, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x59_rrf_hybrid" ->
+      s"""WITH tf AS (SELECT doc_id, token, count(*) AS cnt
+         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |                  FROM documents)
+         |            GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(sum(doc_len) AS BIGINT) AS big_l,
+         |                 CAST(count(*) AS BIGINT) AS n_docs FROM dlen),
+         |corpus AS (SELECT t.doc_id, t.token,
+         |             ((1000000 * (2*(s.n_docs - f.df) + 1)) // (2*f.df + 1)
+         |              * ((880000000 * t.cnt * s.big_l)
+         |                 // (400 * t.cnt * s.big_l + 120 * s.big_l + 360 * l.doc_len * s.n_docs)))
+         |             // 1000000 AS term_e6
+         |           FROM tf t JOIN dlen l USING (doc_id) JOIN dfreq f USING (token), stats s),
+         |p AS (SELECT DISTINCT doc_id AS q_id, token FROM tf WHERE doc_id % 97 = 0),
+         |sc AS (SELECT q_id, c.doc_id, CAST(sum(c.term_e6) AS BIGINT) AS score_e6
+         |       FROM corpus c JOIN p USING (token) WHERE c.doc_id <> p.q_id GROUP BY 1, 2),
+         |sp AS (SELECT q_id, doc_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS rnk
+         |       FROM sc QUALIFY rnk <= 10),
+         |ep AS (SELECT vec_id AS q_id, embedding AS p_vec FROM embeddings WHERE vec_id % 97 = 0),
+         |dsc AS (SELECT q_id, e.vec_id AS doc_id, ${cosSql("ep.p_vec", "e.embedding")} AS cos_e6
+         |        FROM embeddings e, ep WHERE e.vec_id <> ep.q_id),
+         |dn AS (SELECT q_id, doc_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos_e6 DESC, doc_id) AS rnk
+         |       FROM dsc QUALIFY rnk <= 10),
+         |f AS (SELECT coalesce(sp.q_id, dn.q_id) AS q_id,
+         |             coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |             coalesce(1000000 // (60 + sp.rnk), 0)
+         |               + coalesce(1000000 // (60 + dn.rnk), 0) AS rrf_e6
+         |      FROM sp FULL JOIN dn ON sp.q_id = dn.q_id AND sp.doc_id = dn.doc_id)
+         |SELECT q_id, doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY q_id ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rnk
+         |FROM f QUALIFY rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     "x44_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang,
