@@ -796,6 +796,32 @@ object GeneralQueries {
         .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
         .select("event_id", "user_id", "evt_sec", "event_type")
         .orderBy("event_id")
+    }),
+
+    // Interval-overlap join with NO equi key (point-in-window
+    // membership against a set of time windows): the scale-correct
+    // form buckets time into fixed 900 s cells, explodes each window
+    // over the cells it covers, and equi-joins on the cell — a probe
+    // lives in exactly one cell, so each qualifying (event, window)
+    // pair surfaces at most once and the residual range predicate
+    // just confirms it. The naive form is a nested-loop theta join
+    // (BroadcastNestedLoopJoin) that scans every event per window;
+    // this plan is a plain shuffled equi-join whose fan-out is
+    // len/900+1 cells per window, independent of corpus size.
+    "q47_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"))
+      val win = ev.filter(col("event_id") % 2000 === 0)
+        .select(col("event_id").as("win_id"), col("evt_sec").as("w0"),
+          (col("evt_sec") + 3600L).as("w1"))
+      val winCells = win.select(col("win_id"), col("w0"), col("w1"),
+        explode(sequence(expr("w0 DIV 900"), expr("(w1 - 1) DIV 900"))).as("cell"))
+      ev.withColumn("cell", expr("evt_sec DIV 900"))
+        .join(winCells, Seq("cell"))
+        .filter(col("evt_sec") >= col("w0") && col("evt_sec") < col("w1"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+        .orderBy("win_id")
     })
   )
 
@@ -1326,6 +1352,16 @@ object GeneralQueries {
         |       FROM e)
         |SELECT event_id, user_id, evt_sec, event_type
         |FROM fl WHERE prev_type IS NULL OR prev_type <> event_type
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q47_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec FROM events),
+        |w AS (SELECT event_id AS win_id, evt_sec AS w0, evt_sec + 3600 AS w1
+        |      FROM e WHERE event_id % 2000 = 0)
+        |SELECT win_id, count(*) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e JOIN w ON e.evt_sec >= w.w0 AND e.evt_sec < w.w1
+        |GROUP BY win_id ORDER BY win_id""".stripMargin
   )
 }

@@ -1110,6 +1110,99 @@ object LlmQueries {
       Retrieval.rrfFuse(sparse, dense, k = 3).orderBy("q_id", "rnk")
     }),
 
+    // Exact-substring duplication coverage (the ExactSubstr
+    // counterpart to x50's winnowing: EVERY overlapping 8-token
+    // window, not a selected fingerprint subset): a window is
+    // "duplicated" when its hash occurs in >= 2 DISTINCT documents;
+    // each doc reports what fraction of its windows that is — the
+    // span-level memorization signal (a doc can be 40% verbatim-
+    // copied without any single pair passing a jaccard gate).
+    // Scale shape: one explode + one hash-key groupBy builds the dup
+    // set; the dup membership check is a LEFT SEMI equi-join on the
+    // window hash (the dup set is corpus-sized at web scale — never
+    // broadcast it); no pair of documents is ever materialized.
+    "x60_exact_substring" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val pos = docs
+        .select(col("doc_id"),
+          explode(TF.wordShingles(TF.tokens(col("text")), 8)).as("g"))
+        .select(col("doc_id"), TF.hash60(col("g")).as("gh"))
+        .localCheckpoint(true) // three consumers: dup set, totals, semi-probe
+      val dup = pos.groupBy("gh")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("gh")
+      val tot = pos.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+      val dupWin = pos.join(dup, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_win"))
+      tot.join(dupWin, Seq("doc_id"), "left_outer")
+        .na.fill(0L, Seq("n_dup_win"))
+        .select(col("doc_id"), col("n_win"), col("n_dup_win"),
+          expr("(n_dup_win * 1000000) DIV n_win").as("dup_frac_e6"))
+        .orderBy("doc_id")
+    }),
+
+    // Bigram-LM fluency scoring (the conditional-probability upgrade
+    // of x37's unigram model): corpus-trained P(w2|w1) =
+    // count(w1 w2)/count(w1-as-prefix), each doc scored by the mean
+    // e6 conditional probability over its bigram positions — the
+    // perplexity-style quality filter every corpus pipeline runs,
+    // kept in exact integer arithmetic so the oracle hash-matches.
+    // Scale shape: ONE explode+agg pass builds both count tables off
+    // the same materialized bigram frame; both models join back
+    // BROADCAST (vocab- and bigram-vocab-sized, not corpus-sized);
+    // the only corpus shuffle is the bigram aggregation itself.
+    "x61_bigram_lm" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val bi = docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(TF.wordShingles(col("tk"), 2)).as("bg"))
+        .select(col("doc_id"), col("bg"),
+          substring_index(col("bg"), " ", 1).as("w1"))
+        .localCheckpoint(true) // three consumers: c2, c1, the scoring join
+      val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bi.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+        .select(col("doc_id"), expr("(c2 * 1000000) DIV c1").as("p_e6"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_e6").as("psum_e6"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("psum_e6 DIV n_bigrams").as("mean_p_e6"))
+        .orderBy("doc_id")
+    }),
+
+    // Edit-distance<=1 near-dup join via DELETION NEIGHBORHOODS: two
+    // strings within one edit share a single-deletion variant, so
+    // generating len+1 variants per DISTINCT title and equi-joining
+    // on the variant yields a candidate superset verified by one
+    // levenshtein call per candidate — the fuzzy-match pattern that
+    // replaces the O(n²) all-pairs edit-distance scan. Dedup to
+    // distinct titles FIRST: identical titles (exact dups) would
+    // otherwise multiply every neighborhood pairwise.
+    // Scale shape: variants are linear in input (len+1 per title);
+    // the variant equi-join is the only shuffle; levenshtein runs on
+    // candidates only, never on the cross product.
+    "x62_edit_distance_join" -> ((s, d) => {
+      val titles = Tables.documents(s, d)
+        .select(substring(col("text"), 1, 12).as("ti"), col("doc_id"))
+        .groupBy("ti").agg(min("doc_id").as("rep_id"))
+      val delVars = transform(
+        sequence(lit(0), length(col("ti"))),
+        i => when(i === lit(0), col("ti"))
+          .otherwise(concat(col("ti").substr(lit(1), i - 1),
+            col("ti").substr(i + 1, length(col("ti"))))))
+      val vars = titles
+        .select(col("ti"), col("rep_id"), explode(delVars).as("v"))
+        .localCheckpoint(true) // both sides of the self-join read it
+      val a = vars.select(col("v"), col("ti").as("ti_a"), col("rep_id").as("doc_a"))
+      val b = vars.select(col("v"), col("ti").as("ti_b"), col("rep_id").as("doc_b"))
+      a.join(b, "v")
+        .filter(col("ti_a") < col("ti_b"))
+        .select("doc_a", "doc_b", "ti_a", "ti_b").distinct()
+        .filter(levenshtein(col("ti_a"), col("ti_b")) <= 1)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SemDeDup semantic dedup (cluster-then-compare over embeddings):
     // argmax-centroid assignment restricts pairs to within-cluster,
     // cos >= 0.25 pairs connect into semantic groups, the minimum id
@@ -2066,6 +2159,53 @@ object LlmQueries {
          |       CAST(row_number() OVER (
          |         PARTITION BY q_id ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rnk
          |FROM f QUALIFY rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x60_exact_substring" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(generate_series(1, len(tk) - 7),
+         |               i -> ${dH("array_to_string(tk[i:i+7], ' ')")})) AS gh
+         |      FROM t WHERE len(tk) >= 8),
+         |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+         |                        FROM g GROUP BY 1) WHERE nd >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_win FROM g GROUP BY 1),
+         |dp AS (SELECT doc_id, count(*) AS n_dup_win
+         |       FROM g JOIN dup USING (gh) GROUP BY 1)
+         |SELECT doc_id, CAST(n_win AS BIGINT) AS n_win,
+         |       CAST(COALESCE(n_dup_win, 0) AS BIGINT) AS n_dup_win,
+         |       CAST((COALESCE(n_dup_win, 0) * 1000000) // n_win AS BIGINT) AS dup_frac_e6
+         |FROM tot LEFT JOIN dp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x61_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id,
+        |             unnest(list_transform(generate_series(1, len(tk) - 1),
+        |               i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |      FROM t WHERE len(tk) >= 2),
+        |bb AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM b),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bb GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
+        |p AS (SELECT doc_id, (c2 * 1000000) // c1 AS p_e6
+        |      FROM bb JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_p_e6
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x62_edit_distance_join" ->
+      """WITH t AS (SELECT substr(text, 1, 12) AS ti, min(doc_id) AS rep_id
+        |           FROM documents GROUP BY 1),
+        |v AS (SELECT ti, rep_id,
+        |             unnest(list_transform(generate_series(0, length(ti)),
+        |               i -> CASE WHEN i = 0 THEN ti
+        |                    ELSE substr(ti, 1, i - 1) || substr(ti, i + 1, length(ti))
+        |                    END)) AS v
+        |      FROM t),
+        |p AS (SELECT DISTINCT a.rep_id AS doc_a, b.rep_id AS doc_b,
+        |             a.ti AS ti_a, b.ti AS ti_b
+        |      FROM v a JOIN v b ON a.v = b.v AND a.ti < b.ti)
+        |SELECT doc_a, doc_b, ti_a, ti_b FROM p
+        |WHERE levenshtein(ti_a, ti_b) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x44_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang,
