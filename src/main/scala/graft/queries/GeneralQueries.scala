@@ -822,6 +822,62 @@ object GeneralQueries {
         .groupBy("win_id")
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
         .orderBy("win_id")
+    }),
+
+    // HOPPING (sliding) windows in batch — the built-in window()
+    // generator with slide < width: every event lands in exactly
+    // width/slide = 4 windows, so the plan is a bounded 4× explode
+    // followed by one hash aggregate on the window start. The same
+    // operator st02 exercises on the streaming engine, here in its
+    // batch form (epoch-aligned starts, so the DuckDB mirror is pure
+    // integer arithmetic on floor(sec/slide)).
+    "q48_hopping_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), timestamp_seconds(Tables.tsSec).as("ts"))
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("n_events"), col("n_users"))
+        .orderBy("ws")
+    }),
+
+    // SKYLINE (Pareto front: minimize price, maximize size) without
+    // the O(n²) dominance self-join. After collapsing to one row per
+    // price (equal price ⇒ larger size dominates), a point survives
+    // iff its size exceeds the max size over ALL strictly-cheaper
+    // points. That prefix-max splits into two parallel stages:
+    // (1) range-bucket the price axis — bucket id is monotonic in
+    // price, so a PARTITIONED window per bucket (parallel, no global
+    // sort) gives the within-bucket prefix; (2) the cross-bucket
+    // carry is a prefix-max over the B per-bucket maxima — B rows,
+    // the only single-partition window, broadcast back. At 100 TB
+    // the dominance join is the thing that cannot run; this is two
+    // shuffles + one tiny window.
+    "q49_skyline" -> ((s, d) => {
+      val pts = Tables.part(s, d)
+        .groupBy(round(col("p_retailprice") * 100).cast("long").as("price_c"))
+        .agg(max(col("p_size").cast("long")).as("sz"))
+      val bounds = pts.agg(min("price_c").as("lo"), max("price_c").as("hi"))
+      val nBuckets = 32
+      val bucketed = pts.crossJoin(broadcast(bounds))
+        .withColumn("bkt", least(lit(nBuckets - 1L),
+          (col("price_c") - col("lo")) * nBuckets / (col("hi") - col("lo") + 1)))
+        .select("bkt", "price_c", "sz")
+      val wIn = Window.partitionBy("bkt").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carryW = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bucketed.groupBy("bkt").agg(max("sz").as("bmax"))
+        .withColumn("carry", max("bmax").over(carryW))
+        .select("bkt", "carry")
+      bucketed.withColumn("pmax_in", max("sz").over(wIn))
+        .join(broadcast(carry), Seq("bkt"))
+        .filter(col("sz") > greatest(
+          coalesce(col("pmax_in"), lit(Long.MinValue)),
+          coalesce(col("carry"), lit(Long.MinValue))))
+        .select(col("price_c"), col("sz"))
+        .orderBy("price_c")
     })
   )
 
@@ -1362,6 +1418,30 @@ object GeneralQueries {
         |SELECT win_id, count(*) AS n_events,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM e JOIN w ON e.evt_sec >= w.w0 AND e.evt_sec < w.w1
-        |GROUP BY win_id ORDER BY win_id""".stripMargin
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+
+    // each event belongs to the 4 epoch-aligned 900 s starts in
+    // (sec-3600, sec] — exactly Spark's window(ts, '1 hour', '15 min')
+    "q48_hopping_window" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |x AS (SELECT user_id, ((sec // 900) - k) * 900 AS ws
+        |      FROM e CROSS JOIN generate_series(0, 3) AS t(k))
+        |SELECT ws, count(*) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x GROUP BY ws ORDER BY ws""".stripMargin,
+
+    // declarative dominance (NOT EXISTS) — the O(n²) definition the
+    // Spark side's bucket + prefix-max plan must reproduce exactly
+    "q49_skyline" ->
+      """WITH p AS (SELECT CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+        |                  CAST(max(p_size) AS BIGINT) AS sz
+        |           FROM part GROUP BY 1)
+        |SELECT price_c, sz FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.sz >= a.sz
+        |    AND (b.price_c < a.price_c OR b.sz > a.sz))
+        |ORDER BY price_c""".stripMargin
   )
 }

@@ -1203,6 +1203,55 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Heavy-hitter vocabulary (boilerplate-token detection) through a
+    // BOUNDED-MEMORY sketch: a Misra–Gries typed aggregate (30
+    // counters, functions/MisraGriesAggregator) whose partial buffers
+    // merge map-side, so the candidate pass shuffles O(k) counters
+    // per partition instead of the full vocabulary — then one exact
+    // recount over the guaranteed-superset candidates makes the
+    // output deterministic (the sketch's extra candidates fail the
+    // exact n/(k+1) threshold; true heavy hitters provably survive
+    // the sketch under ANY partitioning). Two passes total; the
+    // second touches only candidate tokens via a broadcast semi-join.
+    "x63_heavy_hitters" -> ((s, d) => {
+      val mgK = 30
+      val mg = udaf(new graft.functions.MisraGriesAggregator(mgK))
+      val toks = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .localCheckpoint(true) // two passes: sketch+total, exact recount
+      val cand = toks
+        .agg(count(lit(1)).as("n_total"), mg(col("w")).as("cands"))
+        .select(col("n_total"), explode(col("cands")).as("w"))
+      toks.join(broadcast(cand), "w")
+        .groupBy("w", "n_total").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (mgK + 1) > col("n_total"))
+        .select(col("w"), col("cnt"))
+        .orderBy("w")
+    }),
+
+    // Robust per-type outlier flagging (median/MAD, the quality
+    // filter that survives the heavy tails a mean/stddev z-score
+    // drowns in) in EXACT integer arithmetic: med2 = 2·median and
+    // mad4 = 4·MAD are integers even at even group sizes (2× the
+    // midpoint average), so the 3-MAD gate |v−med| > 3·MAD becomes
+    // 2·dev2 > 3·mad4 with no floats anywhere near the hash gate.
+    // Scale shape: two grouped exact-median aggregates over the fact
+    // table; both tiny per-type models join back broadcast.
+    "x64_mad_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      val med = e.groupBy("event_type")
+        .agg((median(col("value_c")) * 2).cast("long").as("med2"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("value_c") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg((median(col("dev2")) * 2).cast("long").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("dev2") * 2 > col("mad4") * 3)
+        .select("event_id", "event_type", "value_c")
+        .orderBy("event_id")
+    }),
+
     // SemDeDup semantic dedup (cluster-then-compare over embeddings):
     // argmax-centroid assignment restricts pairs to within-cluster,
     // cos >= 0.25 pairs connect into semantic groups, the minimum id
@@ -2206,6 +2255,29 @@ object LlmQueries {
         |SELECT doc_a, doc_b, ti_a, ti_b FROM p
         |WHERE levenshtein(ti_a, ti_b) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // plain exact counts with the same n/(k+1) threshold: the MG
+    // sketch only proposes candidates, the exact filter decides
+    "x63_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |n AS (SELECT count(*) AS n FROM w)
+        |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY w
+        |HAVING count(*) * 31 > (SELECT n FROM n)
+        |ORDER BY w""".stripMargin,
+
+    "x64_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |m AS (SELECT event_type, CAST(median(value_c)*2 AS BIGINT) AS med2
+        |      FROM e GROUP BY 1),
+        |dv AS (SELECT e.*, abs(value_c*2 - med2) AS dev2
+        |       FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, CAST(median(dev2)*2 AS BIGINT) AS mad4
+        |       FROM dv GROUP BY 1)
+        |SELECT event_id, event_type, value_c
+        |FROM dv JOIN md USING (event_type)
+        |WHERE dev2*2 > mad4*3 ORDER BY event_id""".stripMargin,
 
     "x44_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang,
