@@ -855,9 +855,13 @@ object GeneralQueries {
     // the dominance join is the thing that cannot run; this is two
     // shuffles + one tiny window.
     "q49_skyline" -> ((s, d) => {
+      // one scan+shuffle of the fact table; bounds/bucketing/carry all
+      // derive from the materialized per-price frame (|distinct price|
+      // rows), not from three re-scans of part
       val pts = Tables.part(s, d)
         .groupBy(round(col("p_retailprice") * 100).cast("long").as("price_c"))
         .agg(max(col("p_size").cast("long")).as("sz"))
+        .localCheckpoint(true)
       val bounds = pts.agg(min("price_c").as("lo"), max("price_c").as("hi"))
       val nBuckets = 32
       val bucketed = pts.crossJoin(broadcast(bounds))
