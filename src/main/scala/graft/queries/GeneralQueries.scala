@@ -882,6 +882,30 @@ object GeneralQueries {
           coalesce(col("carry"), lit(Long.MinValue))))
         .select(col("price_c"), col("sz"))
         .orderBy("price_c")
+    }),
+
+    // SCD2 dimension build (the lakehouse change-history table):
+    // collapse each customer's order-status stream to its CHANGE rows
+    // (status differs from the previous row), then stamp validity
+    // intervals — valid_to = next change's date, NULL marks the
+    // current row. Both window passes share the (custkey) partitioning
+    // and (date, orderkey) sort, so Catalyst plans ONE shuffle + one
+    // sort and fuses the lag and lead into consecutive Window nodes
+    // over the same distribution — the whole history build is a
+    // single pass per key at any scale.
+    "q50_scd2_build" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_orderstatus"))
+        .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
+        .filter(col("prev_status").isNull ||
+          col("prev_status") =!= col("o_orderstatus"))
+        .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("o_custkey", "valid_from", "status")
     })
   )
 
@@ -1446,6 +1470,21 @@ object GeneralQueries {
         |  SELECT 1 FROM p b
         |  WHERE b.price_c <= a.price_c AND b.sz >= a.sz
         |    AND (b.price_c < a.price_c OR b.sz > a.sz))
-        |ORDER BY price_c""".stripMargin
+        |ORDER BY price_c""".stripMargin,
+
+    "q50_scd2_build" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |         lag(o_orderstatus) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |f AS (SELECT * FROM ch
+        |      WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER w AS valid_to,
+        |       CAST(lead(o_orderdate) OVER w IS NULL AS INTEGER) AS is_current
+        |FROM f
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, status""".stripMargin
   )
 }

@@ -1252,6 +1252,29 @@ object LlmQueries {
         .orderBy("event_id")
     }),
 
+    // One BPE training round at corpus scale (the map-reduce half of
+    // GPT-style vocabulary learning): compress the corpus to its
+    // word-frequency table FIRST (|vocab| rows — the standard trick
+    // that makes tokenizer training tractable at 100 TB), then count
+    // adjacent-symbol pairs weighted by word frequency. One shuffle
+    // for the vocab, one for the pair aggregate, top-k via
+    // TakeOrdered. The multi-round greedy trainer (merge application
+    // as a codegen'd fold, rounds on the driver) is llm/Bpe.learn,
+    // asserted against a plain-Scala reference in BpeSpec; the oracle
+    // covers the round-defining pair statistics.
+    "x65_bpe_pairs" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[A-Za-z]+$") && length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      graft.llm.Bpe.pairCounts(
+          words.select(graft.llm.Bpe.initialSymbols(col("w")).as("syms"),
+            col("freq")))
+        .select(concat(col("a"), col("b")).as("pair"), col("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     // SemDeDup semantic dedup (cluster-then-compare over embeddings):
     // argmax-centroid assignment restricts pairs to within-cluster,
     // cos >= 0.25 pairs connect into semantic groups, the minimum id
@@ -2278,6 +2301,22 @@ object LlmQueries {
         |SELECT event_id, event_type, value_c
         |FROM dv JOIN md USING (event_type)
         |WHERE dev2*2 > mad4*3 ORDER BY event_id""".stripMargin,
+
+    // pair (i, i+1) of an alphabetic word = its 2-char substring at i;
+    // ordering ties break by pair text in both engines (ASCII-only by
+    // the filter, so binary collation agrees)
+    "x65_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |w AS (SELECT w, count(*) AS freq FROM t
+        |      WHERE regexp_matches(w, '^[A-Za-z]+$') AND len(w) >= 2
+        |      GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)),
+        |                                   i -> substr(w, i, 2))) AS pair,
+        |             freq
+        |      FROM w)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "x44_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -557,6 +557,49 @@ object StreamingQueries {
 
       buf.toSeq.toDF("new_id", "old_id", "n_shared")
         .orderBy("new_id", "old_id")
+    }),
+
+    // Heavy hitters ON THE STREAM: x63's Misra-Gries typed aggregate
+    // as STREAMING aggregation state. A mergeable summary is exactly
+    // what incremental micro-batch state wants — each trigger folds
+    // its partial buffer into the k-counter state, so state stays
+    // O(k) forever while n_total grows without bound (a streaming
+    // groupBy(token).count() would grow state with the vocabulary).
+    // Complete mode re-emits the (n_total, candidates) row each
+    // trigger; after the drain, the batch-side exact recount of the
+    // final candidate superset (x63's pass 2) turns the
+    // order-dependent candidate set into the deterministic exact
+    // answer — so three micro-batches emit exactly the one-shot
+    // heavy-hitter table.
+    "st13_streaming_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mgK = 30
+      def toks = Tables.documents(s, d)
+        .select(explode(graft.llm.TextFunctions.tokens(col("text"))).as("w"))
+      val fed = toks.as[String].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      withShufflePartitions(s, StreamPartitions) {
+        val mg = udaf(new graft.functions.MisraGriesAggregator(mgK))
+        val q = in.toDF().toDF("w")
+          .agg(count(lit(1)).as("n_total"), mg(col("w")).as("cands"))
+          .writeStream.format("memory").queryName("st13_sketch")
+          .outputMode("complete").start()
+        try {
+          fed.grouped(fed.size / 3 + 1).foreach { b =>
+            in.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+
+      val cand = s.table("st13_sketch")
+        .select(col("n_total"), explode(col("cands")).as("w"))
+      toks.join(broadcast(cand), "w")
+        .groupBy("w", "n_total").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (mgK + 1) > col("n_total"))
+        .select(col("w"), col("cnt"))
+        .orderBy("w")
     })
   )
 
@@ -641,6 +684,11 @@ object StreamingQueries {
     // new-vs-old pair results
     "st04_streaming_incremental_dedup" ->
       graft.queries.LlmQueries.oracles("x19_incremental_dedup"),
+
+    // x63's oracle verbatim: the MG candidate set varies with
+    // batching, but the exact-recount threshold output cannot
+    "st13_streaming_heavy_hitters" ->
+      graft.queries.LlmQueries.oracles("x63_heavy_hitters"),
 
     // both generations survive: gen-1 rows are first occurrences,
     // gen-2 rows re-send every key AFTER its state entry expired
