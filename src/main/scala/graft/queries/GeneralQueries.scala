@@ -906,6 +906,58 @@ object GeneralQueries {
           col("o_orderdate").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.cast("int").as("is_current"))
         .orderBy("o_custkey", "valid_from", "status")
+    }),
+
+    // Ordered-sequence FUNNEL (view -> click -> purchase): step N's
+    // entry time is the user's earliest step-N event STRICTLY AFTER
+    // their step-(N-1) entry. Each step is a filtered aggregate
+    // joined to the previous step's per-user frame — all three
+    // aggregates and both joins hash on user_id, so after the first
+    // exchange the whole chain is co-partitioned (no re-shuffle), and
+    // each stage's frame only shrinks. The alternative — per-user
+    // event sort + sequential scan — is a wider shuffle carrying
+    // every event; this carries one timestamp per surviving user.
+    "q51_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), Tables.tsSec.as("sec"))
+      // each stage is materialized once: t1 feeds BOTH its own count
+      // and t2 (and so on) — without the checkpoint the count union
+      // re-derives t1 three times, re-scanning events six times
+      def step(prev: DataFrame, prevT: String, typ: String, out: String) =
+        e.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("sec") > col(prevT))
+          .groupBy("user_id").agg(min("sec").as(out))
+          .localCheckpoint(true)
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("sec").as("t1"))
+        .localCheckpoint(true)
+      val t2 = step(t1, "t1", "click", "t2")
+      val t3 = step(t2, "t2", "purchase", "t3")
+      t1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+        .unionAll(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("step"), col("n_users")))
+        .unionAll(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("step"), col("n_users")))
+        .orderBy("step")
+    }),
+
+    // COHORT RETENTION: users grouped by first-active week, counted
+    // per week-offset. The (user, week) distinct pass cuts the event
+    // stream to at most |users| x |weeks| rows BEFORE the self-join,
+    // the cohort frame is one row per user, and the join + final
+    // aggregate both hash on user_id/cohort keys — two shuffles
+    // total, each over the compacted frame, never over raw events.
+    "q52_cohort_retention" -> ((s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsSec.as("sec"))
+        .select(col("user_id"), expr("sec div 604800").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_w"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_w"), (col("week") - col("cohort_w")).as("offset_w"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_w", "offset_w")
     })
   )
 
@@ -1485,6 +1537,32 @@ object GeneralQueries {
         |       CAST(lead(o_orderdate) OVER w IS NULL AS INTEGER) AS is_current
         |FROM f
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, valid_from, status""".stripMargin
+        |ORDER BY o_custkey, valid_from, status""".stripMargin,
+
+    "q51_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |t1 AS (SELECT user_id, min(sec) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(sec) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND sec > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(sec) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND sec > t2 GROUP BY 1)
+        |SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL
+        |SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+        |UNION ALL
+        |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3
+        |ORDER BY step""".stripMargin,
+
+    "q52_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |                   CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |            FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_w FROM uw GROUP BY 1)
+        |SELECT cohort_w, week - cohort_w AS offset_w,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_w, offset_w""".stripMargin
   )
 }
