@@ -84,6 +84,30 @@ object TextFunctions {
   val MinHashBands = 12
   val MinHashRows = 2
 
+  /** LSH S-curve collision probability: P(candidate | jaccard = s)
+    * for (b bands × r rows) banding = 1 − (1 − s^r)^b.
+    */
+  def lshCollisionProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Choose (bands, rows) for a target jaccard threshold within a
+    * signature budget k: among all exact factorizations b·r = k, pick
+    * the one whose S-curve inflection (1/b)^(1/r) lands closest to
+    * the target (ties → more rows, i.e. the steeper curve with fewer
+    * false positives). This is the knob a 100 TB dedup run tunes
+    * FIRST: bands multiply the candidate-join fan-out (each doc emits
+    * b band keys), rows sharpen selectivity inside a band — the
+    * Σ bucket² join cost follows directly from this choice.
+    */
+  def lshParams(threshold: Double, k: Int = MinHashK): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    require(k >= 1, s"k >= 1: $k")
+    val opts = for (r <- 1 to k if k % r == 0) yield (k / r, r)
+    opts.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -r)
+    }
+  }
+
   /** Fixed affine family h_i(x) = (A(i)·(hash60(x) mod P) + B(i)) mod P.
     * Constants are shared verbatim with the DuckDB oracle SQL.
     */

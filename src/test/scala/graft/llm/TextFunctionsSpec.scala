@@ -50,4 +50,24 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
   test("charGramHashes emits length-n+1 rolling hashes") {
     assert(one[Seq[Long]](TextFunctions.charGramHashes(col("text"), 8), "abcdefghij").size === 3)
   }
+
+  test("lshParams lands the S-curve inflection on the target") {
+    // the shipped banding is what the advisor picks for its own band
+    assert(TextFunctions.lshParams(0.29) === ((TextFunctions.MinHashBands,
+      TextFunctions.MinHashRows)))
+    // high thresholds want more rows per band (steeper curve)
+    val (_, rHi) = TextFunctions.lshParams(0.85, 24)
+    val (_, rLo) = TextFunctions.lshParams(0.10, 24)
+    assert(rHi > rLo)
+    // every factorization multiplies back to the budget
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); k <- Seq(24, 36, 128)) {
+      val (b, r) = TextFunctions.lshParams(t, k)
+      assert(b * r === k)
+      // collision prob is monotone in s and crosses ~0.5 near the
+      // advertised inflection
+      val inf = math.pow(1.0 / b, 1.0 / r)
+      val p = TextFunctions.lshCollisionProb(inf, b, r)
+      assert(p > 0.3 && p < 0.8, s"t=$t k=$k p=$p")
+    }
+  }
 }
