@@ -206,6 +206,55 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String
+  ): DataFrame =
+    native(left, right, keys, leftTime, rightTime, graft.plans.AsOfBackward, None)
+
+  /** The NATIVE form of [[forward]] — same streaming-merge exec, the
+    * un-consumed lookahead row is the match.
+    */
+  def forwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    native(left, right, keys, leftTime, rightTime, graft.plans.AsOfForward, tolerance)
+
+  /** The NATIVE form of [[nearest]] — both directional candidates fall
+    * out of the one merge pass (last consumed row + lookahead), closer
+    * wins, ties backward.
+    */
+  def nearestNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    native(left, right, keys, leftTime, rightTime, graft.plans.AsOfNearest, tolerance)
+
+  /** Backward-compatible tolerance form of [[backwardNative]]. */
+  def backwardNativeTol(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long]
+  ): DataFrame =
+    native(left, right, keys, leftTime, rightTime, graft.plans.AsOfBackward, tolerance)
+
+  private def native(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      direction: graft.plans.AsOfDirection,
+      tolerance: Option[Long]
   ): DataFrame = {
     import graft.plans.AsOfJoinPlan
     val lp = left.queryExecution.analyzed
@@ -230,7 +279,13 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"asof: right columns collide with left columns: ${clash.mkString(", ")} — rename one side")
 
+    if (tolerance.isDefined || direction == graft.plans.AsOfNearest)
+      require(Seq("long", "int", "integer", "bigint").contains(
+          lTime.dataType.simpleString),
+        s"asof: tolerance/nearest need integral times, got ${lTime.dataType}")
+
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(
-      left.sparkSession, AsOfJoinPlan(lp, rp, lKeys, rKeys, lTime, rTime))
+      left.sparkSession,
+      AsOfJoinPlan(lp, rp, lKeys, rKeys, lTime, rTime, direction, tolerance))
   }
 }

@@ -3,6 +3,16 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 
+/** Match direction for the native as-of join (merge_asof's
+  * `direction`): backward = greatest rightTime <= leftTime, forward =
+  * smallest rightTime >= leftTime, nearest = the closer of the two
+  * (ties backward).
+  */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
+
 /** Logical backward as-of join: for each left row, the right row with
   * the greatest `rightTime <= leftTime` in the same key group, or nulls
   * (left-outer semantics). This is the whole-operator form of the brief's
@@ -33,7 +43,9 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "asof: need at least one key and pairwise left/right keys")

@@ -958,13 +958,44 @@ object GeneralQueries {
         .groupBy(col("cohort_w"), (col("week") - col("cohort_w")).as("offset_w"))
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_w", "offset_w")
+    }),
+
+    // The NATIVE forward as-of join (q29's composed plan, lowered to
+    // the custom streaming-merge exec): the un-consumed lookahead row
+    // of the single merge pass IS the forward match, so forward costs
+    // exactly what backward does — two exchanges, two sorts, O(1)
+    // merge state, and either side's bucketed layout elides its
+    // exchange+sort. Same DuckDB oracle as q29.
+    "q53_asof_native_forward" -> ((s, d) => {
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      val l = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"))
+      AsOfJoin.forwardNative(l, r, Seq("user_id"), "evt_sec", "ord_sec")
+        .orderBy("event_id")
+    }),
+
+    // NATIVE nearest-with-tolerance (q30's semantics): both
+    // directional candidates fall out of the one merge pass — the
+    // last consumed row (backward) and the lookahead (forward) —
+    // closer wins, ties backward, beyond-tolerance matches nulled.
+    "q54_asof_native_nearest" -> ((s, d) => {
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").cast("long").as("ord_sec"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      val l = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("evt_sec"))
+      AsOfJoin.nearestNative(l, r, Seq("user_id"), "evt_sec", "ord_sec",
+          tolerance = Some(2592000L))
+        .orderBy("event_id")
     })
   )
 
   private val PRICE_C = "CAST(round(l_extendedprice*100) AS BIGINT)"
   private val DISC_C = "CAST(round(l_discount*100) AS BIGINT)"
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(qty) AS BIGINT) AS sum_qty,
@@ -1564,5 +1595,13 @@ object GeneralQueries {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM uw JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_w, offset_w""".stripMargin
+  )
+
+  /** q53/q54 run the NATIVE as-of execs against the composed variants'
+    * oracles verbatim — the two paths must answer identically.
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q53_asof_native_forward" -> oraclesBase("q29_asof_forward"),
+    "q54_asof_native_nearest" -> oraclesBase("q30_asof_nearest")
   )
 }

@@ -139,4 +139,48 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("k2").collect()
     assert(got.map(_.getString(5)).toSeq === Seq("m1", "m2"))
   }
+
+  test("native forward/nearest/tolerance == composed on random data") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lt", "lpay", "rt", "rpay")
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    for (seed <- Seq(1L, 7L, 42L); tol <- Seq(None, Some(5L), Some(0L))) {
+      val (l, r) = randomSides(seed)
+      assert(rows(AsOfJoin.forwardNative(l, r, Seq("k"), "lt", "rt", tol)) ===
+        rows(AsOfJoin.forward(l, r, Seq("k"), "lt", "rt", tol)),
+        s"forward seed=$seed tol=$tol")
+      assert(rows(AsOfJoin.nearestNative(l, r, Seq("k"), "lt", "rt", tol)) ===
+        rows(AsOfJoin.nearest(l, r, Seq("k"), "lt", "rt", tol)),
+        s"nearest seed=$seed tol=$tol")
+      assert(rows(AsOfJoin.backwardNativeTol(l, r, Seq("k"), "lt", "rt", tol)) ===
+        rows(AsOfJoin.backward(l, r, Seq("k"), "lt", "rt", tol)),
+        s"backward seed=$seed tol=$tol")
+    }
+  }
+
+  test("forward takes the exact-time row; nearest breaks ties backward") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "lt", "lpay")
+    val r = Seq((1L, 10L, "attime"), (1L, 12L, "later"))
+      .toDF("k", "rt", "rpay")
+    assert(AsOfJoin.forwardNative(l, r, Seq("k"), "lt", "rt")
+      .head.getString(4) === "attime")
+    // equidistant backward/forward: backward wins
+    val r2 = Seq((1L, 8L, "back"), (1L, 12L, "fwd")).toDF("k", "rt", "rpay")
+    assert(AsOfJoin.nearestNative(l, r2, Seq("k"), "lt", "rt")
+      .head.getString(4) === "back")
+    // tolerance excludes the near side -> the other side matches
+    assert(AsOfJoin.nearestNative(l, r2, Seq("k"), "lt", "rt", Some(1L))
+      .head.isNullAt(4))
+  }
+
+  test("all directions plan the same streaming merge (no Window/Union)") {
+    val (l, r) = randomSides(5L)
+    for (q <- Seq(AsOfJoin.forwardNative(l, r, Seq("k"), "lt", "rt"),
+                  AsOfJoin.nearestNative(l, r, Seq("k"), "lt", "rt", Some(9L)))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan)
+      assert(!plan.contains("Window") && !plan.contains("Union"), plan)
+    }
+  }
 }
