@@ -1275,6 +1275,30 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // CURRICULUM BUCKETS: exact length-decile assignment for
+    // curriculum-ordered training WITHOUT a global sort. The trick is
+    // distribution counting: aggregate to one row per distinct length
+    // (bounded cardinality — lengths, not documents), prefix-sum that
+    // tiny frame (the only single-partition window, same pattern as
+    // q49's carry), and broadcast the value→bucket map back over the
+    // corpus. bucket = floor(10·rank_before/n) — every tie lands in
+    // one bucket, all integer arithmetic. A rank/ntile window over the
+    // raw corpus would globally sort 100 TB; this sorts |distinct
+    // lengths| rows.
+    "x66_curriculum_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val dist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+      val tot = dist.agg(sum("cnt").as("n"))
+      val buckets = dist
+        .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("n_chars"), expr("(10 * cum) div n").as("bucket"))
+      docs.join(broadcast(buckets), "n_chars")
+        .select("doc_id", "n_chars", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup semantic dedup (cluster-then-compare over embeddings):
     // argmax-centroid assignment restricts pairs to within-cluster,
     // cos >= 0.25 pairs connect into semantic groups, the minimum id
@@ -2301,6 +2325,18 @@ object LlmQueries {
         |SELECT event_id, event_type, value_c
         |FROM dv JOIN md USING (event_type)
         |WHERE dev2*2 > mad4*3 ORDER BY event_id""".stripMargin,
+
+    "x66_curriculum_buckets" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |dist AS (SELECT n_chars, count(*) AS cnt FROM d GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS n FROM dist),
+        |b AS (SELECT n_chars,
+        |             CAST((10 * COALESCE(sum(cnt) OVER (ORDER BY n_chars
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |                  // (SELECT n FROM tot) AS BIGINT) AS bucket
+        |      FROM dist)
+        |SELECT doc_id, n_chars, bucket
+        |FROM d JOIN b USING (n_chars) ORDER BY doc_id""".stripMargin,
 
     // pair (i, i+1) of an alphabetic word = its 2-char substring at i;
     // ordering ties break by pair text in both engines (ASCII-only by
