@@ -600,6 +600,55 @@ object StreamingQueries {
         .filter(col("cnt") * (mgK + 1) > col("n_total"))
         .select(col("w"), col("cnt"))
         .orderBy("w")
+    }),
+
+    // DYNAMIC-GAP session windows — the gap is a per-EVENT expression
+    // (purchases keep a session alive 2 h, everything else 30 min),
+    // which is the form fixed-gap sessionization can't express: the
+    // engine merges each event's [t, t+gap(event)) window into the
+    // session and the session end is the max of the merged ends. The
+    // oracle mirrors the merge rule relationally: collapse to one row
+    // per (user, sec) carrying max(sec+gap), then break exactly when
+    // sec exceeds the running max of prior ends (st07's boundary
+    // semantics — an event AT the current end still merges).
+    "st14_dynamic_session_window" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val rows = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsSec.as("sec"), col("event_type"))
+        .as[(Long, Long, String)].collect().toSeq
+      val tmax = rows.map(_._2).max
+      val sentinel = (-1L, tmax + 100L * 7200L, "view")
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val gap = when(col("event_type") === "purchase", lit("7200 seconds"))
+          .otherwise(lit("1800 seconds"))
+        val q = in.toDF().toDF("user_id", "sec", "event_type")
+          .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+            col("event_type"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), gap), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_timestamp(col("session_window.start")).as("start_sec"),
+            unix_timestamp(col("session_window.end")).as("end_sec"),
+            col("n_events"))
+          .writeStream.format("memory").queryName("st14_sessions")
+          .outputMode("append").start()
+        try {
+          in.addData(rows) // batch 1: everything, watermark 0
+          q.processAllAvailable()
+          in.addData(sentinel) // advance watermark past every session end
+          q.processAllAvailable()
+          in.addData(sentinel)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st14_sessions").filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_sec")
     })
   )
 
@@ -689,6 +738,35 @@ object StreamingQueries {
     // batching, but the exact-recount threshold output cannot
     "st13_streaming_heavy_hitters" ->
       graft.queries.LlmQueries.oracles("x63_heavy_hitters"),
+
+    // the dynamic merge rule relationally: one row per (user, sec)
+    // carrying max(sec+gap); break exactly when sec exceeds the
+    // running max of prior ends (prior ends from CLOSED sessions can
+    // never mask a break — they are smaller than the sec that closed
+    // them); session end = max of merged ends
+    "st14_dynamic_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |                  CASE WHEN event_type = 'purchase' THEN 7200
+        |                       ELSE 1800 END AS gap
+        |           FROM events),
+        |g AS (SELECT user_id, sec, count(*) AS n, max(sec + gap) AS end_c
+        |      FROM e GROUP BY 1, 2),
+        |m AS (SELECT user_id, sec, n, end_c,
+        |             max(end_c) OVER (PARTITION BY user_id ORDER BY sec
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                              AND 1 PRECEDING) AS pmax
+        |      FROM g),
+        |b AS (SELECT user_id, sec, n, end_c,
+        |             CASE WHEN pmax IS NULL OR sec > pmax THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |sess AS (SELECT user_id, sec, n, end_c,
+        |                sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |                               ROWS UNBOUNDED PRECEDING) AS sid
+        |         FROM b)
+        |SELECT user_id, min(sec) AS start_sec, max(end_c) AS end_sec,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin,
 
     // both generations survive: gen-1 rows are first occurrences,
     // gen-2 rows re-send every key AFTER its state entry expired
