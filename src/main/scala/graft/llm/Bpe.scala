@@ -62,6 +62,22 @@ object Bpe {
          |              ELSE concat(acc, array(x)) END)""".stripMargin)
   }
 
+  /** Apply a learned merge list to a `(w, freq)` word table: the
+    * initial character symbols folded through every merge in learned
+    * order. |vocab| rows, ZERO shuffles — each merge is one nested
+    * codegen'd fold, and the whole chain fuses into a single
+    * projection. This is the tokenizer-application half of the x65
+    * trainer: encode the vocabulary once, then broadcast the tiny
+    * word→token-count table over the corpus instead of re-folding
+    * every corpus token occurrence.
+    */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      words.select(col("w"), col("freq"), initialSymbols(col("w")).as("syms"))) {
+      case (df, (a, b)) =>
+        df.select(col("w"), col("freq"), applyMerge("syms", a, b).as("syms"))
+    }
+
   /** Learn `rounds` merges from a `(w: string, freq: long)` word
     * table. Returns the merge list in learned order; ties on count
     * break by (a, b) ascending so the result is deterministic under

@@ -52,6 +52,7 @@ object LlmQueries {
 
   private val ChunkContext = 32
   private val ChunkStride = 24
+  private val BpeEncodeRounds = 6
 
   /** (doc_id, t, start): exploded stride-aligned chunk starts. */
   private def chunkStarts(docs: org.apache.spark.sql.DataFrame) =
@@ -1275,6 +1276,33 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // BPE ENCODE at corpus scale — the application half of x65's
+    // trainer. Learn R merges (rounds on the driver, data on the
+    // cluster — llm/Bpe.learn), encode the VOCABULARY once (|vocab|
+    // rows, zero shuffles: the R folds fuse into one projection),
+    // then broadcast the word→token-count table over the corpus and
+    // aggregate per document. The corpus pays one explode + one
+    // broadcast join + one partial-aggregated groupBy(doc_id) — it is
+    // never re-folded per occurrence, which is what makes tokenizer
+    // application tractable at 100 TB. The oracle replays the full
+    // 6-round learn+encode relationally (unrolled CTEs; greedy merge
+    // as a list_reduce fold with the same no-re-fuse scan order).
+    "x67_bpe_encode" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[A-Za-z]+$") && length(col("w")) >= 2)
+      val words = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+      val merges = graft.llm.Bpe.learn(words, BpeEncodeRounds)
+      val wordTok = graft.llm.Bpe.encodeWords(words, merges)
+        .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+      toks.join(broadcast(wordTok), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_tok").as("n_tokens"),
+          sum(length(col("w"))).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // CURRICULUM BUCKETS: exact length-decile assignment for
     // curriculum-ordered training WITHOUT a global sort. The trick is
     // distribution counting: aggregate to one row per distinct length
@@ -1399,6 +1427,30 @@ object LlmQueries {
 
   private val shuffleKeySql: String =
     dH("'ep0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_start AS VARCHAR)")
+
+  /** One BPE learn round as DuckDB CTEs: pair counts over s{k-1},
+    * the winning merge m{k} ((cnt desc, a, b) — Bpe.learn's exact
+    * tiebreak), and s{k} = the merge applied as a list_reduce fold
+    * with Bpe.applyMerge's scan order (a just-fused symbol never
+    * re-fuses: the accumulator check is against the FULL last symbol,
+    * '|'-anchored). LEFT JOIN ON TRUE keeps s{k} = s{k-1} when no
+    * pairs remain, mirroring the trainer's early stop.
+    */
+  private def bpeRoundCtes(k: Int): String =
+    s"""p$k AS (SELECT p.a AS a, p.b AS b, sum(freq) AS cnt
+       |      FROM (SELECT unnest(list_transform(range(1, len(syms)),
+       |                     i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p,
+       |                   freq
+       |            FROM s${k - 1} WHERE len(syms) >= 2)
+       |      GROUP BY 1, 2),
+       |m$k AS (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$k AS (SELECT w, freq,
+       |             CASE WHEN m.a IS NULL THEN syms
+       |                  ELSE string_split(list_reduce(syms, (acc, x) ->
+       |                    CASE WHEN x = m.b AND (acc = m.a OR acc LIKE '%|' || m.a)
+       |                         THEN acc || x ELSE acc || '|' || x END), '|')
+       |             END AS syms
+       |      FROM s${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
 
   private val sigSql: String =
     "[" + (0 until K).map { i =>
@@ -2353,6 +2405,24 @@ object LlmQueries {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "x67_bpe_encode" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |tw AS (SELECT doc_id, w FROM t
+         |       WHERE regexp_matches(w, '^[A-Za-z]+$$') AND len(w) >= 2),
+         |w0 AS (SELECT w, count(*) AS freq FROM tw GROUP BY 1),
+         |s0 AS (SELECT w, freq,
+         |              list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
+         |       FROM w0),
+         |${(1 to BpeEncodeRounds).map(bpeRoundCtes).mkString(",\n")},
+         |wt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM s$BpeEncodeRounds)
+         |SELECT tw.doc_id AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(wt.n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(len(tw.w)) AS BIGINT) AS n_chars
+         |FROM tw JOIN wt ON tw.w = wt.w
+         |GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
 
     "x44_dataset_card" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -63,6 +63,32 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
         s"rounds=$rounds")
   }
 
+  test("encodeWords folds the learned merges like the reference") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    def word() = (1 to (2 + rnd.nextInt(5)))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val words = Seq.fill(50)(word())
+      .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    val merges = learnSpark(words, 5)
+    assert(merges === refLearn(words, 5))
+
+    // reference encode: the same greedy fold applied merge-by-merge
+    def refEncode(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+
+    val got = Bpe.encodeWords(words.toSeq.toDF("w", "freq"), merges)
+      .select($"w", $"syms").as[(String, Seq[String])].collect().toMap
+    for ((w, _) <- words)
+      assert(got(w) === refEncode(w), s"word=$w")
+  }
+
   test("greedy fold does not re-fuse a just-merged symbol") {
     val s = spark; import s.implicits._
     // merge (a,a) over "aaaa" -> [aa, aa], not [aaa, a] or [aaaa]
