@@ -191,6 +191,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE train/valid/test split: near-duplicate documents
+    // must land in the SAME split, or the held-out set is contaminated
+    // by training-set twins — the failure x28 measures after the fact,
+    // prevented here by construction. The split key is a deterministic
+    // hash of the dedup CLUSTER representative (x20's components;
+    // singletons represent themselves), so assignment is stable under
+    // repartitioning and re-runs and every cluster moves atomically:
+    // 8/1/1 train/valid/test. At 100 TB the cluster labels are the
+    // already-computed x20 frame — the split itself adds one broadcast
+    // -free left join on doc_id and a codegen'd hash, no new shuffle
+    // beyond the label join.
+    "x68_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val labels = Dedup.connectedComponents(
+          Dedup.minhashCandidates(docs, "text", "doc_id"), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("rep"))
+      val h = pmod(TF.hash60(concat(lit("split:"), col("rep"))), lit(10L))
+      docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+        .withColumn("split",
+          when(h < 8, "train").when(h === 8, "valid").otherwise("test"))
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // Exact unigram jaccard, probe subset → corpus, inverted-index
     // join (sparse; df-cap knob for web-scale vocabularies).
     "x03_token_jaccard" -> ((s, d) => {
@@ -1621,6 +1646,22 @@ object LlmQueries {
          |SELECT doc_id, cluster_rep,
          |       CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // same bands + closure as x20, then: every doc (singletons
+    // represent themselves via the left join), split = md5-hash of
+    // the representative mod 10 — 8/1/1
+    "x68_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |$ccClosureCtes,
+         |r AS (SELECT d.doc_id AS doc_id, coalesce(l.cluster_rep, d.doc_id) AS rep
+         |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |h AS (SELECT doc_id, rep,
+         |             ${dH("'split:' || CAST(rep AS VARCHAR)")} % 10 AS b
+         |      FROM r)
+         |SELECT doc_id, rep,
+         |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // the funnel, mirrored stage by stage: normalize → exact dedup on
     // the normalized hash → near-dup closure over normalized-bigram

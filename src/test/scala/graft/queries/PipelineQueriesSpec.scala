@@ -130,4 +130,27 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     val others = fr.view.filterKeys(k => k != "en" && k != "fr")
     assert(others.values.forall(v => v > 0.02 && v < 0.25), others.toMap.toString)
   }
+
+  test("x68: splits partition the corpus and never straddle a near-dup cluster") {
+    val split = q("x68_leakage_safe_split").cache()
+    try {
+      val docs = spark.read.parquet(s"$D/documents.parquet")
+      // exactly one row per document
+      assert(split.count() === docs.count())
+      assert(split.select("doc_id").distinct().count() === docs.count())
+      // a cluster representative maps to exactly one split
+      val straddling = split.groupBy("rep")
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+      assert(straddling === 0)
+      // and every near-dup candidate PAIR shares a split (the guarantee
+      // stated doc-to-doc, independent of the rep encoding)
+      val pairs = graft.llm.Dedup.minhashCandidates(docs, "text", "doc_id")
+      val sa = split.select(col("doc_id").as("doc_a"), col("split").as("s_a"))
+      val sb = split.select(col("doc_id").as("doc_b"), col("split").as("s_b"))
+      val leaked = pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(col("s_a") =!= col("s_b")).count()
+      assert(leaked === 0)
+    } finally split.unpersist()
+  }
 }
