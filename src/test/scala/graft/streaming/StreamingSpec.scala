@@ -132,4 +132,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(rows.toSeq === Seq((1L, 0L, 5399L, 3L), (1L, 5400L, 7200L, 1L)))
     } finally q.stop()
   }
+
+  test("dynamic-gap session_window: a purchase holds the session open where " +
+      "a view would have closed it") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Long, Long, String)]
+    val gap = when(col("t") === "purchase", lit("7200 seconds"))
+      .otherwise(lit("1800 seconds"))
+    val q = in.toDF().toDF("k", "sec", "t")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("t"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), gap), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), unix_timestamp(col("session_window.start")).as("st"),
+        unix_timestamp(col("session_window.end")).as("en"), col("n"))
+      .writeStream.format("memory").queryName("dynsess").outputMode("append").start()
+    try {
+      // k=1: view@0 then view@3600 — 1800 s gap expired, two sessions.
+      // k=2: purchase@0 then view@3600 — the purchase's 7200 s window
+      //      spans the same silence, one session; the view extends the
+      //      end only to 5400 < 7200, so end stays 7200.
+      in.addData((1L, 0L, "view"), (1L, 3600L, "view"),
+        (2L, 0L, "purchase"), (2L, 3600L, "view"))
+      q.processAllAvailable()
+      in.addData((-1L, 1000000L, "view")) // sentinel: close real sessions
+      q.processAllAvailable()
+      in.addData((-1L, 2000000L, "view"))
+      q.processAllAvailable()
+      val rows = s.table("dynsess").filter(col("k") >= 0).orderBy("k", "st")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq === Seq(
+        (1L, 0L, 1800L, 1L), (1L, 3600L, 5400L, 1L),
+        (2L, 0L, 7200L, 2L)))
+    } finally q.stop()
+  }
 }
