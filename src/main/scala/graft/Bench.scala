@@ -39,6 +39,7 @@ object Bench {
       .master(s"local[$cpus]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.queries.Tables.validate(spark, sfDir)
     val bench0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - bench0) / 1e9
 

@@ -52,6 +52,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.core.GraftSession.local("plan-audit", "8")
+    graft.queries.Tables.validate(spark, sfDir)
     val queries = SparkEntry.queries ++ graft.queries.ReferenceQueries.benchOnly
 
     val mode = args.headOption match {

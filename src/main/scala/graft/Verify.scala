@@ -19,6 +19,9 @@ object Verify {
       .master(s"local[$cpus]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail LOUDLY on testdata drift before query one (VERDICT r06):
+    // one readable message beats 28 scattered analysis errors
+    graft.queries.Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }

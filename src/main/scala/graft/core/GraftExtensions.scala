@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{MinHashSig, ParseIpv4, ShingleGen, VecDot}
+import graft.functions.{MinHashSig, MinHashSigText, ParseIpv4, ShingleGen, VecDot}
 
 /** Engine extensions installed through the public
   * `SparkSessionExtensions` hook (usable via
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "minhash_sig expects exactly one argument")
         MinHashSig(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig_text"),
+      new ExpressionInfo(classOf[MinHashSigText].getName, "minhash_sig_text"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSigText.fromArgs(args)))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -31,9 +31,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-      // default; read as Long nanoseconds (exact) and convert with
-      // integer division where needed.
+      // Some testdata generations ship events.ts as TIMESTAMP(NANOS),
+      // which Spark 4 refuses by default; read those as Long nanoseconds
+      // (exact). Newer generations ship TIMESTAMP(µs) — Tables.normalizeTs
+      // canonicalizes both encodings to Long nanos at the scan boundary.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

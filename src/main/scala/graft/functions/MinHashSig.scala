@@ -87,6 +87,49 @@ object MinHashSigHelper {
     if (!any) new GenericArrayData(new Array[Any](K)) // K nulls
     else new GenericArrayData(mins)
   }
+
+  private val spaceSep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val spaceByte = Array[Byte](' ')
+
+  /** Fused tokenize → w-shingle → signature over the RAW text.
+    *
+    * Value-identical to `sig(wordShingles(tokens(text)))` — the shingle
+    * is the w consecutive space-split tokens joined by one space, and
+    * md5 streams the exact bytes that joined string would contain (UTF-8
+    * concatenation is byte concatenation) — but the shingle STRINGS are
+    * never materialized, and the text is split exactly once. The HOF
+    * form this replaces re-evaluated `split(text)` inside the transform
+    * lambda for every element (O(tokens²) per document) and, being a
+    * higher-order function, knocked the whole projection out of
+    * whole-stage codegen (VERDICT r06 ask #5 — the x02 residual).
+    */
+  def sigOfText(text: org.apache.spark.unsafe.types.UTF8String, w: Int): ArrayData = {
+    val toks = text.split(spaceSep, -1)
+    val n = toks.length - w + 1
+    if (n <= 0) return new GenericArrayData(new Array[Any](K)) // K nulls
+    val mins = new Array[Long](K)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = digests.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      var j = i
+      while (j < i + w) {
+        if (j > i) md.update(spaceByte)
+        md.update(toks(j).getBytes)
+        j += 1
+      }
+      val h = hash60(md.digest()) % P
+      var k = 0
+      while (k < K) {
+        val x = (A(k) * h + B(k)) % P
+        if (x < mins(k)) mins(k) = x
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }
 
 /** `minhash_sig(array<string>) -> array<long>` as a native Catalyst
@@ -117,4 +160,56 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** `minhash_sig_text(text, w) -> array<long>` — the fused form: one
+  * codegen'd expression from raw text to signature, no intermediate
+  * token/shingle arrays in the plan and no higher-order functions to
+  * force an interpreted projection. `w` is a plan-time literal (like
+  * shingle_gen's width). Semantics are exactly
+  * `minhash_sig(wordShingles(tokens(text), w))`, asserted bit-for-bit
+  * in MinHashSigSpec, so every oracle hash is unchanged.
+  */
+case class MinHashSigText(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 2, "minhash_sig_text needs w >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_text expects a string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash_sig_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigHelper.sigOfText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigHelper.sigOfText($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
+    copy(child = newChild)
+}
+
+object MinHashSigText {
+  /** Registry builder: width must be a foldable integer literal. */
+  def fromArgs(args: Seq[Expression]): MinHashSigText = {
+    require(args.length == 2, "minhash_sig_text expects (text, w)")
+    val wExpr = args(1)
+    require(wExpr.foldable &&
+      (wExpr.dataType == org.apache.spark.sql.types.IntegerType ||
+        wExpr.dataType == LongType),
+      "minhash_sig_text's width must be an integer literal")
+    val w = wExpr.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"bad shingle width: $other")
+    }
+    MinHashSigText(args.head, w)
+  }
 }

@@ -143,6 +143,17 @@ object TextFunctions {
   def minhashSig(shingles: Column): Column =
     call_function("minhash_sig", shingles)
 
+  /** Fused text → signature ([[graft.functions.MinHashSigText]]):
+    * tokenize, w-shingle and all k affine mins in ONE codegen'd pass
+    * over the raw text. The composed `minhashSig(wordShingles(tokens))`
+    * form carries higher-order functions, which are CodegenFallback in
+    * Spark — the whole projection dropped out of WholeStageCodegen and
+    * `split(text)` was re-evaluated inside the transform lambda per
+    * element (O(tokens²) per doc). Bit-identical output (MinHashSigSpec).
+    */
+  def minhashSigText(text: Column, w: Int = 2): Column =
+    call_function("minhash_sig_text", text, lit(w))
+
   /** LSH band key for band b: hash of the band's signature slice. */
   def bandKey(sig: Column, b: Int): Column =
     hash60(concat_ws(",",

@@ -490,15 +490,21 @@ object StreamingQueries {
       import org.apache.spark.sql.streaming.Trigger
 
       withShufflePartitions(s, StreamPartitions) {
-        // ts declared BIGINT: the session reads TIMESTAMP(NANOS)
-        // parquet as long nanos (GraftSession's nanosAsLong). The file
-        // source's base path must be a DIRECTORY — the landing dir is
-        // the sf dir with a glob pinning this stream to its table.
-        val q = s.readStream
-          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        // A file stream needs a pinned schema, but ts's physical
+        // encoding has drifted across testdata generations (Long nanos
+        // vs TIMESTAMP(µs) — VERDICT r06). Probe the landing files'
+        // schema with a one-footer batch read (schema-on-read, like
+        // the reference) instead of hardcoding, then canonicalize ts
+        // with the same Tables.normalizeTs every batch path uses. The
+        // file source's base path must be a DIRECTORY — the landing
+        // dir is the sf dir with a glob pinning this stream to its
+        // table.
+        val landedSchema = s.read
+          .option("pathGlobFilter", "events.parquet").parquet(d).schema
+        val q = Tables.normalizeTs(s.readStream
+            .schema(landedSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(round(col("value") * 100).cast("long")).as("sum_value_c"))

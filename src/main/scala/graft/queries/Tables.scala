@@ -1,14 +1,16 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   * One parquet file per table under `sfDir`.
   */
 object Tables {
 
-  /** events.ts is read as Long nanoseconds (see GraftSession's
-    * nanosAsLong); exact integer division to unix seconds.
+  /** events.ts in canonical form is Long nanoseconds (see
+    * [[normalizeTs]]); exact integer division to unix seconds.
     */
   val tsSec: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr("ts div 1000000000")
@@ -18,8 +20,105 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
+  /** Schema-on-read adaptation for event time, mirroring the reference's
+    * read-whatever-the-landing-files-carry posture (hha.py:304): testdata
+    * generations have shipped events.ts both as TIMESTAMP(NANOS) — which
+    * the session reads as Long nanos via nanosAsLong — and as plain
+    * TIMESTAMP(µs), which Spark 4 surfaces as TIMESTAMP_NTZ (or TIMESTAMP
+    * when the file says adjusted-to-UTC). Canonicalize every encoding to
+    * Long NANOSECONDS at the scan boundary so all downstream consumers
+    * ([[tsSec]], the r-series, as-of/session families, streaming feeds)
+    * see exactly one representation. unix_micros is exact (no float), and
+    * the session time zone is pinned UTC (GraftSession) so the NTZ→instant
+    * cast is the identity. Catalyst prunes the added projection whenever a
+    * query never touches ts, so non-time queries pay nothing.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)         => df
+      case Some(TimestampType)    =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _                      => df
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Accepted on-disk Spark types per (table, column). Columns whose
+    * physical encoding has drifted across testdata generations carry a
+    * set; r06 lost 28 registry entries to a silent events.ts retype
+    * (TIMESTAMP(NANOS)→TIMESTAMP(µs)), so time columns accept every
+    * encoding [[normalizeTs]] knows how to canonicalize.
+    */
+  private val expected: Map[String, Seq[(String, Set[String])]] = {
+    val ts   = Set("bigint", "timestamp", "timestamp_ntz")
+    val date = Set("date", "timestamp", "timestamp_ntz")
+    Map(
+      "region"   -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+      "nation"   -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+                        "n_regionkey" -> Set("int")),
+      "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+                        "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+                        "c_mktsegment" -> Set("string")),
+      "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+                        "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+      "part"     -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+                        "p_brand" -> Set("string"), "p_type" -> Set("string"),
+                        "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+      "orders"   -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+                        "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+                        "o_orderdate" -> date, "o_orderpriority" -> Set("string")),
+      "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+                        "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+                        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+                        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+                        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+                        "l_shipdate" -> date),
+      "events"   -> Seq("event_id" -> Set("bigint"), "ts" -> ts,
+                        "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+                        "value" -> Set("double"), "props" -> Set("string")),
+      "documents"  -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+                          "lang" -> Set("string"), "source" -> Set("string"),
+                          "n_chars" -> Set("bigint")),
+      "embeddings" -> Seq("vec_id" -> Set("bigint"),
+                          "embedding" -> Set("array<float>"),
+                          "label" -> Set("int"))
+    )
+  }
+
+  /** Fail-fast startup guard run by Verify/Bench/PlanAudit before query
+    * one: assert every table's RAW (pre-normalization) schema carries the
+    * expected columns with an accepted encoding, and throw ONE readable
+    * message listing every deviation. Turns the next silent testdata
+    * drift into a one-line diagnosis instead of 28 scattered analysis
+    * errors (VERDICT r06 §missing #3).
+    */
+  def validate(spark: SparkSession, sfDir: String): Unit = {
+    val problems = names.flatMap { t =>
+      val raw =
+        try Right(spark.read.parquet(s"$sfDir/$t.parquet").schema)
+        catch { case e: Throwable => Left(s"$t: unreadable (${e.getMessage})") }
+      raw match {
+        case Left(msg) => Seq(msg)
+        case Right(schema) =>
+          val byName = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+          expected(t).flatMap { case (c, accepted) =>
+            byName.get(c) match {
+              case None => Some(s"$t.$c: missing (has: ${schema.fieldNames.mkString(", ")})")
+              case Some(actual) if !accepted(actual) =>
+                Some(s"$t.$c: type $actual not in accepted {${accepted.mkString(", ")}}")
+              case _ => None
+            }
+          }
+      }
+    }
+    if (problems.nonEmpty)
+      throw new IllegalStateException(
+        s"testdata schema drift under $sfDir — fix Tables.normalizeTs/expected:\n  " +
+          problems.mkString("\n  "))
+  }
 
   /** Repartition `df` on `key` ONLY when its scan produced fewer
     * partitions than the session's parallelism. The local testdata is

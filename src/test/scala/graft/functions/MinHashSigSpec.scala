@@ -24,7 +24,10 @@ class MinHashSigSpec extends AnyFunSuite with SparkTestSession {
     "the quick brown fox jumps over the lazy cat",
     "one",                       // < 2 tokens -> empty shingle array
     "",                          // tokens == [""] -> empty shingles
-    "alpha beta gamma delta alpha beta" // repeated shingles
+    "alpha beta gamma delta alpha beta", // repeated shingles
+    "a  b",                      // doubled separator -> empty middle token
+    " lead trail ",              // edge empties from boundary spaces
+    "héllo wörld ünïcode"        // multi-byte UTF-8 through the md5 stream
   )
 
   test("native signature == interpreted HOF pipeline, incl. degenerate docs") {
@@ -41,6 +44,28 @@ class MinHashSigSpec extends AnyFunSuite with SparkTestSession {
     assert(native.toSeq === hof.toSeq)
     // degenerate doc really exercises the all-null path
     assert(native(2).forall(_ == null))
+  }
+
+  test("fused text form == composed shingle form on every doc shape, null in, null out") {
+    val s = spark; import s.implicits._
+    val base = docs.toDF("text")
+    val composed = base
+      .select(TF.minhashSig(TF.wordShingles(TF.tokens(col("text")))).as("sig"))
+      .collect().map(_.getSeq[Any](0))
+    val fused = base
+      .select(TF.minhashSigText(col("text")).as("sig"))
+      .collect().map(_.getSeq[Any](0))
+    assert(fused.toSeq === composed.toSeq)
+    // w=3 agreement too (the width is a plan-time literal)
+    val c3 = base.select(TF.minhashSig(TF.wordShingles(TF.tokens(col("text")), 3)).as("s"))
+      .collect().map(_.getSeq[Any](0))
+    val f3 = base.select(TF.minhashSigText(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[Any](0))
+    assert(f3.toSeq === c3.toSeq)
+    // null text -> null signature (not K nulls)
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(TF.minhashSigText(col("text")).as("sig")).head()
+    assert(nullRow.isNullAt(0))
   }
 
   test("doGenCode emits the native kernel call — not a CodegenFallback") {

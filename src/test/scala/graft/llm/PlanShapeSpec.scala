@@ -29,6 +29,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
   private def occurrences(plan: String, op: String): Int =
     op.r.findAllIn(plan).size
 
+  test("bandIndex: minhash_sig runs INSIDE WholeStageCodegen on the real pipeline") {
+    // MinHashSigSpec pins the expression's doGenCode; this pins the
+    // PLAN — the signature projection over the corpus must sit in a
+    // WholeStageCodegen span (rendered `*(n) Project`), not fall back
+    // to an interpreted Project (VERDICT r06 ask #5: confirm the
+    // codegen path still engages on regenerated data).
+    val docs = spark.read.parquet(s"$D/documents.parquet")
+    val plan = executedPlan(Dedup.bandIndex(docs, "text", "doc_id"))
+    val sigLine = plan.linesIterator
+      .find(l => l.contains("minhash_sig") && l.contains("Project"))
+    assert(sigLine.isDefined, s"minhash_sig projection missing from plan:\n$plan")
+    // codegen'd operators render "*(n) Project"; strip the tree-drawing
+    // prefix (+- / :- / spaces) before checking for the codegen star
+    assert(sigLine.get.dropWhile(ch => !ch.isLetterOrDigit && ch != '*').startsWith("*("),
+      s"minhash_sig projection fell out of WholeStageCodegen:\n$plan")
+  }
+
   test("bucketedTopK: bounded-aggregate top-k, no ranking window, probes broadcast") {
     val plan = executedPlan(Similarity.bucketedTopK(emb, probes, k = 3))
     assert(!plan.contains("Window"), s"ranking window crept back in:\n$plan")

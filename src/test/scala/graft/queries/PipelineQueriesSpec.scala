@@ -131,6 +131,19 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     assert(others.values.forall(v => v > 0.02 && v < 0.25), others.toMap.toString)
   }
 
+  test("r05_mat: the materialized plan variant emits exactly r05's rows") {
+    // r05_spike_pipeline_mat is bench-only (no separate oracle by
+    // design: same ANSWER, different physical plan — caching cur/prev
+    // halves the fact scans). This is its hash tie to the oracle'd
+    // r05: row-for-row equality on the same input, both orderings
+    // canonical. VERDICT r06 ask #8.
+    val r05 = q("r05_spike_pipeline")
+    val mat = graft.queries.ReferenceQueries.benchOnly("r05_spike_pipeline_mat")(spark, D)
+    assert(r05.schema === mat.schema)
+    assert(r05.exceptAll(mat).count() === 0 && mat.exceptAll(r05).count() === 0)
+    assert(r05.count() === mat.count())
+  }
+
   test("x68: splits partition the corpus and never straddle a near-dup cluster") {
     val split = q("x68_leakage_safe_split").cache()
     try {
