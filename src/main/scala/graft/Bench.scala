@@ -86,11 +86,18 @@ object Bench {
         case Some(t1) if elapsed > BudgetSecs =>
           timings += ((name, t1, t1, 1))
         case Some(t1) if t1 > HeavySecs =>
-          // heavy: one re-run (its first run paid warmup) and report
-          // the best — the plan's cost, not the contention draw
-          val t2 = if (elapsed < BudgetSecs / 2) once() else None
-          val best = math.min(t1, t2.getOrElse(t1))
-          timings += ((name, best, best, 1 + t2.size))
+          // heavy: up to two re-runs (best-of-3) while the budget
+          // holds, reporting the MIN — the plan's cost, not the
+          // contention draw. r06's single re-run still let co-tenant
+          // bursts inflate the heavy tail up to 14x its idle cost
+          // (VERDICT r06 ask #6); a second sample makes two
+          // simultaneous bursts the required coincidence. The later
+          // re-run gets the tighter budget cap so first runs of the
+          // remaining queries are never starved.
+          val reruns = Seq(BudgetSecs / 2, BudgetSecs * 3 / 4)
+            .flatMap(cap => if (elapsed < cap) once() else None)
+          val best = (t1 +: reruns).min
+          timings += ((name, best, best, 1 + reruns.size))
         case Some(t1) =>
           val runs = t1 +: (2 to Iters).flatMap(_ => once())
           timings += ((name, runs.sorted.apply(runs.size / 2), runs.min, runs.size))
@@ -130,7 +137,7 @@ object Bench {
     val total = ts.map(_._2).sum
     val note = "adaptive iters: median of " + Iters +
       " for cheap queries; first-run>" + HeavySecs.toInt +
-      "s reports best of <=2 runs; past the " + BudgetSecs.toInt +
+      "s reports best of <=3 runs; past the " + BudgetSecs.toInt +
       "s budget, single runs"
     val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"queries":$qs,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""

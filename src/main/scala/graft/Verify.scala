@@ -23,6 +23,12 @@ object Verify {
     // one readable message beats 28 scattered analysis errors
     graft.queries.Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // per-query failures are RECORDED, not just logged: a query absent
+    // from the dump is indistinguishable from never-attempted in the
+    // round artifact (ADVICE r06) — verify_errors.json names each
+    // erroring query with its exception class so the artifact is
+    // self-describing and round-over-round diffable
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -30,6 +36,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +54,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries failed: ${failed.keys.mkString(",")}")
     spark.stop()
   }
 }

@@ -670,14 +670,17 @@ object LlmQueries {
     // cookie banners — so a cleaning pass can strip them). Every
     // 3-token span, counted by distinct-document frequency; spans in
     // >= 3 distinct docs are the boilerplate set. Scale shape: the
-    // span explode is linear in corpus tokens; the two-level agg
-    // shuffles once on (gram, doc_id) — map-side partials collapse
-    // within-doc repeats — then once on the (already tiny) per-gram
-    // frame. No count(DISTINCT) Expand doubling the exploded rows.
+    // span generation is the native shingle_gen generator — linear in
+    // corpus tokens, where explode(wordShingles(tokens)) re-evaluated
+    // split(text) inside the HOF lambda per element (O(tokens²)/doc);
+    // the two-level agg shuffles once on (gram, doc_id) — map-side
+    // partials collapse within-doc repeats — then once on the
+    // (already tiny) per-gram frame. No count(DISTINCT) Expand
+    // doubling the exploded rows.
     "x36_boilerplate_spans" -> ((s, d) => {
       Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
-        .select(col("doc_id"),
-          explode(TF.wordShingles(TF.tokens(col("text")), 3)).as("gram"))
+        .select(col("doc_id"), expr("shingle_gen(text, 3)"))
+        .select(col("doc_id"), col("shingle").as("gram"))
         .groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occ"))
@@ -950,8 +953,10 @@ object LlmQueries {
       val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("text"))
       val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
-      val ds = docs.select(col("doc_id"),
-        explode(TF.wordShingles(TF.tokens(col("text")), 2)).as("g")).distinct()
+      // native generator: linear shingle emission (the HOF-array form
+      // re-split the text per element — see x36)
+      val ds = docs.select(col("doc_id"), expr("shingle_gen(text, 2)"))
+        .select(col("doc_id"), col("shingle").as("g")).distinct()
       val nsz = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand.select("doc_a", "doc_b")
         .join(ds.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
@@ -1150,9 +1155,8 @@ object LlmQueries {
     "x60_exact_substring" -> ((s, d) => {
       val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
       val pos = docs
-        .select(col("doc_id"),
-          explode(TF.wordShingles(TF.tokens(col("text")), 8)).as("g"))
-        .select(col("doc_id"), TF.hash60(col("g")).as("gh"))
+        .select(col("doc_id"), expr("shingle_gen(text, 8)"))
+        .select(col("doc_id"), TF.hash60(col("shingle")).as("gh"))
         .localCheckpoint(true) // three consumers: dup set, totals, semi-probe
       val dup = pos.groupBy("gh")
         .agg(countDistinct("doc_id").as("nd"))

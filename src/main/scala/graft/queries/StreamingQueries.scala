@@ -655,6 +655,64 @@ object StreamingQueries {
 
       s.table("st14_sessions").filter(col("user_id") >= 0)
         .orderBy("user_id", "start_sec")
+    }),
+
+    // Stream-stream LEFT OUTER join — the join mode st06 (inner)
+    // doesn't exercise: an unmatched left row cannot emit when it
+    // arrives (its match may still come), so the engine holds it in
+    // state and emits the null-padded row only once the WATERMARK
+    // passes its join horizon (l_ts + 1h) — the state store never
+    // retains more than the horizon, which is the whole point of the
+    // time-bound at scale. Inner matches stream out immediately;
+    // outer rows are watermark-triggered. The sentinel protocol
+    // (st01/st02/st14) drives the watermark past every real row's
+    // horizon so every unmatched left is flushed; sentinels carry
+    // negative ids and are filtered from the result.
+    "st15_stream_stream_left_outer" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("sec"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val (evens, odds) = ev.partition(_._1 % 2 == 0)
+      val tmax = ev.map(_._3).max
+      val sentinelL = (-2L, -1L, tmax + 100L * 3600L)
+      val sentinelR = (-3L, -1L, tmax + 100L * 3600L)
+
+      val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        // small delay: all real rows arrive in batch 1 (watermark
+        // still at its initial floor, nothing is late); the sentinel
+        // batch then jumps the watermark past max(l_ts)+1h, closing
+        // every left row's horizon
+        val l = inL.toDF().toDF("l_event", "user_id", "l_sec")
+          .withColumn("l_ts", timestamp_seconds(col("l_sec")))
+          .withWatermark("l_ts", "10 seconds")
+        val r = inR.toDF().toDF("r_event", "r_user", "r_sec")
+          .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+          .withWatermark("r_ts", "10 seconds")
+        val q = l.join(r,
+            col("user_id") === col("r_user") &&
+              col("r_ts") > col("l_ts") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select("l_event", "user_id", "l_sec", "r_event", "r_sec")
+          .writeStream.format("memory").queryName("st15_matches")
+          .outputMode("append").start()
+        try {
+          inL.addData(evens); inR.addData(odds)
+          q.processAllAvailable()
+          inL.addData(sentinelL); inR.addData(sentinelR)
+          q.processAllAvailable()
+          inL.addData(sentinelL); inR.addData(sentinelR)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st15_matches").filter(col("l_event") >= 0)
+        .orderBy("l_event", "r_event")
     })
   )
 
@@ -773,6 +831,23 @@ object StreamingQueries {
         |       CAST(sum(n) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, start_sec""".stripMargin,
+
+    // the left-outer match set is the plain batch LEFT JOIN: inner
+    // matches are st06's argument (nothing is late), and the
+    // watermark-flushed null rows are exactly the lefts the batch
+    // join leaves unmatched — once every horizon is closed, the two
+    // must coincide
+    "st15_stream_stream_left_outer" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events)
+        |SELECT a.event_id AS l_event, a.user_id, a.sec AS l_sec,
+        |       b.event_id AS r_event, b.sec AS r_sec
+        |FROM (SELECT * FROM e WHERE event_id % 2 = 0) a
+        |LEFT JOIN (SELECT * FROM e WHERE event_id % 2 = 1) b
+        |  ON a.user_id = b.user_id
+        | AND b.sec > a.sec AND b.sec <= a.sec + 3600
+        |ORDER BY l_event, r_event""".stripMargin,
 
     // both generations survive: gen-1 rows are first occurrences,
     // gen-2 rows re-send every key AFTER its state entry expired

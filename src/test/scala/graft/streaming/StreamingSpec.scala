@@ -32,6 +32,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stream-stream left outer: matches emit immediately, unmatched lefts " +
+    "null-pad only after the watermark closes their horizon") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val inL = MemoryStream[(Long, Long, Long)]
+    val inR = MemoryStream[(Long, Long, Long)]
+    val l = inL.toDF().toDF("l_event", "user_id", "l_sec")
+      .withColumn("l_ts", timestamp_seconds(col("l_sec")))
+      .withWatermark("l_ts", "10 seconds")
+    val r = inR.toDF().toDF("r_event", "r_user", "r_sec")
+      .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+      .withWatermark("r_ts", "10 seconds")
+    val q = l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select("l_event", "user_id", "l_sec", "r_event", "r_sec")
+      .writeStream.format("memory").queryName("lo_join")
+      .outputMode("append").start()
+    try {
+      // user 1: match in-bound; user 2: right exists but out of bound;
+      // user 3: no right at all
+      inL.addData((10L, 1L, 1000L), (20L, 2L, 1000L), (30L, 3L, 1000L))
+      inR.addData((11L, 1L, 1500L), (21L, 2L, 9000L))
+      q.processAllAvailable()
+      // the inner match is out already; no null rows can exist yet —
+      // the unmatched lefts' horizons (l_ts + 1h) are ahead of the
+      // watermark, so the engine must still be holding them
+      val early = s.table("lo_join").collect()
+      assert(early.map(_.getLong(0)).toSet === Set(10L))
+      // sentinel far past every horizon; one extra batch lets the
+      // eviction pass run with the advanced watermark
+      inL.addData((-2L, -1L, 100000L)); inR.addData((-3L, -1L, 100000L))
+      q.processAllAvailable()
+      inL.addData((-2L, -1L, 100001L)); inR.addData((-3L, -1L, 100001L))
+      q.processAllAvailable()
+      val rows = s.table("lo_join").filter(col("l_event") >= 0).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(rows === Set((10L, 11L), (20L, -1L), (30L, -1L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState TTL dedup: per-key state across micro-batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
