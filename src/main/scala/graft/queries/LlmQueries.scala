@@ -1386,6 +1386,34 @@ object LlmQueries {
           ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
           col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // Per-source QUOTA cap (domain balancing — the corpus-curation
+    // step that stops one domain from flooding the mixture; x46 thins
+    // by RATE, this caps by COUNT): keep at most Q docs per source,
+    // chosen by deterministic per-doc hash — a reproducible uniform
+    // sample (q21's seeded-hash discipline), rank included so the
+    // downstream mixer can tighten the quota without re-running.
+    // Scale shape: the BOUNDED top-k typed aggregate caps per-source
+    // state at Q BEFORE the shuffle (map-side partials), so the
+    // exchange carries |sources|·Q rows — a ranking window would
+    // shuffle and sort the whole corpus per source, and per-source
+    // row counts are exactly where web corpora skew worst.
+    "x69_source_quota" -> ((s, d) => {
+      val Q = 50
+      implicit val enc: org.apache.spark.sql.Encoder[graft.functions.Scored] =
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored]
+      val topk = udaf(new graft.functions.TopKAggregator(Q))
+      Tables.documents(s, d)
+        .select(col("source"),
+          TF.hash60(concat(lit("quota:"), col("doc_id").cast("string"))).as("score"),
+          col("doc_id").as("id"))
+        .groupBy("source")
+        .agg(topk(col("score"), col("id")).as("kept"))
+        .select(col("source"), posexplode(col("kept")).as(Seq("pos", "t")))
+        .select(col("source"), col("t.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("source", "rk")
     })
   )
 
@@ -1666,6 +1694,20 @@ object LlmQueries {
          |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
          |            ELSE 'test' END AS split
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the aggregate keeps the Q largest by (hash desc, id asc) —
+    // exactly row_number under that ordering
+    "x69_source_quota" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |                  ${dH("'quota:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |           FROM documents),
+         |r AS (SELECT source, doc_id,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY hv DESC, doc_id) AS rk
+         |      FROM h)
+         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 50
+         |ORDER BY source, rk""".stripMargin,
 
     // the funnel, mirrored stage by stage: normalize → exact dedup on
     // the normalized hash → near-dup closure over normalized-bigram

@@ -713,6 +713,55 @@ object StreamingQueries {
 
       s.table("st15_matches").filter(col("l_event") >= 0)
         .orderBy("l_event", "r_event")
+    }),
+
+    // CHAINED stateful operators — two event-time window aggregations
+    // in ONE streaming query (5-min counts rolled into hourly
+    // peak/total): the engine threads event time THROUGH the first
+    // aggregate (the emitted window column stays a time column), so
+    // the second groupBy(window(window, 1h)) is a second stateful
+    // shuffle with its own watermark-driven finalization. Historically
+    // this needed two queries glued by a sink; single-query chaining
+    // keeps exactly-once semantics and one checkpoint. At scale: two
+    // keyed shuffles, state = open windows per level — the classic
+    // metrics-rollup topology (raw → 5min → 1h) as one plan.
+    "st16_chained_window_agg" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val rows = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsSec.as("sec"), col("event_type"))
+        .as[(Long, Long, String)].collect().toSeq
+      val tmax = rows.map(_._2).max
+      val sentinel = (-1L, tmax + 100L * 3600L, "view")
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("user_id", "sec", "event_type")
+          .select(timestamp_seconds(col("sec")).as("ts"), col("event_type"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n5"))
+          .groupBy(window(col("window"), "3600 seconds"), col("event_type"))
+          .agg(sum("n5").as("n"), max("n5").as("peak5"))
+          .select(unix_timestamp(col("window.start")).as("hour_start"),
+            col("event_type"), col("n"), col("peak5"))
+          .writeStream.format("memory").queryName("st16_rollup")
+          .outputMode("append").start()
+        try {
+          in.addData(rows)
+          q.processAllAvailable()
+          in.addData(sentinel)
+          q.processAllAvailable()
+          in.addData(sentinel)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      // the sentinel's own (still-open) windows never emit; guard by
+      // horizon anyway so a re-run against drifted data stays exact
+      s.table("st16_rollup").filter(col("hour_start") <= tmax)
+        .orderBy("hour_start", "event_type")
     })
   )
 
@@ -831,6 +880,19 @@ object StreamingQueries {
         |       CAST(sum(n) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, start_sec""".stripMargin,
+
+    // two-level relational rollup: batching cannot change either
+    // aggregation level once every window is watermark-finalized
+    "st16_chained_window_agg" ->
+      """WITH s AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+        |           FROM events),
+        |f AS (SELECT (sec // 300) * 300 AS w5, event_type,
+        |             count(*) AS n5
+        |      FROM s GROUP BY 1, 2)
+        |SELECT (w5 // 3600) * 3600 AS hour_start, event_type,
+        |       CAST(sum(n5) AS BIGINT) AS n, CAST(max(n5) AS BIGINT) AS peak5
+        |FROM f GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
 
     // the left-outer match set is the plain batch LEFT JOIN: inner
     // matches are st06's argument (nothing is late), and the
