@@ -388,20 +388,25 @@ object Dedup {
                             k: Int = 8, w: Int = 4): DataFrame =
     docs
       .filter(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol), charGramHashes(col(textCol), k).as("gh"))
-      .select(col(idCol), array_distinct(
-        transform(sequence(lit(1), size(col("gh")) - (w - 1)),
-          i => array_min(slice(col("gh"), i, lit(w))))).as("fps"))
+      // ONE native codegen'd expression (WinnowFps): gram md5s, window
+      // minima and first-occurrence dedup fused in a single pass —
+      // value-identical to the HOF specification
+      // array_distinct(transform(..., i => array_min(slice(gh, i, w))))
+      // over charGramHashes (WinnowFpsSpec pins parity), without the
+      // two interpreted lambda passes or the full per-gram hash array
+      // per row.
+      .select(col(idCol),
+        call_function("winnow_fps", col(textCol), lit(k), lit(w)).as("fps"))
       // explode_OUTER, deliberately: a plain explode makes
       // InferFiltersFromGenerate add `size(fps)>0 AND isnotnull(fps)`
-      // below the Generate, and pushdown then inlines the WHOLE
-      // fps expression into a scan-level filter — where slice()'s
-      // child is the un-materialized gh transform, so every window
-      // position re-runs the full md5-per-gram pass: O(len²) md5
-      // calls per row, measured 110 s vs 0.4 s on 500 docs.
-      // explode_outer infers nothing; it is equivalent here because
-      // the length guard makes fps non-empty (len >= k+w-1 ⇒
-      // windows >= 1), so no null-fp rows can appear.
+      // below the Generate, and pushdown then inlines the fps
+      // expression into a scan-level filter — re-running the whole
+      // kernel once more per row just to check non-emptiness (with
+      // the pre-fusion HOF form that recompute was O(len²) md5 calls,
+      // measured 110 s vs 0.4 s on 500 docs). explode_outer infers
+      // nothing; it is equivalent here because the length guard makes
+      // fps non-empty (len >= k+w-1 ⇒ windows >= 1), so no null-fp
+      // rows can appear.
       .select(col(idCol), explode_outer(col("fps")).as("fp"))
 
   /** Candidate overlap pairs from shared winnowing fingerprints, with
