@@ -168,13 +168,52 @@ object Dedup {
     * [[connectedComponentsStar]] (same output contract, asserted
     * equivalent).
     */
+  /** Pair-count ceiling for the driver-local union-find fast path: 1M
+    * (src, dst) Long pairs ≈ 16 MB — the same order as the broadcast
+    * threshold, i.e. "provably fits on one machine". Below it the
+    * whole component structure is solved in one collect instead of
+    * O(log d) distributed rounds whose cost is all fixed per-round
+    * job overhead at this size; above it the Pregel-style rounds run
+    * unchanged (a 100 TB corpus' candidate graph takes that path).
+    * The same adaptivity argument as AQE's broadcast demotion, keyed
+    * on a MEASURED count, and the outputs are identical: union-find
+    * that always points the larger root at the smaller makes every
+    * final root the component MINIMUM — exactly min-label
+    * propagation's fixpoint.
+    */
+  private val DriverCcMaxPairs = 1000000L
+
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    p.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val s = p.sparkSession
+    import s.implicits._
+    parent.keySet.toArray(Array.empty[java.lang.Long])
+      .map(n => (n.toLong, find(n.toLong))).toSeq.toDF("node", "label")
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          driverMaxPairs: Long = DriverCcMaxPairs): DataFrame = {
     // materialize the pair producer ONCE: the symmetrizing union has
     // two branches, and an unmaterialized `pairs` (typically the whole
     // minhash candidate pipeline) would run end to end twice
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(true)
+    if (p.count() <= driverMaxPairs) return driverUnionFind(p)
     val edges0 = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

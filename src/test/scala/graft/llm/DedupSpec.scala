@@ -129,9 +129,16 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
         .filter(p => p._1 != p._2))
     for (pairs <- shapes ++ randoms) {
       val df = pairs.toDF("doc_a", "doc_b")
-      val jump = labelsOf(Dedup.connectedComponents(df, "doc_a", "doc_b"))
+      // driverMaxPairs = -1 forces the DISTRIBUTED rounds (every spec
+      // graph is under the driver-union-find threshold); the default
+      // call exercises the union-find fast path — all three
+      // implementations must agree
+      val jump = labelsOf(Dedup.connectedComponents(df, "doc_a", "doc_b",
+        driverMaxPairs = -1L))
+      val uf = labelsOf(Dedup.connectedComponents(df, "doc_a", "doc_b"))
       val star = labelsOf(Dedup.connectedComponentsStar(df, "doc_a", "doc_b"))
-      assert(star === jump, s"disagreement on $pairs")
+      assert(star === jump, s"star/jump disagreement on $pairs")
+      assert(uf === jump, s"union-find/jump disagreement on $pairs")
     }
   }
 
