@@ -762,6 +762,53 @@ object StreamingQueries {
       // horizon anyway so a re-run against drifted data stays exact
       s.table("st16_rollup").filter(col("hour_start") <= tmax)
         .orderBy("hour_start", "event_type")
+    }),
+
+    // Streaming CDC apply — the lakehouse ingest loop: a change
+    // stream (upserts + delete tombstones) folded into a base
+    // snapshot per micro-batch with the SAME SnapshotMerge operator
+    // the batch path uses (q34), each batch one key-shuffle window
+    // pass over snapshot+delta. Batching-invariance IS the oracle:
+    // the change sets arrive in three version-ordered micro-batches,
+    // and the final snapshot must hash-match q34's one-shot batch
+    // fold — merge(merge(merge(base, v1), v2), v3) ≡ merge(base,
+    // v1∪v2∪v3) because the fold keeps the max version per key.
+    // Production swaps the in-memory var for the exactly-once parquet
+    // sink (IdempotentSink) — the fold itself is what's under test.
+    "st17_streaming_cdc_merge" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.SnapshotMerge
+
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      val base = o.filter(col("o_orderkey") % 3 =!= 0).withColumn("ver", lit(0L))
+      def changes(df: org.apache.spark.sql.DataFrame, ver: Long, op: String) =
+        df.withColumn("ver", lit(ver)).withColumn("op", lit(op))
+          .select("o_orderkey", "o_custkey", "price_c", "ver", "op")
+          .as[(Long, Long, Long, Long, String)].collect().toSeq
+      val batches = Seq(
+        changes(o.filter(col("o_orderkey") % 3 === 0), 1L, "u"),
+        changes(o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price_c", col("price_c") + 100000L), 2L, "u"),
+        changes(o.filter(col("o_orderkey") % 10 === 0), 3L, "d"))
+
+      // eager localCheckpoint per fold: the next batch's merge reads a
+      // MATERIALIZED snapshot, not a growing lineage of window passes
+      @volatile var snap = base.localCheckpoint(true)
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("o_orderkey", "o_custkey", "price_c", "ver", "op")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            snap = SnapshotMerge(snap, batch, Seq("o_orderkey"), "ver", "op")
+              .localCheckpoint(true)
+          }
+          .start()
+        try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      snap.orderBy("o_orderkey")
     })
   )
 
@@ -880,6 +927,11 @@ object StreamingQueries {
         |       CAST(sum(n) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, start_sec""".stripMargin,
+
+    // q34's oracle verbatim: the version-ordered micro-batch fold must
+    // equal the one-shot batch fold (max version per key either way)
+    "st17_streaming_cdc_merge" ->
+      graft.queries.GeneralQueries.oracles("q34_snapshot_merge"),
 
     // two-level relational rollup: batching cannot change either
     // aggregation level once every window is watermark-finalized
