@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{MinHashSig, MinHashSigText, ParseIpv4, ShingleGen, VecDot, WinnowFps}
+import graft.functions.{CharGramHashes, MinHashSig, MinHashSigText, ParseIpv4, ShingleGen, VecDot, WinnowFps}
 
 /** Engine extensions installed through the public
   * `SparkSessionExtensions` hook (usable via
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vec_dot expects exactly two arguments")
         VecDot(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharGramHashes.fromArgs(args)))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),

@@ -48,6 +48,27 @@ object WinnowFpsHelper {
     (v << 4) | ((d(7) & 0xFFL) >>> 4)
   }
 
+  /** All char k-gram hashes of `text` in position order — the fused
+    * form of [[graft.llm.TextFunctions.charGramHashes]]' interpreted
+    * `transform(sequence(...), i => hash60(substr(text, i, k)))`.
+    * Same values; one pass, codegen-capable. Below k chars: empty
+    * (the callers' documented guard — the HOF form's sequence turns
+    * descending there).
+    */
+  def gramHashes(text: UTF8String, k: Int): GenericArrayData = {
+    val n = text.numChars() - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = digests.get()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      out(i) = hash60(md.digest(text.substringSQL(i + 1, k).getBytes))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def fps(text: UTF8String, k: Int, w: Int): GenericArrayData = {
     val nChars = text.numChars()
     val nGrams = nChars - k + 1
@@ -120,5 +141,53 @@ object WinnowFps {
       }
     }
     WinnowFps(args.head, lit(args(1), "k"), lit(args(2), "w"))
+  }
+}
+
+/** `char_gram_hashes(text, k) -> array<long>`: every char k-gram's
+  * 60-bit md5 hash, position order — the building block x08
+  * (fingerprint summaries) and x57 (n-gram novelty) consume, fused
+  * into one codegen'd pass (the interpreted HOF it replaces paid a
+  * lambda dispatch plus a Column substring per gram).
+  */
+case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "char_gram_hashes needs k >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes expects a string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFpsHelper.gramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFpsHelper.gramHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+object CharGramHashes {
+  /** Registry builder: k must be a foldable integer literal. */
+  def fromArgs(args: Seq[Expression]): CharGramHashes = {
+    require(args.length == 2, "char_gram_hashes expects (text, k)")
+    val kExpr = args(1)
+    require(kExpr.foldable &&
+      (kExpr.dataType == IntegerType || kExpr.dataType == LongType),
+      "char_gram_hashes's k must be an integer literal")
+    val k = kExpr.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"bad k: $other")
+    }
+    CharGramHashes(args.head, k)
   }
 }

@@ -49,6 +49,15 @@ object TextFunctions {
       sequence(lit(1), length(text) - (n - 1)),
       i => hash60(text.substr(i, lit(n))))
 
+  /** [[charGramHashes]] as the fused native expression
+    * ([[graft.functions.CharGramHashes]]): one codegen'd pass instead
+    * of an interpreted lambda + Column substring per gram. Same
+    * values (WinnowFpsSpec); the HOF form above remains the
+    * cross-checked specification.
+    */
+  def charGramHashesNative(text: Column, n: Int): Column =
+    call_function("char_gram_hashes", text, lit(n))
+
   /** Character n-grams as strings (the features of the char-ngram
     * language-ID heuristic). Empty array below n chars — Spark's
     * sequence(1, len-2) turns DESCENDING for short strings, so the

@@ -301,7 +301,7 @@ object LlmQueries {
       // single-split local input (no-op on pre-split input).
       Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) >= 8)
-        .select(col("doc_id"), TF.charGramHashes(col("text"), 8).as("gh"))
+        .select(col("doc_id"), TF.charGramHashesNative(col("text"), 8).as("gh"))
         .select(
           col("doc_id"),
           size(col("gh")).cast("long").as("n_grams"),
@@ -1033,7 +1033,7 @@ object LlmQueries {
       val grams = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"),
-          explode_outer(array_distinct(TF.charGramHashes(col("text"), 8))).as("g"))
+          explode_outer(array_distinct(TF.charGramHashesNative(col("text"), 8))).as("g"))
         .localCheckpoint(true) // df count + per-doc stats read it
       // grams are per-doc distinct, so count(*) IS the doc frequency
       val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))

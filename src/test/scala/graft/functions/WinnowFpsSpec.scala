@@ -54,6 +54,30 @@ class WinnowFpsSpec extends AnyFunSuite with SparkTestSession {
     assert(n.isNullAt(0))
   }
 
+  test("char_gram_hashes fused == HOF charGramHashes on adversarial strings") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabets = Seq("ab", "abc ", "αβγ ", "日本語はも ")
+    val docs = ((1 to 200).map { _ =>
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until (8 + rnd.nextInt(40))).map(_ => a(rnd.nextInt(a.length))).mkString
+    } :+ "abcdefgh").toDF("text")
+    for (k <- Seq(3, 8)) {
+      val guarded = docs.filter(length(col("text")) >= k)
+      val hof = guarded.select(TF.charGramHashes(col("text"), k).as("gh"))
+        .collect().map(_.getSeq[Long](0))
+      val fused = guarded.select(TF.charGramHashesNative(col("text"), k).as("gh"))
+        .collect().map(_.getSeq[Long](0))
+      assert(fused.toSeq === hof.toSeq, s"k=$k")
+    }
+    // below k chars: empty; null in, null out
+    val short = Seq("ab").toDF("text")
+      .select(TF.charGramHashesNative(col("text"), 8).as("gh")).head()
+    assert(short.getSeq[Long](0).isEmpty)
+    assert(Seq[Option[String]](None).toDF("text")
+      .select(TF.charGramHashesNative(col("text"), 8).as("gh")).head().isNullAt(0))
+  }
+
   test("doGenCode emits the native kernel call — not a CodegenFallback") {
     val bound = WinnowFps(BoundReference(0, StringType, nullable = true), 8, 4)
     assert(!bound.isInstanceOf[CodegenFallback])
