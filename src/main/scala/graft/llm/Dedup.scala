@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFunctions._
@@ -405,6 +405,84 @@ object Dedup {
           .cast("long"))
       .filter(col("jaccard_e6") >= minJaccardE6)
       .select("probe_id", "other_id", "n_inter", "jaccard_e6")
+  }
+
+  /** EXACT-threshold token-set similarity join with prefix filtering
+    * (the SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et
+    * al. WWW'08): all pairs with token-set jaccard >= t, with NO
+    * false negatives — the exact counterpart of minhash LSH (which
+    * trades recall for speed probabilistically).
+    *
+    * The pruning theorem: order the vocabulary totally (here by
+    * document frequency ascending, rarest first, token as
+    * tiebreak) and index only each doc's PREFIX — its first
+    * |x| - ceil(t·|x|) + 1 tokens under that order. Any pair with
+    * J >= t shares at least one token inside both prefixes: J >= t
+    * implies the overlap i >= t·max(|x|,|y|), so fewer than
+    * |x| - i + 1 <= prefix-length non-shared tokens can precede the
+    * first shared token in either doc. Candidates therefore come
+    * from an equi-join of PREFIXES — Σ df² over the rarest tokens,
+    * a vanishing fraction of the full inverted index's fan-out —
+    * and each candidate is verified with the exact intersection
+    * count restricted to candidate pairs. The prefix length is
+    * computed in integer arithmetic ((sz·t + 999999) DIV 1e6): a
+    * float ceil that rounds an exact integer boundary UP would
+    * silently shorten the prefix and break the no-false-negative
+    * guarantee.
+    *
+    * Scale: one tokenize pass (materialized), one df aggregation
+    * (vocabulary-sized), one per-doc rank window (shuffle on the doc
+    * key), the prefix-only pair join, and a candidate-restricted
+    * verify join. Never all-pairs; the df-ascending order makes hot
+    * tokens land in suffixes, so the pair join's skew is bounded by
+    * construction rather than capped by a knob (compare
+    * [[tokenJaccardPairs]]' dfCap, which trades recall).
+    */
+  def prefixJaccardJoin(docs: DataFrame, textCol: String, idCol: String,
+                        minJaccardE6: Long = 600000L,
+                        probeFilter: Option[Column] = None,
+                        materialize: Boolean = true): DataFrame = {
+    val toks0 = docs.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    // four consumers (df, sizes, prefix build, verify join) — one
+    // tokenize pass, eager localCheckpoint for leak-freedom
+    val toks = if (materialize) toks0.localCheckpoint(true) else toks0
+    val sz = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val dfr = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    val w = Window.partitionBy(idCol).orderBy(col("df"), col("tok"))
+    val pfx = toks.join(dfr, "tok")
+      .join(sz, idCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        expr(s"sz - ((sz * $minJaccardE6 + 999999) DIV 1000000) + 1"))
+      .select(col(idCol), col("tok"))
+
+    // symmetric self-join (a < b, each unordered pair once) by
+    // default; with a probe predicate, side A is the probe set and
+    // every (probe, other) ordered pair appears — the x03 convention,
+    // and the output-size throttle for corpora whose full exact join
+    // is quadratic BY ANSWER (see x70's scaladoc)
+    val pfxA = probeFilter.fold(pfx)(pfx.filter(_))
+    val pairPred = if (probeFilter.isDefined)
+      col("doc_a") =!= col("doc_b") else col("doc_a") < col("doc_b")
+    val cand = pfxA.select(col(idCol).as("doc_a"), col("tok"))
+      .join(pfx.select(col(idCol).as("doc_b"), col("tok")), "tok")
+      .filter(pairPred)
+      .select("doc_a", "doc_b").distinct()
+
+    val inter = cand
+      .join(toks.select(col(idCol).as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col(idCol).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sz.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sz.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard_e6",
+        expr("(n_inter * 1000000) DIV (sz_a + sz_b - n_inter)"))
+      .filter(col("jaccard_e6") >= minJaccardE6)
+      .select("doc_a", "doc_b", "n_inter", "jaccard_e6")
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS

@@ -1414,6 +1414,29 @@ object LlmQueries {
         .select(col("source"), col("t.id").as("doc_id"),
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("source", "rk")
+    }),
+
+    // EXACT-threshold similarity join (Dedup.prefixJaccardJoin, the
+    // SSJoin/PPJoin family): every (probe, other) pair with token-set
+    // jaccard >= 0.9 — no false negatives, the exact counterpart of
+    // x02's probabilistic LSH and the LOSSLESS counterpart of x03's
+    // df-capped inverted index (the cap trades recall; the prefix
+    // theorem does not). Candidates come from an equi-join of doc
+    // PREFIXES under the global df-ascending token order (at t=0.9
+    // the prefix is ~|x|/10 tokens, the rarest ones); the oracle is
+    // the brute-force inverted-index join, so the hash match proves
+    // the pruning loses nothing. Probe-side restriction (x03's
+    // convention), deliberately: this corpus is template-generated,
+    // so the FULL self-join's answer is quadratic in cluster size
+    // (7M pairs at t=0.6 on sf0.1) — no join algorithm outruns its
+    // own output; corpus-wide loose bands are what the probabilistic
+    // family (x02/x09/x50) is for.
+    "x70_prefix_jaccard_join" -> ((s, d) => {
+      Dedup.prefixJaccardJoin(
+          Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
+          "text", "doc_id", minJaccardE6 = 900000L,
+          probeFilter = Some(col("doc_id") % 29 === 0))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -1708,6 +1731,23 @@ object LlmQueries {
          |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 50
          |ORDER BY source, rk""".stripMargin,
+
+    // brute-force exact jaccard — deliberately WITHOUT the prefix
+    // pruning, so the compare proves completeness
+    "x70_prefix_jaccard_join" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |sizes AS (SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n FROM documents),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |          WHERE a.doc_id % 29 = 0
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |       (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_e6
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE (n_inter * 1000000) // (sa.n + sb.n - n_inter) >= 900000
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the funnel, mirrored stage by stage: normalize → exact dedup on
     // the normalized hash → near-dup closure over normalized-bigram

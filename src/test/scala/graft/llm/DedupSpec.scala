@@ -142,6 +142,51 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("prefix-filtered jaccard join == brute-force at several thresholds " +
+    "(completeness: the pruning may never lose a pair)") {
+    val s = spark; import s.implicits._
+    // small vocabulary + short docs → dense high-jaccard pairs, the
+    // adversarial case for prefix pruning (prefixes are tiny)
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 120L).map { i =>
+      val n = 2 + rnd.nextInt(6)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    def brute(minE6: Long, probes: Boolean) = {
+      val toks = corpus.select(col("doc_id"),
+        explode(array_distinct(graft.llm.TextFunctions.tokens(col("text")))).as("tok"))
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairPred = if (probes)
+        col("doc_a") =!= col("doc_b") && col("doc_a") % 5 === 0
+      else col("doc_a") < col("doc_b")
+      toks.select(col("doc_id").as("doc_a"), col("tok"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+        .filter(pairPred)
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("jaccard_e6",
+          expr("(n_inter * 1000000) DIV (sz_a + sz_b - n_inter)"))
+        .filter(col("jaccard_e6") >= minE6)
+        .select("doc_a", "doc_b", "n_inter", "jaccard_e6")
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    for (t <- Seq(500000L, 600000L, 800000L, 1000000L)) {
+      val pruned = key(Dedup.prefixJaccardJoin(corpus, "text", "doc_id", minJaccardE6 = t))
+      val full = key(brute(t, probes = false))
+      assert(pruned === full, s"threshold $t: pruned ${pruned.size} vs brute ${full.size}")
+      if (t == 500000L) assert(full.nonEmpty, "fixture must actually produce pairs")
+      // probe-restricted form: ordered (probe, other) pairs, same guarantee
+      val prunedP = key(Dedup.prefixJaccardJoin(corpus, "text", "doc_id",
+        minJaccardE6 = t, probeFilter = Some(col("doc_id") % 5 === 0)))
+      assert(prunedP === key(brute(t, probes = true)), s"probe threshold $t")
+    }
+  }
+
   test("connected components of no pairs is empty") {
     val s = spark; import s.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
