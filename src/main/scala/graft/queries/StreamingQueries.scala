@@ -809,6 +809,48 @@ object StreamingQueries {
         finally q.stop()
       }
       snap.orderBy("o_orderkey")
+    }),
+
+    // The bounded top-k typed aggregate as STREAMING aggregation
+    // state (st13's pattern, with the other custom aggregate): the
+    // per-source quota sample maintained continuously — state is
+    // |sources|·Q Scored entries no matter how many documents
+    // stream in, merged map-side per batch exactly like the batch
+    // form (x69). Complete mode re-emits the current quota table
+    // per trigger; after the last batch it must equal x69's batch
+    // answer verbatim — the aggregate's merge is order- and
+    // batching-invariant, and x69's oracle is reused unchanged.
+    "st18_streaming_source_quota" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[graft.functions.Scored] =
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored]
+      val topk = udaf(new graft.functions.TopKAggregator(50))
+
+      val rows = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .as[(Long, String)].collect().toSeq
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("doc_id", "source")
+          .select(col("source"),
+            graft.llm.TextFunctions.hash60(
+              concat(lit("quota:"), col("doc_id").cast("string"))).as("score"),
+            col("doc_id").as("id"))
+          .groupBy("source")
+          .agg(topk(col("score"), col("id")).as("kept"))
+          .writeStream.format("memory").queryName("st18_quota")
+          .outputMode("complete").start()
+        try {
+          val (b1, b2) = rows.splitAt(rows.size / 2)
+          in.addData(b1); q.processAllAvailable()
+          in.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st18_quota")
+        .select(col("source"), posexplode(col("kept")).as(Seq("pos", "t")))
+        .select(col("source"), col("t.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("source", "rk")
     })
   )
 
@@ -932,6 +974,12 @@ object StreamingQueries {
     // equal the one-shot batch fold (max version per key either way)
     "st17_streaming_cdc_merge" ->
       graft.queries.GeneralQueries.oracles("q34_snapshot_merge"),
+
+    // x69's oracle verbatim: the bounded top-k aggregate's merge is
+    // batching-invariant, so the streamed quota table's final state
+    // is the batch answer
+    "st18_streaming_source_quota" ->
+      graft.queries.LlmQueries.oracles("x69_source_quota"),
 
     // two-level relational rollup: batching cannot change either
     // aggregation level once every window is watermark-finalized
