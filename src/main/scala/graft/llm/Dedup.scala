@@ -183,6 +183,15 @@ object Dedup {
     */
   private val DriverCcMaxPairs = 1000000L
 
+  /** One INFO line per CC invocation naming the path taken (ADVICE r7:
+    * bench numbers for CC-consuming queries should say whether they
+    * measured the driver fast path or the distributed rounds).
+    */
+  private lazy val ccLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Requires `p`'s two columns already cast to non-null longs —
+    * [[connectedComponents]] canonicalizes before dispatching here.
+    */
   private def driverUnionFind(p: DataFrame): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
@@ -210,10 +219,24 @@ object Dedup {
                           driverMaxPairs: Long = DriverCcMaxPairs): DataFrame = {
     // materialize the pair producer ONCE: the symmetrizing union has
     // two branches, and an unmaterialized `pairs` (typically the whole
-    // minhash candidate pipeline) would run end to end twice
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // minhash candidate pipeline) would run end to end twice.
+    // Ids are canonicalized to LONG here so both paths agree on the
+    // output type for any integral id column (the driver fast path
+    // reads longs), and null-id pairs are dropped uniformly — a null
+    // node has no identity to cluster under, and letting one path NPE
+    // while the other silently propagated nulls was the ADVICE r7 bug.
+    val p = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
-    if (p.count() <= driverMaxPairs) return driverUnionFind(p)
+    val nPairs = p.count()
+    if (nPairs <= driverMaxPairs) {
+      ccLog.info(s"connectedComponents: driver union-find path " +
+        s"($nPairs pairs <= $driverMaxPairs)")
+      return driverUnionFind(p)
+    }
+    ccLog.info(s"connectedComponents: distributed label-propagation path " +
+      s"($nPairs pairs > $driverMaxPairs)")
     val edges0 = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -538,6 +538,37 @@ object GeneralQueries {
         .orderBy("grp")
     }),
 
+    // q27's sketch-median error bound made DRIVER-CHECKABLE (VERDICT
+    // r7 ask #5): percentile_approx(accuracy=1000) guarantees the
+    // returned element's RANK is within n/1000 of the target rank
+    // n/2. The value itself has no cross-engine oracle (summary
+    // internals differ), but the rank guarantee is a deterministic
+    // predicate on the same data: with n_lt = |qty < am| and
+    // n_le = |qty <= am|, the returned element occupies ranks
+    // [n_lt+1, n_le], and that range intersects
+    // [n/2 - n/1000, n/2 + n/1000] iff 2000*n_le >= 998*n and
+    // 2000*(n_lt+1) <= 1002*n + 2000 (one rank of slack for the
+    // guarantee's ceil). Integer arithmetic end to end; the oracle
+    // asserts the bound HOLDS per group, so a summary regression
+    // breaks the hash instead of hiding behind a rows-only check.
+    "q27b_approx_quantiles_bound" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 3).as("grp"), asInt(col("l_quantity"), 0).as("qty"))
+      val apx = base.groupBy("grp")
+        .agg(percentile_approx(col("qty"), lit(0.5), lit(1000)).as("am"))
+      base.join(broadcast(apx), "grp")
+        .groupBy("grp")
+        .agg(
+          sum(when(col("qty") < col("am"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("qty") <= col("am"), 1L).otherwise(0L)).as("n_le"),
+          count(lit(1)).as("n"))
+        .select(col("grp"),
+          ((col("n_le") * lit(2000L) >= col("n") * lit(998L)) &&
+            ((col("n_lt") + lit(1L)) * lit(2000L) <= col("n") * lit(1002L) + lit(2000L)))
+            .cast("long").as("within_bound"))
+        .orderBy("grp")
+    }),
+
     // Count-min-sketch heavy hitters — the third mergeable sketch next
     // to q18's HLL and q27's quantile summary: one agg pass builds the
     // CMS (per-partition sketches merge by counter addition, so the
@@ -559,6 +590,32 @@ object GeneralQueries {
       top.zipWithIndex.map { case (r, i) =>
         (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)), (i + 1).toLong)
       }.toDF("token", "exact_cnt", "cms_est", "rnk")
+    }),
+
+    // q33's CMS guarantee made DRIVER-CHECKABLE (VERDICT r7 ask #5):
+    // count-min never under-counts, and over-counts by at most eps*N
+    // (eps = 0.001, N = total tokens) with the configured 0.99
+    // confidence — and for a FIXED seed the sketch is deterministic,
+    // so on this corpus the bound is a concrete predicate. The oracle
+    // recomputes the exact top-5 (same desc-count, token-asc
+    // tiebreak) and asserts the bound held for each; an estimate
+    // drifting outside eps*N breaks the hash.
+    "q33b_heavy_hitters_bound" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.llm.TextFunctions.tokens(col("text"))).as("token"))
+      val nTotal = toks.count()
+      val cms = toks.stat.countMinSketch("token",
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(5)
+        .collect().toSeq
+      import s.implicits._
+      top.zipWithIndex.map { case (r, i) =>
+        val exact = r.getLong(1)
+        val est = cms.estimateCount(r.getString(0))
+        val ok = est >= exact && est <= exact + math.ceil(0.001 * nTotal).toLong
+        (r.getString(0), (i + 1).toLong, if (ok) 1L else 0L)
+      }.toDF("token", "rnk", "within_bound")
     }),
 
     // Exact distributed quantiles (percentile_disc semantics): window
@@ -1602,6 +1659,20 @@ object GeneralQueries {
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q53_asof_native_forward" -> oraclesBase("q29_asof_forward"),
-    "q54_asof_native_nearest" -> oraclesBase("q30_asof_nearest")
+    "q54_asof_native_nearest" -> oraclesBase("q30_asof_nearest"),
+
+    // bounded-error sketch checks (VERDICT r7 ask #5): the oracle's
+    // claim is that the documented accuracy bound HOLDS — the exact
+    // side is DuckDB's own computation, the predicate the sketch's
+    // published guarantee (see the queries' scaladoc)
+    "q27b_approx_quantiles_bound" ->
+      """SELECT l_orderkey % 3 AS grp, CAST(1 AS BIGINT) AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33b_heavy_hitters_bound" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
+        |SELECT token, CAST(rnk AS BIGINT) AS rnk, CAST(1 AS BIGINT) AS within_bound
+        |FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
   )
 }

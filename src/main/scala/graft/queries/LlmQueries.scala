@@ -191,6 +191,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // x20's clusters computed down the DISTRIBUTED label-propagation
+    // rounds (driverMaxPairs = 0 disables the measured-count fast
+    // path): at oracle scale every CC consumer stays under the 1M-pair
+    // gate, so the rounds that a 100 TB candidate graph would run had
+    // spec/smoke proof but no driver oracle row (VERDICT r7 ask #2).
+    // Same closure oracle as x20 — the hash match IS the path-
+    // equivalence proof on the real corpus.
+    "x20b_clusters_distributed" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(docs, "text", "doc_id"), "doc_a", "doc_b",
+        driverMaxPairs = 0L)
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // LEAKAGE-SAFE train/valid/test split: near-duplicate documents
     // must land in the SAME split, or the held-out set is contaminated
     // by training-set twins — the failure x28 measures after the fact,
@@ -395,6 +414,26 @@ object LlmQueries {
         .agg(
           approx_count_distinct("user_id").as("approx_users"),
           countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type")
+    }),
+
+    // q18's HLL estimate with its error bound made DRIVER-CHECKABLE
+    // (VERDICT r7 ask #5): the estimate itself has no cross-engine
+    // oracle, but |est - exact| <= rsd * exact — the configured 5%
+    // relative standard deviation — is a deterministic predicate on
+    // the same data, and the exact side is what DuckDB computes. The
+    // oracle asserts the bound HOLDS (within_rsd = 1 per group), so a
+    // sketch regression breaks the hash instead of hiding behind a
+    // rows-only check. Integer arithmetic: |a-e|*100 <= e*5.
+    "q18b_approx_distinct_bound" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct("user_id").as("a"),
+          countDistinct("user_id").as("e"))
+        .select(col("event_type"),
+          (abs(col("a") - col("e")) * lit(100L) <= col("e") * lit(5L))
+            .cast("long").as("within_rsd"))
         .orderBy("event_type")
     }),
 
@@ -1437,6 +1476,20 @@ object LlmQueries {
           "text", "doc_id", minJaccardE6 = 900000L,
           probeFilter = Some(col("doc_id") % 29 === 0))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // x70's SYMMETRIC form (no probe set: every unordered pair once,
+    // a < b) on a corpus slice whose full answer is not quadratic —
+    // one source at t=0.6 (206 pairs at sf0.01; 16k at sf0.1). The
+    // probe-side registry entry left the a<b candidate predicate
+    // spec-only (VERDICT r7 ask #6); the brute-force oracle on the
+    // same slice makes its completeness driver-checked too.
+    "x70b_prefix_jaccard_selfjoin" -> ((s, d) => {
+      Dedup.prefixJaccardJoin(
+          Tables.splitForCpu(s,
+            Tables.documents(s, d).filter(col("source") === "src0"), "doc_id"),
+          "text", "doc_id", minJaccardE6 = 600000L)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -1619,7 +1672,7 @@ object LlmQueries {
 
   private val bucketSql: String = bucketSqlAt("embedding", 0)
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "x01_exact_dedup" ->
       s"""SELECT doc_id, fp, n_dups, lang, n_chars FROM (
          |  SELECT doc_id, lang, n_chars, fp,
@@ -2829,5 +2882,36 @@ object LlmQueries {
         |SELECT doc_id, doc_len,
         |       CAST((wsum * 1000000) // (doc_len * total) AS BIGINT) AS score_e6
         |FROM d, tot ORDER BY doc_id""".stripMargin
+  )
+
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    // the distributed rounds must answer exactly as the driver fast
+    // path: same closure oracle verbatim
+    "x20b_clusters_distributed" -> oraclesBase("x20_dedup_clusters"),
+
+    // the HLL accuracy bound holds on every group (see the query's
+    // scaladoc — the exact side is DuckDB's, the predicate is the
+    // configured rsd)
+    "q18b_approx_distinct_bound" ->
+      """SELECT event_type, CAST(1 AS BIGINT) AS within_rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // brute-force exact jaccard over the same one-source slice,
+    // unordered pairs once (a < b) — completeness proof for the
+    // symmetric prefix-filtered path
+    "x70b_prefix_jaccard_selfjoin" ->
+      """WITH d AS (SELECT * FROM documents WHERE source = 'src0'),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d),
+        |sizes AS (SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n FROM d),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |       (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_e6
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE (n_inter * 1000000) // (sa.n + sb.n - n_inter) >= 600000
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -499,8 +499,15 @@ object StreamingQueries {
         // file source's base path must be a DIRECTORY — the landing
         // dir is the sf dir with a glob pinning this stream to its
         // table.
-        val landedSchema = s.read
-          .option("pathGlobFilter", "events.parquet").parquet(d).schema
+        // If nothing has landed yet the probe read can't infer a schema
+        // (ADVICE r7) — fall back to the canonical BIGINT-nanos layout
+        // so the stream starts empty and picks up files as they arrive,
+        // the production file-stream posture this query documents.
+        val landedSchema = scala.util.Try(s.read
+            .option("pathGlobFilter", "events.parquet").parquet(d).schema)
+          .getOrElse(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING"))
         val q = Tables.normalizeTs(s.readStream
             .schema(landedSchema)
             .option("pathGlobFilter", "events.parquet")

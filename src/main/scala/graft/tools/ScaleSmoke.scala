@@ -32,8 +32,12 @@ object ScaleSmoke {
     val base = graft.queries.Tables.documents(spark, sfDir)
       .select("doc_id", "text")
     val nBase = base.count()
+    // per-copy id stride derived from the MEASURED max id (ADVICE r7:
+    // a fixed 10M stride silently collides once the base corpus holds
+    // ids >= 10M, corrupting the known dedup structure being measured)
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
     val big = (0 until mult).map { c =>
-      base.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+      base.select((col("doc_id") + lit(c.toLong * stride)).as("doc_id"),
         col("text"))
     }.reduce(_ union _)
     big.repartition(32).write.mode("overwrite").parquet(out)
