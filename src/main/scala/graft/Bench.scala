@@ -31,6 +31,18 @@ object Bench {
   private val HeavySecs = 4.0
   private val BudgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
 
+  /** Queries above this first-run cost get a contention check: a fixed
+    * trivial sentinel job timed right after the sample. An inflated
+    * sentinel means a co-tenant burst overlapped the run (BENCH_r07
+    * reported x60–x62 at 7–16× their idle cost despite best-of-3 —
+    * VERDICT r7 ask #3), so the sample is re-drawn while the budget
+    * holds; a sample whose sentinel reads clean is trusted. Cheap
+    * queries skip the check — their median-of-3 already smooths noise
+    * and the sentinel would double their cost.
+    */
+  private val SentinelGateSecs = 1.0
+  private val SentinelInflation = 3.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +54,48 @@ object Bench {
     graft.queries.Tables.validate(spark, sfDir)
     val bench0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - bench0) / 1e9
+
+    // Micro-batch execution time accumulated across every streaming
+    // query the current registry entry starts (durationMs is the
+    // engine's own per-trigger breakdown): wall − exec = the fixed
+    // MemoryStream feed/setup harness floor, reported per st* entry so
+    // a state-management regression is visible above that floor
+    // (VERDICT r7 ask #7 — st15's 5.1 s is mostly harness).
+    val stExecMs = new java.util.concurrent.atomic.AtomicLong
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        stExecMs.addAndGet(
+          Option(e.progress.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    // listener delivery is async on the event bus — after a streaming
+    // entry returns, wait for the counter to go quiet before reading
+    // it (bounded; non-streaming entries never enter the loop)
+    def settledExecMs(prev: Long): Long = {
+      var last = stExecMs.get()
+      if (last != prev) {
+        var quiet = 0
+        while (quiet < 3) {
+          Thread.sleep(50)
+          val now = stExecMs.get()
+          if (now == last) quiet += 1 else { last = now; quiet = 0 }
+        }
+      }
+      last
+    }
+
+    // The contention sentinel: a fixed range→agg job whose idle cost
+    // is stable (~0.1 s); its floor is the min of 5 runs up front.
+    def sentinelSecs(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000L).selectExpr("id % 97 AS k")
+        .groupBy("k").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // Bench set = the oracle queries plus bench-only plan variants
     // (e.g. the materialized spike pipeline, the path a real deployment
@@ -61,14 +115,24 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    val sentinelFloor = (1 to 5).map(_ => sentinelSecs()).min
+
     // (name, median, min, iterations used)
     val timings = Seq.newBuilder[(String, Double, Double, Int)]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val contended = Seq.newBuilder[String]
+    val stSplit = Seq.newBuilder[(String, Double, Double)] // (name, execSec, harnessSec)
     queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def once(): Option[Double] = {
+      // (wall seconds, streaming exec seconds) — exec is 0 for batch
+      def once(): Option[(Double, Double)] = {
+        val exec0 = stExecMs.get()
         val t0 = System.nanoTime()
         val r =
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try {
+            fn(spark, sfDir).count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            Some((wall, (settledExecMs(exec0) - exec0) / 1000.0))
+          }
           catch { case e: Throwable =>
             // keyed map, not appended pairs: a query failing every
             // iteration must not emit duplicate JSON keys
@@ -81,26 +145,48 @@ object Bench {
         spark.catalog.clearCache()
         r
       }
+      def record(samples: Seq[(Double, Double)], iters: Int, stat: Boolean): Unit = {
+        val walls = samples.map(_._1)
+        val best = samples.minBy(_._1)
+        val value = if (stat) walls.sorted.apply(walls.size / 2) else walls.min
+        timings += ((name, value, walls.min, iters))
+        if (best._2 > 0.0)
+          stSplit += ((name, best._2, math.max(0.0, best._1 - best._2)))
+      }
       once() match {
         case None => () // recorded in errors
-        case Some(t1) if elapsed > BudgetSecs =>
-          timings += ((name, t1, t1, 1))
-        case Some(t1) if t1 > HeavySecs =>
-          // heavy: up to two re-runs (best-of-3) while the budget
-          // holds, reporting the MIN — the plan's cost, not the
-          // contention draw. r06's single re-run still let co-tenant
-          // bursts inflate the heavy tail up to 14x its idle cost
-          // (VERDICT r06 ask #6); a second sample makes two
-          // simultaneous bursts the required coincidence. The later
-          // re-run gets the tighter budget cap so first runs of the
-          // remaining queries are never starved.
-          val reruns = Seq(BudgetSecs / 2, BudgetSecs * 3 / 4)
-            .flatMap(cap => if (elapsed < cap) once() else None)
-          val best = (t1 +: reruns).min
-          timings += ((name, best, best, 1 + reruns.size))
-        case Some(t1) =>
-          val runs = t1 +: (2 to Iters).flatMap(_ => once())
-          timings += ((name, runs.sorted.apply(runs.size / 2), runs.min, runs.size))
+        case Some(s1) if elapsed > BudgetSecs =>
+          record(Seq(s1), 1, stat = false)
+        case Some(s1) if s1._1 > SentinelGateSecs =>
+          // heavy-ish: sentinel-gated best-of-N (VERDICT r7 ask #3).
+          // The sentinel is timed right after the sample; an inflated
+          // reading means a co-tenant burst overlapped the run, so the
+          // sample is re-drawn (up to 2 extra, budget-capped, the same
+          // caps as r7's unconditional best-of-3 for the >4 s tail).
+          // The MIN is reported — the plan's cost, not the contention
+          // draw; if every sample's sentinel was hot the entry is
+          // listed in `contended` so the judge can discount it.
+          var samples = List(s1)
+          var sent = sentinelSecs()
+          val caps = Iterator(BudgetSecs / 2, BudgetSecs * 3 / 4)
+          // re-draw while the sentinel reads hot, and unconditionally
+          // for the >HeavySecs tail (r7's best-of-3 — a burst can end
+          // before the sentinel runs, so a clean reading alone must
+          // not exempt a heavy sample)
+          def needMore: Boolean =
+            sent > sentinelFloor * SentinelInflation ||
+              samples.map(_._1).min > HeavySecs
+          while (needMore && caps.hasNext) {
+            if (elapsed < caps.next()) {
+              once().foreach(s => samples ::= s)
+              sent = sentinelSecs()
+            }
+          }
+          if (sent > sentinelFloor * SentinelInflation) contended += name
+          record(samples, samples.size, stat = false)
+        case Some(s1) =>
+          val runs = s1 +: (2 to Iters).flatMap(_ => once())
+          record(runs, runs.size, stat = true)
       }
     }
 
@@ -135,12 +221,21 @@ object Bench {
     val qit = ts.map { case (k, _, _, it) => jstr(k) + ":" + it }.mkString("{", ",", "}")
     val es = errors.toSeq.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = ts.map(_._2).sum
+    val cont = contended.result().map(jstr).mkString("[", ",", "]")
+    // streaming entries: engine micro-batch execution vs fixed
+    // MemoryStream feed/setup harness floor (wall = exec + harness) —
+    // a state regression must show in exec, not hide under the floor
+    val split = stSplit.result().map { case (k, ex, h) =>
+      jstr(k) + s""":{"exec":${n3(ex)},"harness":${n3(h)}}"""
+    }.mkString("{", ",", "}")
     val note = "adaptive iters: median of " + Iters +
-      " for cheap queries; first-run>" + HeavySecs.toInt +
-      "s reports best of <=3 runs; past the " + BudgetSecs.toInt +
-      "s budget, single runs"
-    val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"queries":$qs,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""
+      " for cheap queries; >" + SentinelGateSecs.toInt +
+      "s runs are sentinel-gated best-of-<=3 (entries in `contended` never saw " +
+      "a clean sentinel and are inflated by co-tenant load; sentinel floor " +
+      n3(sentinelFloor) + "s); past the " + BudgetSecs.toInt +
+      "s budget, single runs; st* wall = streaming_split exec + fixed harness floor"
+    val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"contended":$cont,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"sentinel_floor_sec":${n3(sentinelFloor)},"contended":$cont,"streaming_split":$split,"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
