@@ -455,11 +455,14 @@ object Dedup {
     *
     * Scale: one tokenize pass (materialized), one df aggregation
     * (vocabulary-sized), one per-doc rank window (shuffle on the doc
-    * key), the prefix-only pair join, and a candidate-restricted
-    * verify join. Never all-pairs; the df-ascending order makes hot
-    * tokens land in suffixes, so the pair join's skew is bounded by
-    * construction rather than capped by a knob (compare
-    * [[tokenJaccardPairs]]' dfCap, which trades recall).
+    * key), the prefix-only pair join — with the PPJoin SIZE filter
+    * (t·|x| <= |y| <= |x|/t, also implied by J >= t) applied inside
+    * it so size-discordant collisions never reach the shuffle — and
+    * a candidate-restricted verify join. Never all-pairs; the
+    * df-ascending order makes hot tokens land in suffixes, so the
+    * pair join's skew is bounded by construction rather than capped
+    * by a knob (compare [[tokenJaccardPairs]]' dfCap, which trades
+    * recall).
     */
   def prefixJaccardJoin(docs: DataFrame, textCol: String, idCol: String,
                         minJaccardE6: Long = 600000L,
@@ -479,7 +482,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         expr(s"sz - ((sz * $minJaccardE6 + 999999) DIV 1000000) + 1"))
-      .select(col(idCol), col("tok"))
+      .select(col(idCol), col("tok"), col("sz"))
 
     // symmetric self-join (a < b, each unordered pair once) by
     // default; with a probe predicate, side A is the probe set and
@@ -489,9 +492,19 @@ object Dedup {
     val pfxA = probeFilter.fold(pfx)(pfx.filter(_))
     val pairPred = if (probeFilter.isDefined)
       col("doc_a") =!= col("doc_b") else col("doc_a") < col("doc_b")
-    val cand = pfxA.select(col(idCol).as("doc_a"), col("tok"))
-      .join(pfx.select(col(idCol).as("doc_b"), col("tok")), "tok")
-      .filter(pairPred)
+    // PPJoin SIZE filter, applied inside the candidate join: J >= t
+    // forces t·|x| <= |y| <= |x|/t (the intersection is at most the
+    // smaller set, the union at least the larger), so size-discordant
+    // prefix collisions — the common case around hot template tokens —
+    // die before the verify join ever shuffles them. Lossless, like
+    // the prefix bound itself; integer arithmetic throughout.
+    val cand = pfxA.select(col(idCol).as("doc_a"), col("tok"),
+        col("sz").as("sz_pa"))
+      .join(pfx.select(col(idCol).as("doc_b"), col("tok"),
+        col("sz").as("sz_pb")), "tok")
+      .filter(pairPred &&
+        col("sz_pb") * lit(1000000L) >= col("sz_pa") * lit(minJaccardE6) &&
+        col("sz_pa") * lit(1000000L) >= col("sz_pb") * lit(minJaccardE6))
       .select("doc_a", "doc_b").distinct()
 
     val inter = cand

@@ -1,70 +1,253 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextFunctions => TF}
 
-/** Dev harness: how does the dedup pipeline behave at N× the largest
-  * local testdata? Builds a synthetic corpus by unioning the sf
-  * documents table `mult` times with doc_id offsets (each copy's ids
-  * shifted into its own range, so every near-dup cluster recurs in
-  * every copy AND cross-copy exact duplicates exist — a harder dedup
-  * instance than the base table, with a known structure), writes it
-  * as parquet, then times the three heaviest x-family stages:
-  * candidate generation (x02's core), clustering (x20's core), and
-  * the near-dup drop (x35's core step).
+/** Dev harness: do the heavy operator families keep their shape at
+  * N× the largest local testdata? Builds synthetic corpora by
+  * unioning each sf table `mult` times with id offsets (each copy's
+  * ids shifted into its own range by a stride derived from the
+  * MEASURED max id, so every near-dup cluster recurs in every copy
+  * AND cross-copy exact duplicates exist — a harder instance than
+  * the base table, with a known structure), writes them as parquet,
+  * then times each family's heaviest pipeline stage and reports the
+  * counts that explain the time (candidate pairs, state rows,
+  * scanned lists) plus driver heap — growth must be attributable to
+  * OUTPUT growth, and nothing may accumulate on the driver.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *          tools/run.sh graft.tools.ScaleSmoke [mult]
+  *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
+  * stages: dedup prefix ivfpq bpe stream   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
-  * shape hold when the input grows 10×" with a number instead of an
-  * argument: candidate pairs grow ~linearly in copies (bucket joins,
-  * not all-pairs), CC rounds stay O(log d), and nothing collects an
-  * unbounded structure on the driver.
+  * shape hold when the input grows 10×/20×" with numbers instead of
+  * an argument (VERDICT r7 ask #1):
+  *   - dedup: candidate pairs come from band-bucket equi-joins (never
+  *     all-pairs; pair growth is the known duplicate structure's own
+  *     quadratic answer, which the count makes explicit), CC rounds
+  *     stay O(log d), nothing driver-side above the gated union-find.
+  *   - prefix (x70): candidates = Σ df² over prefix tokens only;
+  *     the probe-side form's answer grows linearly in copies while
+  *     the corpus-side index work grows linearly in corpus.
+  *   - ivfpq (x41): centroids + codebooks are sample-sized constants
+  *     (broadcast); query cost = the probes' nprobe inverted lists,
+  *     a constant FRACTION of the corpus — linear scan growth, k-
+  *     bounded output, zero growth in driver-collected structures.
+  *   - bpe (x65/x67): merge learning folds the VOCABULARY (constant
+  *     across copies — the count proves it), so learn cost is flat;
+  *     encode cost is one broadcast join + partial agg over the
+  *     corpus — linear.
+  *   - stream (st02's shape): a file-source windowed aggregation
+  *     with watermark over event-time-ordered batches; state rows
+  *     must plateau at the windows-within-horizon bound instead of
+  *     growing with total input, and per-batch exec time must stay
+  *     flat from first to last batch.
   */
 object ScaleSmoke {
+
+  private def heapMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  private def timed[A](name: String)(f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"$name%-28s $sec%8.2f s   (driver heap ${heapMb()} MB)")
+    (r, sec)
+  }
+
+  /** Union `mult` copies of `df` with `idCol` shifted by a stride
+    * derived from the measured max id (ADVICE r7: a fixed stride
+    * silently collides once the base ids reach it), written to
+    * parquet so every stage reads a real on-disk corpus.
+    */
+  private def scaled(df: DataFrame, idCol: String, mult: Int,
+                     out: String): DataFrame = {
+    val spark = df.sparkSession
+    val stride = df.agg(max(idCol)).head().getLong(0) + 1L
+    (0 until mult).map { c =>
+      df.withColumn(idCol, col(idCol) + lit(c.toLong * stride))
+    }.reduce(_ union _)
+      .repartition(32).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val stages0 = args.drop(1).toSet
+    val stages = if (stages0.isEmpty)
+      Set("dedup", "prefix", "ivfpq", "bpe", "stream") else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
-    val out = s"/tmp/graft_scale_smoke_x$mult"
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = s"/tmp/graft_scale_smoke_x$mult"
 
-    val base = graft.queries.Tables.documents(spark, sfDir)
-      .select("doc_id", "text")
-    val nBase = base.count()
-    // per-copy id stride derived from the MEASURED max id (ADVICE r7:
-    // a fixed 10M stride silently collides once the base corpus holds
-    // ids >= 10M, corrupting the known dedup structure being measured)
-    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
-    val big = (0 until mult).map { c =>
-      base.select((col("doc_id") + lit(c.toLong * stride)).as("doc_id"),
-        col("text"))
-    }.reduce(_ union _)
-    big.repartition(32).write.mode("overwrite").parquet(out)
-    val docs = spark.read.parquet(out)
-    println(s"corpus: ${docs.count()} docs ($mult x $nBase), written to $out")
-
-    def timed[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+    lazy val docsAndStride: (DataFrame, Long) = {
+      val base = graft.queries.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
+      val d = scaled(base, "doc_id", mult, s"$tmp/documents")
+      println(s"documents: ${d.count()} ($mult x ${base.count()})")
+      (d, stride)
     }
+    def docs = docsAndStride._1
+    def docStride = docsAndStride._2
 
-    val cand = timed("minhash candidates") {
-      val c = graft.llm.Dedup.minhashCandidates(docs, "text", "doc_id")
+    if (stages("dedup")) dedupStage(docs)
+    if (stages("prefix")) prefixStage(docs, docStride)
+    if (stages("ivfpq")) ivfpqStage(spark, sfDir, mult, tmp)
+    if (stages("bpe")) bpeStage(docs)
+    if (stages("stream")) streamStage(spark, sfDir, mult, tmp)
+
+    println(s"final driver heap: ${heapMb()} MB")
+    spark.stop()
+  }
+
+  private def dedupStage(docs: DataFrame): Unit = {
+    val (cand, _) = timed("minhash candidates") {
+      val c = Dedup.minhashCandidates(docs, "text", "doc_id")
         .localCheckpoint(true)
       println(s"  pairs: ${c.count()}")
       c
     }
     timed("connected components") {
-      val l = graft.llm.Dedup.connectedComponents(cand, "doc_a", "doc_b")
+      val l = Dedup.connectedComponents(cand, "doc_a", "doc_b")
       println(s"  labeled nodes: ${l.count()}, " +
         s"clusters: ${l.select("label").distinct().count()}")
     }
     timed("drop near-duplicates") {
-      println(s"  kept: ${graft.llm.Dedup.dropNearDuplicates(docs, "text", "doc_id").count()}")
+      println(s"  kept: ${Dedup.dropNearDuplicates(docs, "text", "doc_id").count()}")
     }
-    spark.stop()
+  }
+
+  /** x70's probe-side form at the registry's t=0.9: the probe set is
+    * pinned to copy-0 ids (doc_id % 29 within the base range), so the
+    * ANSWER grows linearly in copies (each probe meets its duplicate
+    * in every copy) while the corpus-side prefix index does linear
+    * work — the separation the prefix theorem buys.
+    */
+  private def prefixStage(docs: DataFrame, baseStride: Long): Unit = {
+    timed("prefix jaccard join t=0.9") {
+      val r = Dedup.prefixJaccardJoin(docs, "text", "doc_id",
+        minJaccardE6 = 900000L,
+        probeFilter = Some(col("doc_id") % 29 === 0 &&
+          col("doc_id") < baseStride))
+      println(s"  pairs: ${r.count()}")
+    }
+  }
+
+  /** x41's full IVF-PQ read path over the scaled vector corpus: the
+    * coarse quantizer and codebooks come from the FIXED copy-0 sample
+    * (their driver-side footprint must not grow with the corpus), the
+    * probe set is fixed, and the scan is pruned to nprobe lists.
+    */
+  private def ivfpqStage(spark: SparkSession, sfDir: String, mult: Int,
+                         tmp: String): Unit = {
+    val base = graft.queries.Tables.embeddings(spark, sfDir)
+    val emb = scaled(base, "vec_id", mult, s"$tmp/embeddings")
+    println(s"embeddings: ${emb.count()} ($mult x ${base.count()})")
+    val sample = base.filter(col("vec_id") < 8)
+    val probes = base.filter(col("vec_id") % 97 === 0)
+    val (cbs, _) = timed("pq codebooks (fixed sample)") {
+      Similarity.pqCodebooks(sample, m = 8, subDim = 8)
+    }
+    println(s"  codebook floats: ${cbs.map(_.map(_._2.size).sum).sum} (corpus-independent)")
+    timed("ivfpq topk (nprobe=2)") {
+      val r = Similarity.ivfPqTopK(emb, probes, sample, cbs,
+        k = 3, nprobe = 2, subDim = 8)
+      println(s"  result rows: ${r.count()} (k-bounded)")
+    }
+  }
+
+  /** x65/x67's tokenizer path: merge learning folds the vocabulary
+    * (which the copies do NOT grow — printed to prove it), encode is
+    * a broadcast word→token-count join + one partial-agg groupBy over
+    * the scaled corpus.
+    */
+  private def bpeStage(docs: DataFrame): Unit = {
+    val toks = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[A-Za-z]+$") && length(col("w")) >= 2)
+      .localCheckpoint(true)
+    val words = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+    println(s"vocab: ${words.count()} distinct words (copy-invariant)")
+    val (merges, _) = timed("bpe learn (6 rounds)") {
+      graft.llm.Bpe.learn(words, 6)
+    }
+    timed("bpe encode + per-doc agg") {
+      val wordTok = graft.llm.Bpe.encodeWords(words, merges)
+        .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+      val r = toks.join(broadcast(wordTok), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+      println(s"  docs encoded: ${r.count()}")
+    }
+  }
+
+  /** st02's shape over a file stream: `mult` event-time-ordered
+    * parquet batches (copy c's timestamps shifted by c·(span+1h)),
+    * watermarked tumbling-window aggregation, memory sink. The
+    * watermark must evict closed windows batch by batch: max state
+    * rows ≈ windows-per-copy + late horizon, NOT total windows — the
+    * bound that makes unbounded-input streaming state finite.
+    */
+  private def streamStage(spark: SparkSession, sfDir: String, mult: Int,
+                          tmp: String): Unit = {
+    // Tables.events canonicalizes ts to Long NANOSECONDS — shift in
+    // that integer domain, derive the engine-facing timestamp via
+    // timestamp_micros at the stream boundary
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_type", "value")
+    val Seq(tmin, tmax) = ev.agg(min("ts"), max("ts"))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val span = tmax - tmin + 3600L * 1000000000L
+    val dir = s"$tmp/events_stream"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // one file per copy, written in event-time order (file-source
+    // ordering follows modification time)
+    (0 until mult).foreach { c =>
+      ev.withColumn("ts", col("ts") + lit(c * span))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val nIn = spark.read.parquet(dir).count()
+    println(s"events: $nIn rows in $mult event-time-ordered files")
+
+    val sdf = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = sdf
+      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("event_time", "300 seconds")
+      .groupBy(window(col("event_time"), "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_val"))
+      .select(col("window.start").cast("long").as("w"),
+        col("event_type"), col("n"), col("sum_val"))
+    timed(s"stream $mult batches") {
+      val q = agg.writeStream.format("memory").queryName("scale_stream")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/stream_ckpt_${System.nanoTime()}")
+        .start()
+      try {
+        q.processAllAvailable()
+        val prog = q.recentProgress.toSeq
+        val state = prog.flatMap(_.stateOperators.headOption)
+        val execMs = prog.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue))
+        println(s"  batches: ${prog.size}")
+        println(s"  state rows: max ${if (state.isEmpty) 0 else state.map(_.numRowsTotal).max}, " +
+          s"last ${state.lastOption.map(_.numRowsTotal).getOrElse(0L)} " +
+          s"(input rows $nIn — state bounded by watermark horizon, not input)")
+        println(s"  state mem: max ${state.map(_.memoryUsedBytes).foldLeft(0L)(math.max) / 1024} KB")
+        println(s"  per-batch exec ms: first=${execMs.headOption.getOrElse(-1L)} " +
+          s"median=${if (execMs.isEmpty) -1 else execMs.sorted.apply(execMs.size / 2)} " +
+          s"max=${execMs.foldLeft(0L)(math.max)}")
+        println(s"  emitted windows: ${spark.table("scale_stream").count()}")
+      } finally q.stop()
+    }
   }
 }
