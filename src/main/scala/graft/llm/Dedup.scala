@@ -260,6 +260,14 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // The label table's row count never changes across rounds (same
+    // node set, labels only decrease), so the broadcast decision is
+    // measured ONCE against the side actually being broadcast: 2M
+    // (node, label) long pairs ~= 64 MB. Gating on nEdges (the r5–r7
+    // form) under-broadcast badly — a near-dup graph routinely has
+    // 30–40× more edges than nodes, so a 100k-node graph was paying
+    // per-round O(|E|) shuffle joins its label table never required.
+    val nNodes = labels.count()
     var converged = false
     var round = 0
     var lastSum = labels.agg(labelSum).head().get(0)
@@ -272,13 +280,14 @@ object Dedup {
       // than the two-join form.
       val rel = edges.union(
         labels.select(col("node").as("src"), col("label").as("dst")))
-      // |labels| <= |nodes| <= 2|E|, and nEdges is MEASURED — hint a
-      // broadcast of the label table when it provably fits (<=2M edges
-      // ~= <=64 MB of (node,label) longs), exactly the call AQE would
-      // make if checkpointed frames carried stats. Beyond that the
-      // join degrades gracefully to the shuffle form a 100 TB graph
-      // needs anyway.
-      val labelsSide = if (nEdges <= 2000000L) broadcast(labels) else labels
+      // nNodes is MEASURED — hint a broadcast of the label table when
+      // it provably fits, exactly the call AQE would make if
+      // checkpointed frames carried stats; the per-round cost then
+      // collapses to one partial-aggregated exchange (the groupBy)
+      // instead of shuffling the full O(|E|) relation twice. Beyond
+      // the gate the join degrades gracefully to the shuffle form a
+      // 100 TB graph needs anyway.
+      val labelsSide = if (nNodes <= 2000000L) broadcast(labels) else labels
       val gathered = rel.join(labelsSide, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
       // ONE action per round (VERDICT r4 ask #2): the localCheckpoint

@@ -1046,6 +1046,44 @@ object GeneralQueries {
       AsOfJoin.nearestNative(l, r, Seq("user_id"), "evt_sec", "ord_sec",
           tolerance = Some(2592000L))
         .orderBy("event_id")
+    }),
+
+    // PARTITIONED SKETCH ROLLUP — the incremental-aggregate lifecycle
+    // a 100 TB warehouse actually runs: per-month HLL sketches over
+    // orders' customers are built ONCE, persisted as BINARY parquet
+    // (KB per partition), and the corpus-wide distinct estimate is
+    // produced by hll_union_agg over the STORED sketches — the base
+    // table is never rescanned for the rollup (here it is re-read
+    // only to compute the exact side the bound check needs). This is
+    // what approx_count_distinct (q18) cannot do: its sketch dies
+    // with the query, so every new grain pays a full scan; a stored
+    // mergeable sketch turns year-over-month-over-day rollups into
+    // sketch-sized reads. Driver-checked with the q18b pattern: the
+    // estimate has no cross-engine oracle, but |est−exact| ≤ 5%·exact
+    // (lgK=12 ⇒ rsd ≈ 1.6%) is a deterministic predicate whose exact
+    // side DuckDB computes — per month AND for the merged total
+    // (month_sec = −1), so a broken merge breaks the hash.
+    "q55_sketch_partial_merge" -> ((s, d) => {
+      val ord = Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+        col("o_custkey"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sketch_rollup").toString
+      ord.groupBy("month_sec")
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"),
+          countDistinct("o_custkey").as("exact"))
+        .write.mode("overwrite").parquet(dir)
+      val partials = s.read.parquet(dir)
+      def withinRsd(sk: Column, exact: Column): Column =
+        (abs(hll_sketch_estimate(sk) - exact) * lit(100L) <= exact * lit(5L))
+          .cast("long").as("within_rsd")
+      val monthly = partials.select(col("month_sec"), col("exact"),
+        withinRsd(col("sk"), col("exact")))
+      val total = partials.agg(hll_union_agg(col("sk")).as("sk"))
+        .crossJoin(broadcast(ord.agg(countDistinct("o_custkey").as("exact"))))
+        .select(lit(-1L).as("month_sec"), col("exact"),
+          withinRsd(col("sk"), col("exact")))
+      monthly.union(total).orderBy("month_sec")
     })
   )
 
@@ -1660,6 +1698,18 @@ object GeneralQueries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q53_asof_native_forward" -> oraclesBase("q29_asof_forward"),
     "q54_asof_native_nearest" -> oraclesBase("q30_asof_nearest"),
+
+    // q55: the oracle asserts the bound HOLDS (within_rsd = 1) per
+    // month and for the merged total (month_sec = -1); exact sides
+    // are DuckDB's own distinct counts.
+    "q55_sketch_partial_merge" ->
+      """SELECT month_sec, exact, CAST(1 AS BIGINT) AS within_rsd FROM (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |) ORDER BY month_sec""".stripMargin,
 
     // bounded-error sketch checks (VERDICT r7 ask #5): the oracle's
     // claim is that the documented accuracy bound HOLDS — the exact

@@ -858,6 +858,55 @@ object StreamingQueries {
         .select(col("source"), col("t.id").as("doc_id"),
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("source", "rk")
+    }),
+
+    // STREAMING HLL SKETCH STATE — the third mergeable summary with
+    // both batch and streaming driver rows (st13 = Misra–Gries, st18
+    // = bounded top-k, this = HLL; q55 is the batch/persisted side):
+    // hll_sketch_agg runs as complete-mode streaming aggregation
+    // state, so the per-key distinct-user estimate is maintained
+    // continuously in ONE sketch-sized register per event_type — the
+    // live-dashboard "uniques so far" primitive at 100 TB, where
+    // recounting distincts per trigger is impossible. An HLL update
+    // is register-max, so the state is a deterministic function of
+    // the SET seen regardless of batching; the driver row uses the
+    // q18b/q55 bound pattern (|est−exact| ≤ 5%·exact, exact from
+    // DuckDB) since the estimate itself has no cross-engine oracle.
+    "st19_streaming_sketch_distinct" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val rows = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"))
+        .as[(String, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("event_type", "user_id")
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sk"),
+            count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("st19_uniques")
+          .outputMode("complete").start()
+        try {
+          // three uneven batches: the sketch state must merge across
+          // them into the same set-function a single batch would give
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact"))
+      s.table("st19_uniques")
+        .join(broadcast(exact), "event_type")
+        .select(col("event_type"), col("n"), col("exact"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact")) * lit(100L)
+            <= col("exact") * lit(5L)).cast("long").as("within_rsd"))
+        .orderBy("event_type")
     })
   )
 
@@ -1052,6 +1101,15 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n_events
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, start_sec""".stripMargin,
+
+    // st19: the final sketch state is a set-function of everything
+    // streamed, so the bound check must hold exactly as in batch;
+    // exact sides are DuckDB's own distinct counts (q18b/q55 pattern)
+    "st19_streaming_sketch_distinct" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
+        |       CAST(1 AS BIGINT) AS within_rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // complete mode re-emits the FULL aggregate each trigger; the
     // final table is the plain batch aggregate over everything
