@@ -50,4 +50,29 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
         s"grp=${r.getLong(0)}: approx=$approx exact=$exact")
     }
   }
+
+  test("hll_union over partial sketches equals the whole-table sketch exactly") {
+    // the property q55's 5%-bound driver check understates: a
+    // DataSketches HLL update is register-max, so the sketch is a
+    // deterministic SET-function of its input — merging per-month
+    // partials must reproduce the single-pass sketch's estimate
+    // EXACTLY (not merely within rsd), or incremental rollups would
+    // drift from their from-scratch rebuilds
+    import org.apache.spark.sql.functions._
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001").select(
+      date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+      col("o_custkey"))
+    val merged = ord.groupBy("month_sec")
+      .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head.getLong(0)
+    val direct = ord
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), 12)).as("est"))
+      .head.getLong(0)
+    val exact = ord.select("o_custkey").distinct().count()
+    assert(merged === direct,
+      s"merged-partials estimate $merged != single-pass estimate $direct")
+    assert(math.abs(merged.toDouble - exact) / exact <= 0.05,
+      s"estimate $merged outside 5% of exact $exact")
+  }
 }
