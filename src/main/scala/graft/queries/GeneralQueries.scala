@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, ZOrder}
+import graft.operators.{AsOfJoin, DdSketch, ZOrder}
 
 /** General operator-inventory queries (SURVEY.md §2.2): aggregations,
   * joins (broadcast/semi/anti/range/as-of), windows, rollup/cube/
@@ -1084,6 +1084,46 @@ object GeneralQueries {
         .select(lit(-1L).as("month_sec"), col("exact"),
           withinRsd(col("sk"), col("exact")))
       monthly.union(total).orderBy("month_sec")
+    }),
+
+    // DDSKETCH QUANTILE ROLLUP — q55's lifecycle for the OTHER
+    // sketch family a latency/price warehouse runs on: per-month
+    // relative-error quantile sketches (log-buckets, γ=1.04 ⇒ α≈2%)
+    // persisted as plain parquet and merged BY SUM into corpus-wide
+    // p50/p95/p99 — day→month→year rollups read sketch-sized inputs,
+    // never the corpus, and merged partials are bit-identical to a
+    // single-pass sketch (DdSketchSpec pins that). The driver check
+    // is stronger than q55's: the exact discrete quantile comes out
+    // of the SAME cumulative walk fed the identity relation — pure
+    // integer arithmetic both engines reproduce — so exact_c is
+    // hash-checked cross-engine, with the sketch estimate folded to
+    // a within-α predicate on top (q18b pattern).
+    "q56_ddsketch_rollup" -> ((s, d) => {
+      val Gamma = 1.04
+      val QsE6 = Seq(500000L, 950000L, 990000L)
+      val ev = Tables.events(s, d).select(
+        col("event_type"),
+        date_trunc("month", Tables.tsSec.cast("timestamp")).cast("long")
+          .as("month_sec"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dd_rollup").toString
+      DdSketch.sketch(ev, Seq("event_type", "month_sec"), "value_c", Gamma)
+        .write.mode("overwrite").parquet(dir)
+      val merged = DdSketch.merge(s.read.parquet(dir), Seq("event_type"))
+      val est = DdSketch.quantiles(merged, Seq("event_type"), QsE6)
+        .select(col("event_type"), col("qe6"), col("n"),
+          DdSketch.bucketValue(col("bucket"), Gamma).as("est_c"))
+      val exact = DdSketch.quantiles(
+          ev.groupBy(col("event_type"), col("value_c").as("bucket"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("event_type"), QsE6)
+        .select(col("event_type"), col("qe6"), col("bucket").as("exact_c"))
+      est.join(exact, Seq("event_type", "qe6"))
+        .select(col("event_type"), col("qe6"), col("n"), col("exact_c"),
+          (abs(col("est_c") - col("exact_c")) <= col("exact_c") * lit(0.03))
+            .cast("long").as("within_rel"))
+        .orderBy("event_type", "qe6")
     })
   )
 
@@ -1698,6 +1738,29 @@ object GeneralQueries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q53_asof_native_forward" -> oraclesBase("q29_asof_forward"),
     "q54_asof_native_nearest" -> oraclesBase("q30_asof_nearest"),
+
+    // q56: exact_c is the discrete quantile via the integer
+    // cumulative walk (cum ≥ ceil(q·n) ⇔ cum·1e6 ≥ n·qe6 for integer
+    // cum) — reproduced natively here, so it is hash-checked
+    // cross-engine; within_rel asserts the sketch estimate's α bound.
+    "q56_ddsketch_rollup" ->
+      """WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c
+        |           FROM events),
+        |counts AS (SELECT event_type, value_c, count(*) AS cnt
+        |           FROM v GROUP BY 1, 2),
+        |cums AS (SELECT event_type, value_c,
+        |                sum(cnt) OVER (PARTITION BY event_type
+        |                               ORDER BY value_c) AS cum,
+        |                sum(cnt) OVER (PARTITION BY event_type) AS n
+        |         FROM counts),
+        |qs AS (SELECT CAST(unnest([500000, 950000, 990000]) AS BIGINT) AS qe6)
+        |SELECT c.event_type, q.qe6, CAST(max(c.n) AS BIGINT) AS n,
+        |       CAST(min(CASE WHEN c.cum * 1000000 >= c.n * q.qe6
+        |                     THEN c.value_c END) AS BIGINT) AS exact_c,
+        |       CAST(1 AS BIGINT) AS within_rel
+        |FROM cums c CROSS JOIN qs q
+        |GROUP BY c.event_type, q.qe6
+        |ORDER BY c.event_type, q.qe6""".stripMargin,
 
     // q55: the oracle asserts the bound HOLDS (within_rsd = 1) per
     // month and for the merged total (month_sec = -1); exact sides

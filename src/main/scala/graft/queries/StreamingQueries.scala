@@ -907,6 +907,59 @@ object StreamingQueries {
           (abs(hll_sketch_estimate(col("sk")) - col("exact")) * lit(100L)
             <= col("exact") * lit(5L)).cast("long").as("within_rsd"))
         .orderBy("event_type")
+    }),
+
+    // STREAMING DDSKETCH — q56's quantile sketch maintained as
+    // complete-mode aggregation state: the state per key IS the
+    // (bucket, cnt) relation, bounded by ln(max/min)/ln(γ) rows (~275
+    // here) however long the stream runs — live p50/p95/p99 per key
+    // without retaining values, the monitoring primitive st08's
+    // sum/count state cannot express. Counts add across micro-batches
+    // (the merge is the aggregation), so the final table equals the
+    // batch sketch and the same integer quantile walk + exact side as
+    // q56 applies; batching cannot change the oracle.
+    "st20_streaming_ddsketch" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val Gamma = 1.04
+      val QsE6 = Seq(500000L, 950000L, 990000L)
+
+      val rows = Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("value_c"))
+        .as[(String, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = graft.operators.DdSketch.sketch(
+            in.toDF().toDF("event_type", "value_c"),
+            Seq("event_type"), "value_c", Gamma)
+          .writeStream.format("memory").queryName("st20_sketch")
+          .outputMode("complete").start()
+        try {
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      val est = graft.operators.DdSketch.quantiles(
+          s.table("st20_sketch"), Seq("event_type"), QsE6)
+        .select(col("event_type"), col("qe6"), col("n"),
+          graft.operators.DdSketch.bucketValue(col("bucket"), Gamma).as("est_c"))
+      val exact = graft.operators.DdSketch.quantiles(
+          Tables.events(s, d)
+            .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("bucket"))
+            .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt")),
+          Seq("event_type"), QsE6)
+        .select(col("event_type"), col("qe6"), col("bucket").as("exact_c"))
+      est.join(exact, Seq("event_type", "qe6"))
+        .select(col("event_type"), col("qe6"), col("n"), col("exact_c"),
+          (abs(col("est_c") - col("exact_c")) <= col("exact_c") * lit(0.03))
+            .cast("long").as("within_rel"))
+        .orderBy("event_type", "qe6")
     })
   )
 
@@ -1101,6 +1154,12 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n_events
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, start_sec""".stripMargin,
+
+    // st20: bucket counts add across micro-batches, so the final
+    // streaming sketch equals the batch sketch and q56's oracle
+    // applies verbatim (exact_c cross-engine via the integer walk,
+    // the estimate folded to its α-bound predicate)
+    "st20_streaming_ddsketch" -> GeneralQueries.oracles("q56_ddsketch_rollup"),
 
     // st19: the final sketch state is a set-function of everything
     // streamed, so the bound check must hold exactly as in batch;
