@@ -36,9 +36,11 @@ object SubmitSmoke {
     println(s"master=${spark.sparkContext.master}")
     graft.queries.Tables.validate(spark, sfDir)
 
-    // one query per family: agg, join, text x-op, the LSH dedup core
+    // one query per family: agg, join, text x-op, the LSH dedup core,
+    // and the persisted-sketch rollup (exercises the datasketches HLL
+    // classes on real executor JVMs, where a missing jar would surface)
     for (name <- Seq("q01_tpch_q1", "q02_nation_revenue",
-        "x04_token_stats", "x02_minhash_lsh")) {
+        "x04_token_stats", "x02_minhash_lsh", "q55_sketch_partial_merge")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
