@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV ("k minimum values" / theta) distinct-count sketch as a typed
+  * aggregate — the mergeable summary family member that HLL (q18/q55/
+  * st19) canNOT replace: because the sketch IS a uniform sample of the
+  * hashed key space (the k smallest 63-bit hashes), two sketches
+  * support set INTERSECTION and DIFFERENCE estimates, not just union.
+  * HLL registers only max-merge, so "users who did A and B" or "parts
+  * shipped in 1995 but not 1996" need either a full re-scan per
+  * combination or this sketch. Published technique: Bar-Yossef et al.
+  * "Counting distinct elements in a data stream" (RANDOM 2002) and the
+  * theta-sketch framework of Dasgupta et al. (PODS 2016).
+  *
+  * Input must already be folded to a uniform NON-NEGATIVE 63-bit hash
+  * — [[KmvSketch.hash63]] — so the buffer is a plain sorted Seq[Long]
+  * and every set operation downstream is a codegen'd array builtin
+  * (array_intersect / array_except / array_union on longs).
+  *
+  * Determinism (what lets estimate COLUMNS survive the driver's hash
+  * gate as within-bound flags): "k smallest distinct values of a set"
+  * is invariant to input order and partition splits, so the sketch —
+  * and every estimate derived from it — is a pure function of the key
+  * SET, exactly like HLL register state.
+  *
+  * Why not approx_count_distinct: at 100 TB the exact side of any
+  * overlap matrix is a |keys|-scale shuffle per GROUP PAIR; with KMV
+  * the per-group state is k longs (2 KB at k=256), the overlap matrix
+  * is computed on sketch rows alone, and map-side combine keeps every
+  * exchange at O(k) per group — the same economics as the HLL rollup
+  * (q55) with the set-algebra HLL lacks.
+  */
+final class KmvSketchAggregator(k: Int)
+    extends Aggregator[Long, Seq[Long], Array[Long]] {
+  require(k > 1, s"k must be > 1, got $k")
+
+  def zero: Seq[Long] = Vector.empty
+
+  /** O(1) reject once the buffer is full (h >= current max — the hot
+    * path after warm-up: only ~k·ln(n)/n of rows pass); insertion
+    * keeps the buffer sorted-distinct and capped at k.
+    */
+  def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.size >= k && h >= buf.last) buf
+    else if (buf.contains(h)) buf
+    else (buf :+ h).sorted.take(k)
+
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** Sorted ascending; size < k means the sketch is EXHAUSTIVE (it
+    * holds every distinct hash seen) and estimates become exact.
+    */
+  def finish(buf: Seq[Long]): Array[Long] = buf.toArray
+
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Column-level estimators over KMV sketch arrays. All pure builtin
+  * array expressions — estimates compute ON THE SKETCH ROWS, never
+  * re-touching the base table (the q55 lifecycle: persist per-grain
+  * sketches once, answer set-algebra forever after from KB of state).
+  */
+object KmvSketch {
+
+  /** 2^63 as double — hashes are uniform on [0, 2^63). */
+  private val HashSpace = 9.223372036854776e18
+
+  /** Uniform 63-bit non-negative hash of any column: xxhash64 (a
+    * codegen'd builtin) folded to [0, 2^63) by dropping the sign bit.
+    */
+  def hash63(c: Column): Column = shiftrightunsigned(xxhash64(c), 1)
+
+  /** θ as a raw long threshold: the kth smallest hash when the sketch
+    * is full, else "everything" (an exhaustive sketch has seen the
+    * whole set, so every hash is below threshold). Long.MaxValue =
+    * 2^63−1 mis-scales estimates by 1 part in 9.2e18 — noise far
+    * below the estimator's own 1/sqrt(k−2).
+    */
+  private def thetaLong(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(Long.MaxValue)).otherwise(element_at(sk, k))
+
+  /** Distinct-count estimate: exact size when exhaustive, else the
+    * unbiased KMV estimator (k−1)/θ.
+    */
+  def estimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+        element_at(sk, k).cast("double"))
+
+  /** |A ∩ B| estimate: survivors below θ∧ = min(θa, θb) present in
+    * both sketches, scaled by 1/θ∧ (the theta-sketch intersection).
+    * Error is relative to the UNION size, not the intersection — a
+    * tiny overlap of two huge sets carries the sets' own noise.
+    */
+  def intersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val th = least(thetaLong(a, k), thetaLong(b, k))
+    size(filter(array_intersect(a, b), h => h < th)).cast("double") *
+      lit(HashSpace) / th.cast("double")
+  }
+
+  /** |A \ B| estimate (same θ∧ scaling and union-relative error). */
+  def exceptEstimate(a: Column, b: Column, k: Int): Column = {
+    val th = least(thetaLong(a, k), thetaLong(b, k))
+    size(filter(array_except(a, b), h => h < th)).cast("double") *
+      lit(HashSpace) / th.cast("double")
+  }
+
+  /** The union SKETCH — k smallest of the combined hash sets, i.e.
+    * exactly what the aggregator itself would have built over the
+    * concatenated inputs (lossless merge, like HLL union).
+    */
+  def unionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** |A ∪ B| estimate via the merged sketch. */
+  def unionEstimate(a: Column, b: Column, k: Int): Column =
+    estimate(unionSketch(a, b, k), k)
+
+  /** Driver-check predicate (the q18b/q55 pattern): estimate within
+    * `pct`% of the exact value computed cross-engine. Folded to a
+    * 0/1 long so the flag itself is hash-stable.
+    */
+  def withinPct(est: Column, exact: Column, pct: Int): Column =
+    (abs(est - exact.cast("double")) * lit(100) <=
+      exact.cast("double") * lit(pct)).cast("long")
+}

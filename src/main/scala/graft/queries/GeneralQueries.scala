@@ -1124,6 +1124,86 @@ object GeneralQueries {
           (abs(col("est_c") - col("exact_c")) <= col("exact_c") * lit(0.03))
             .cast("long").as("within_rel"))
         .orderBy("event_type", "qe6")
+    }),
+
+    // RUNTIME BLOOM-FILTER PRUNED JOIN — the selective-dim × fact
+    // join run deliberately in the shuffle-join regime with Catalyst's
+    // InjectRuntimeFilter enabled (operators/RuntimeFilters): a bloom
+    // of the filtered dim keys reaches the fact side BEFORE its
+    // exchange, so at 100 TB the fact shuffle carries ~the matching
+    // fraction instead of the whole table. The aggregation runs
+    // EAGERLY inside the conf scope (localCheckpoint) because the
+    // scope restores session confs on exit — a lazily-executed plan
+    // would compile after the scope closed, silently dropping the
+    // bloom. RuntimeFilterSpec pins the injection into the physical
+    // plan; this row pins that the pruned plan's ANSWER equals the
+    // plain join oracle (bloom filters are semantically transparent).
+    // Threshold "0" lifts the 10GB fact-scan size gate so the rule
+    // fires on test-scale data; production keeps the default gate.
+    "q57_bloom_pruned_join" -> ((s, d) => {
+      graft.operators.RuntimeFilters.withBloomPruning(s,
+          applicationSideScanSizeThreshold = "0") {
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).filter(col("p_size") === 1),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("sum_price_c"))
+          .localCheckpoint(true)
+      }.orderBy("p_brand")
+    }),
+
+    // THETA/KMV SKETCH SET ALGEBRA — the summary family member HLL
+    // (q18/q55/st19) cannot replace: per ship-year KMV sketches of
+    // the distinct parts shipped (k=256 longs each, built with map-
+    // side combine) answer the year×year overlap matrix — |A∩B|,
+    // |A∪B|, |A\B| ("parts retained / churned between years") — from
+    // sketch rows ALONE. At 100 TB the exact pairwise matrix is a
+    // |keys|-scale shuffle per PAIR; here every pair costs an O(k)
+    // array intersection on broadcast-joined KB rows. The exact sides
+    // below are recomputed from the base table only for the driver
+    // check (the q55 lifecycle note); flags use the q18b bound
+    // pattern — sizes within 4σ rsd (1/√(k−2) ≈ 6.3% ⇒ 25%), set ops
+    // within 4σ of the UNION (theta set-op error is union-relative,
+    // functions/KmvSketchAggregator scaladoc).
+    "q58_theta_sketch_setops" -> ((s, d) => {
+      import graft.functions.KmvSketch._
+      val K = 256
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
+      val yk = Tables.lineitem(s, d).select(
+        year(col("l_shipdate")).cast("long").as("y"), col("l_partkey"))
+      val sk = yk.select(col("y"), hash63(col("l_partkey")).as("h"))
+        .groupBy("y").agg(kmv(col("h")).as("sk"))
+      val pairs = sk.select(col("y").as("year_a"), col("sk").as("ska"))
+        .join(broadcast(sk.select(col("y").as("year_b"), col("sk").as("skb"))),
+          col("year_a") < col("year_b"))
+      val ykd = yk.distinct()
+      val exSize = ykd.groupBy("y").agg(count(lit(1)).as("n"))
+      val exInter = ykd.as("a")
+        .join(ykd.as("b"),
+          col("a.l_partkey") === col("b.l_partkey") && col("a.y") < col("b.y"))
+        .groupBy(col("a.y").as("year_a"), col("b.y").as("year_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val unionD = col("exact_union").cast("double")
+      def withinUnion(est: Column, exact: Column): Column =
+        (abs(est - exact.cast("double")) <= unionD * lit(0.25)).cast("long")
+      pairs
+        .join(broadcast(exSize.select(col("y").as("year_a"), col("n").as("exact_a"))), "year_a")
+        .join(broadcast(exSize.select(col("y").as("year_b"), col("n").as("exact_b"))), "year_b")
+        .join(broadcast(exInter), Seq("year_a", "year_b"))
+        .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
+        .select(col("year_a"), col("year_b"),
+          col("exact_a"), col("exact_b"), col("exact_inter"), col("exact_union"),
+          withinPct(estimate(col("ska"), K), col("exact_a"), 25).as("within_a"),
+          withinPct(estimate(col("skb"), K), col("exact_b"), 25).as("within_b"),
+          withinUnion(intersectEstimate(col("ska"), col("skb"), K),
+            col("exact_inter")).as("within_inter"),
+          withinUnion(unionEstimate(col("ska"), col("skb"), K),
+            col("exact_union")).as("within_union"),
+          withinUnion(exceptEstimate(col("ska"), col("skb"), K),
+            col("exact_a") - col("exact_inter")).as("within_diff"))
+        .orderBy("year_a", "year_b")
     })
   )
 
@@ -1786,6 +1866,33 @@ object GeneralQueries {
         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
         |r AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
         |SELECT token, CAST(rnk AS BIGINT) AS rnk, CAST(1 AS BIGINT) AS within_bound
-        |FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
+
+    // q57: bloom-filter pruning is semantically transparent — the
+    // oracle is the PLAIN selective join, so any row the injected
+    // filter wrongly dropped breaks the hash
+    "q57_bloom_pruned_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // q58: exact overlap matrix cross-engine; the within_* flags
+    // assert the theta-sketch estimates' documented bounds hold
+    "q58_theta_sketch_setops" ->
+      """WITH yk AS (SELECT DISTINCT year(l_shipdate) AS y, l_partkey AS k FROM lineitem),
+        |sz AS (SELECT y, count(*) AS n FROM yk GROUP BY 1),
+        |iv AS (SELECT a.y AS year_a, b.y AS year_b, count(*) AS exact_inter
+        |       FROM yk a JOIN yk b ON a.k = b.k AND a.y < b.y GROUP BY 1, 2)
+        |SELECT CAST(iv.year_a AS BIGINT) AS year_a, CAST(iv.year_b AS BIGINT) AS year_b,
+        |       CAST(sa.n AS BIGINT) AS exact_a, CAST(sb.n AS BIGINT) AS exact_b,
+        |       CAST(iv.exact_inter AS BIGINT) AS exact_inter,
+        |       CAST(sa.n + sb.n - iv.exact_inter AS BIGINT) AS exact_union,
+        |       CAST(1 AS BIGINT) AS within_a, CAST(1 AS BIGINT) AS within_b,
+        |       CAST(1 AS BIGINT) AS within_inter, CAST(1 AS BIGINT) AS within_union,
+        |       CAST(1 AS BIGINT) AS within_diff
+        |FROM iv JOIN sz sa ON sa.y = iv.year_a JOIN sz sb ON sb.y = iv.year_b
+        |ORDER BY year_a, year_b""".stripMargin
   )
 }

@@ -1490,6 +1490,52 @@ object LlmQueries {
             Tables.documents(s, d).filter(col("source") === "src0"), "doc_id"),
           "text", "doc_id", minJaccardE6 = 600000L)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // CONTENT-OVERLAP GOVERNANCE AT SKETCH COST — x53's question
+    // ("how much of source A's content appears in B") answered from
+    // per-source THETA/KMV sketches of the char-4-gram sets instead
+    // of the near-dup pair pipeline: one linear pass builds a k=128
+    // sketch (1 KB) per source with map-side combine; the full
+    // source×source matrix is then O(k) array intersections on
+    // broadcast KB rows. At 100 TB x53 costs the whole candidate
+    // pipeline and this costs one scan — the curator's first-look
+    // tool before committing to pair-level dedup. Exact sides are
+    // recomputed only for the driver check (q55/q58 lifecycle note);
+    // flags: sizes within 4σ·rsd (1/√126 ≈ 8.9% ⇒ 35%), intersection
+    // within 35% of the UNION (theta set-op error is union-relative,
+    // functions/KmvSketchAggregator scaladoc).
+    "x71_source_overlap_sketch" -> ((s, d) => {
+      import graft.functions.KmvSketch._
+      val K = 128
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
+      val grams = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("source"), explode(TF.charGrams(col("text"), 4)).as("gram"))
+      val sk = grams.select(col("source"), hash63(col("gram")).as("h"))
+        .groupBy("source").agg(kmv(col("h")).as("sk"))
+      val sg = grams.distinct()
+      val exSize = sg.groupBy("source").agg(count(lit(1)).as("n_ex"))
+      val exInter = sg.as("a")
+        .join(sg.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      sk.select(col("source").as("source_a"), col("sk").as("ska"))
+        .join(broadcast(sk.select(col("source").as("source_b"), col("sk").as("skb"))),
+          col("source_a") < col("source_b"))
+        .join(broadcast(exSize.select(col("source").as("source_a"), col("n_ex").as("exact_a"))), "source_a")
+        .join(broadcast(exSize.select(col("source").as("source_b"), col("n_ex").as("exact_b"))), "source_b")
+        .join(broadcast(exInter), Seq("source_a", "source_b"))
+        .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
+        .select(col("source_a"), col("source_b"), col("exact_a"), col("exact_b"),
+          col("exact_inter"), col("exact_union"),
+          withinPct(estimate(col("ska"), K), col("exact_a"), 35).as("within_a"),
+          withinPct(estimate(col("skb"), K), col("exact_b"), 35).as("within_b"),
+          (abs(intersectEstimate(col("ska"), col("skb"), K)
+              - col("exact_inter").cast("double"))
+            <= col("exact_union").cast("double") * lit(0.35))
+            .cast("long").as("within_inter"))
+        .orderBy("source_a", "source_b")
     })
   )
 
@@ -2912,6 +2958,30 @@ object LlmQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE (n_inter * 1000000) // (sa.n + sb.n - n_inter) >= 600000
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // x71: exact per-source char-4-gram set sizes and pairwise
+    // intersections cross-engine (text[i:i+3] is DuckDB's 1-based
+    // inclusive slice = 4 chars, matching TF.charGrams(text, 4));
+    // the within_* flags assert the theta-sketch bounds hold
+    "x71_source_overlap_sketch" ->
+      """WITH g AS (SELECT DISTINCT source,
+        |                  unnest(list_transform(range(1, len(text) - 2),
+        |                                        i -> text[i:i+3])) AS gram
+        |           FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              count(*) AS exact_inter
+        |       FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT iv.source_a, iv.source_b,
+        |       CAST(sa.n AS BIGINT) AS exact_a, CAST(sb.n AS BIGINT) AS exact_b,
+        |       CAST(iv.exact_inter AS BIGINT) AS exact_inter,
+        |       CAST(sa.n + sb.n - iv.exact_inter AS BIGINT) AS exact_union,
+        |       CAST(1 AS BIGINT) AS within_a, CAST(1 AS BIGINT) AS within_b,
+        |       CAST(1 AS BIGINT) AS within_inter
+        |FROM iv JOIN sz sa ON sa.source = iv.source_a
+        |        JOIN sz sb ON sb.source = iv.source_b
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

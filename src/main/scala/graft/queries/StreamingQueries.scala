@@ -960,6 +960,78 @@ object StreamingQueries {
           (abs(col("est_c") - col("exact_c")) <= col("exact_c") * lit(0.03))
             .cast("long").as("within_rel"))
         .orderBy("event_type", "qe6")
+    }),
+
+    // STREAMING THETA/KMV SET ALGEBRA — the capability st19's HLL
+    // state canNOT provide: per-key KMV sketch state (complete-mode
+    // aggregation, k=256 longs per key) supports live CROSS-KEY set
+    // intersection — "user-days that saw both an error and a
+    // purchase" — computed from state alone, no re-scan, no pair
+    // join. KMV insertion is "keep the k smallest distinct hashes",
+    // so like HLL registers the state is a pure set-function of
+    // everything fed in, and batching cannot change the final table
+    // (three uneven batches here). The exact sides are recomputed
+    // batch-side only for the driver check; flags use the q58 bound
+    // pattern (sizes within 4σ·rsd = 25%; intersection within 25% of
+    // the UNION — theta set-op error is union-relative, see
+    // functions/KmvSketchAggregator).
+    "st21_streaming_theta_overlap" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.functions.KmvSketch._
+      val K = 256
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
+      val dayCol = expr("ts div 1000000000 div 86400")
+
+      val rows = Tables.events(s, d)
+        .select(col("event_type"),
+          concat_ws(":", col("user_id"), dayCol).as("ud"))
+        .as[(String, String)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("event_type", "ud")
+          .select(col("event_type"), hash63(col("ud")).as("h"))
+          .groupBy("event_type")
+          .agg(kmv(col("h")).as("sk"), count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("st21_theta")
+          .outputMode("complete").start()
+        try {
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      val ud = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), dayCol.as("day"))
+        .distinct()
+      val exSize = ud.groupBy("event_type").agg(count(lit(1)).as("n_ex"))
+      val exInter = ud.as("a")
+        .join(ud.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val sk = s.table("st21_theta")
+      sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+        .join(broadcast(sk.select(col("event_type").as("type_b"), col("sk").as("skb"))),
+          col("type_a") < col("type_b"))
+        .join(broadcast(exSize.select(col("event_type").as("type_a"), col("n_ex").as("exact_a"))), "type_a")
+        .join(broadcast(exSize.select(col("event_type").as("type_b"), col("n_ex").as("exact_b"))), "type_b")
+        .join(broadcast(exInter), Seq("type_a", "type_b"))
+        .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+          col("exact_inter"), col("exact_union"),
+          withinPct(estimate(col("ska"), K), col("exact_a"), 25).as("within_a"),
+          withinPct(estimate(col("skb"), K), col("exact_b"), 25).as("within_b"),
+          (abs(intersectEstimate(col("ska"), col("skb"), K)
+              - col("exact_inter").cast("double"))
+            <= col("exact_union").cast("double") * lit(0.25))
+            .cast("long").as("within_inter"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -1160,6 +1232,31 @@ object StreamingQueries {
     // applies verbatim (exact_c cross-engine via the integer walk,
     // the estimate folded to its α-bound predicate)
     "st20_streaming_ddsketch" -> GeneralQueries.oracles("q56_ddsketch_rollup"),
+
+    // st21: like st19/st20 the KMV state is a pure set-function of
+    // the stream, so the batch exact sides + bound flags apply to the
+    // final table regardless of batching; user-days pair up on
+    // (user_id, epoch-day), epoch-day = floor(epoch)/86400 both sides
+    "st21_streaming_theta_overlap" ->
+      """WITH ud AS (SELECT DISTINCT event_type, user_id,
+        |                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |            FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM ud GROUP BY 1),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |              count(*) AS exact_inter
+        |       FROM ud a JOIN ud b
+        |         ON a.user_id = b.user_id AND a.day = b.day
+        |        AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT iv.type_a, iv.type_b,
+        |       CAST(sa.n AS BIGINT) AS exact_a, CAST(sb.n AS BIGINT) AS exact_b,
+        |       CAST(iv.exact_inter AS BIGINT) AS exact_inter,
+        |       CAST(sa.n + sb.n - iv.exact_inter AS BIGINT) AS exact_union,
+        |       CAST(1 AS BIGINT) AS within_a, CAST(1 AS BIGINT) AS within_b,
+        |       CAST(1 AS BIGINT) AS within_inter
+        |FROM iv JOIN sz sa ON sa.event_type = iv.type_a
+        |        JOIN sz sb ON sb.event_type = iv.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // st19: the final sketch state is a set-function of everything
     // streamed, so the bound check must hold exactly as in batch;

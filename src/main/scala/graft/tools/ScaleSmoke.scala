@@ -80,7 +80,7 @@ object ScaleSmoke {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
-      Set("dedup", "prefix", "ivfpq", "bpe", "stream") else stages0
+      Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta") else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
     spark.sparkContext.setLogLevel("WARN")
@@ -102,6 +102,7 @@ object ScaleSmoke {
     if (stages("ivfpq")) ivfpqStage(spark, sfDir, mult, tmp)
     if (stages("bpe")) bpeStage(docs)
     if (stages("stream")) streamStage(spark, sfDir, mult, tmp)
+    if (stages("theta")) thetaStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -249,5 +250,51 @@ object ScaleSmoke {
         println(s"  emitted windows: ${spark.table("scale_stream").count()}")
       } finally q.stop()
     }
+  }
+
+  /** x71's theta-sketch source-overlap at mult copies. Copies add no
+    * NEW grams to any source, so the per-source KMV sketches — pure
+    * set-functions of the gram sets — must be BIT-IDENTICAL at every
+    * mult (the checksum proves it): sketch-build cost is the one
+    * linear corpus pass, the full source×source matrix is flat
+    * (O(sources²·k) on broadcast KB rows), and nothing downstream of
+    * the scan grows with the corpus at all — the invariant that makes
+    * the overlap audit a constant-size artifact at 100 TB.
+    */
+  private def thetaStage(spark: SparkSession, sfDir: String, mult: Int,
+                         tmp: String): Unit = {
+    import graft.functions.KmvSketch._
+    val K = 128
+    val base = graft.queries.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
+    (0 until mult).map { c =>
+      base.withColumn("doc_id", col("doc_id") + lit(c.toLong * stride))
+    }.reduce(_ union _)
+      .repartition(32).write.mode("overwrite").parquet(s"$tmp/theta_docs")
+    val docs = spark.read.parquet(s"$tmp/theta_docs")
+    println(s"theta corpus: ${docs.count()} docs")
+    val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
+    val (sk, _) = timed("theta sketch build") {
+      val s = docs
+        .select(col("source"),
+          explode(graft.llm.TextFunctions.charGrams(col("text"), 4)).as("gram"))
+        .select(col("source"), hash63(col("gram")).as("h"))
+        .groupBy("source").agg(kmv(col("h")).as("sk"))
+        .localCheckpoint(true)
+      println(s"  sources: ${s.count()}")
+      s
+    }
+    timed("theta overlap matrix") {
+      val m = sk.select(col("source").as("sa"), col("sk").as("ska"))
+        .join(broadcast(sk.select(col("source").as("sb"), col("sk").as("skb"))),
+          col("sa") < col("sb"))
+        .select(intersectEstimate(col("ska"), col("skb"), K).as("ei"))
+        .agg(count(lit(1)), sum(floor(col("ei")).cast("long"))).head()
+      println(s"  pairs: ${m.getLong(0)}, sum floor(est_inter): ${m.getLong(1)}")
+    }
+    val csum = sk.select(explode(col("sk")).as("h"))
+      .agg(sum(pmod(col("h"), lit(1000000007L)))).head().getLong(0)
+    println(s"  sketch checksum (mult-invariant): $csum")
   }
 }
