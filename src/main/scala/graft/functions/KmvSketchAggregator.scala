@@ -61,6 +61,28 @@ final class KmvSketchAggregator(k: Int)
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
+/** Merges PERSISTED KMV sketches (the q55 lifecycle for the theta
+  * family): input rows are sketch ARRAYS read back from parquet, the
+  * merge is "k smallest of the union" — associative, commutative,
+  * and identical to what [[KmvSketchAggregator]] would have built
+  * over the concatenated raw inputs, so rollups over stored partials
+  * never rescan the base table. Unlike HLL partials (hll_union_agg),
+  * the merged result still supports intersection/difference.
+  */
+final class KmvMergeAggregator(k: Int)
+    extends Aggregator[Seq[Long], Seq[Long], Array[Long]] {
+  require(k > 1, s"k must be > 1, got $k")
+
+  def zero: Seq[Long] = Vector.empty
+  def reduce(buf: Seq[Long], sk: Seq[Long]): Seq[Long] = merge(buf, sk)
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+  def finish(buf: Seq[Long]): Array[Long] = buf.toArray
+
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 /** Column-level estimators over KMV sketch arrays. All pure builtin
   * array expressions — estimates compute ON THE SKETCH ROWS, never
   * re-touching the base table (the q55 lifecycle: persist per-grain

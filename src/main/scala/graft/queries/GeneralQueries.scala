@@ -1204,6 +1204,59 @@ object GeneralQueries {
           withinUnion(exceptEstimate(col("ska"), col("skb"), K),
             col("exact_a") - col("exact_inter")).as("within_diff"))
         .orderBy("year_a", "year_b")
+    }),
+
+    // PERSISTED THETA PARTIALS — q55's store-once/merge-forever
+    // lifecycle for the KMV family, plus the capability that justifies
+    // persisting THETA rather than HLL partials: stored sketches still
+    // support INTERSECTION. Per-month customer sketches are written
+    // once as array<bigint> parquet (2 KB each); the corpus-wide
+    // distinct estimate comes from KmvMergeAggregator over the STORED
+    // rows (month_sec = −1), and "customers active in BOTH halves of
+    // the history" (month_sec = −2) — a question hll_union_agg can
+    // never answer from partials — from the two merged half-sketches.
+    // Monthly sets (~170 < k=256) are exhaustive ⇒ estimates exact;
+    // the total (1500) and the halves engage the estimator. Exact
+    // sides re-read the base table only for the driver check; flags
+    // are the q18b/q58 4σ bound (25%).
+    "q59_theta_partial_merge" -> ((s, d) => {
+      import graft.functions.KmvSketch._
+      val K = 256
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
+      val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(K))
+      val ord = Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+        col("o_custkey"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_theta_rollup").toString
+      ord.select(col("month_sec"), hash63(col("o_custkey")).as("h"),
+          col("o_custkey"))
+        .groupBy("month_sec")
+        .agg(kmv(col("h")).as("sk"), countDistinct("o_custkey").as("exact"))
+        .write.mode("overwrite").parquet(dir)
+      val partials = s.read.parquet(dir)
+      val monthly = partials.select(col("month_sec"), col("exact"),
+        withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      val total = partials.agg(kmvMerge(col("sk")).as("sk"))
+        .crossJoin(broadcast(ord.agg(countDistinct("o_custkey").as("exact"))))
+        .select(lit(-1L).as("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      val Split = 883612800L // 1998-01-01T00:00:00Z
+      val exBoth = ord
+        .select((col("month_sec") >= Split).as("late"), col("o_custkey"))
+        .distinct()
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_halves"))
+        .filter(col("n_halves") === 2)
+        .agg(count(lit(1)).as("exact"))
+      val inter = partials
+        .groupBy((col("month_sec") >= Split).as("late"))
+        .agg(kmvMerge(col("sk")).as("sk"))
+        .groupBy().pivot("late", Seq(false, true)).agg(first("sk"))
+        .crossJoin(broadcast(exBoth))
+        .select(lit(-2L).as("month_sec"), col("exact"),
+          withinPct(intersectEstimate(col("false"), col("true"), K),
+            col("exact"), 25).as("within_rsd"))
+      monthly.union(total).union(inter).orderBy("month_sec")
     })
   )
 
@@ -1893,6 +1946,26 @@ object GeneralQueries {
         |       CAST(1 AS BIGINT) AS within_inter, CAST(1 AS BIGINT) AS within_union,
         |       CAST(1 AS BIGINT) AS within_diff
         |FROM iv JOIN sz sa ON sa.y = iv.year_a JOIN sz sb ON sb.y = iv.year_b
-        |ORDER BY year_a, year_b""".stripMargin
+        |ORDER BY year_a, year_b""".stripMargin,
+
+    // q59: q55's oracle shape with one extra scope — month_sec = -2 is
+    // the count of customers active in BOTH halves of the history
+    // (split at 1998-01-01 = epoch 883612800), the intersection a
+    // stored-HLL rollup cannot produce; all flags assert the sketch
+    // bounds hold
+    "q59_theta_partial_merge" ->
+      """WITH m AS (SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
+        |                  o_custkey
+        |           FROM orders)
+        |SELECT month_sec, exact, CAST(1 AS BIGINT) AS within_rsd FROM (
+        |  SELECT month_sec, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+        |  FROM m GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT -2, CAST(count(*) AS BIGINT) FROM (
+        |    SELECT o_custkey FROM m GROUP BY o_custkey
+        |    HAVING count(DISTINCT month_sec >= 883612800) = 2)
+        |) ORDER BY month_sec""".stripMargin
   )
 }

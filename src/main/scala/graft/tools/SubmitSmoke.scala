@@ -37,10 +37,14 @@ object SubmitSmoke {
     graft.queries.Tables.validate(spark, sfDir)
 
     // one query per family: agg, join, text x-op, the LSH dedup core,
-    // and the persisted-sketch rollup (exercises the datasketches HLL
-    // classes on real executor JVMs, where a missing jar would surface)
+    // the persisted-sketch rollup (exercises the datasketches HLL
+    // classes on real executor JVMs, where a missing jar would
+    // surface), and the theta partial-merge (typed Aggregator buffers
+    // — Seq[Long] via ExpressionEncoder — serialized between separate
+    // executor JVMs, which local[n]'s shared classloader never tests)
     for (name <- Seq("q01_tpch_q1", "q02_nation_revenue",
-        "x04_token_stats", "x02_minhash_lsh", "q55_sketch_partial_merge")) {
+        "x04_token_stats", "x02_minhash_lsh", "q55_sketch_partial_merge",
+        "q59_theta_partial_merge")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")

@@ -101,6 +101,20 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(ei + eanb - ea) < tol, s"algebra: $ei + $eanb vs $ea")
   }
 
+  test("KmvMergeAggregator over stored partials equals the one-shot sketch") {
+    val s = spark
+    import s.implicits._
+    val kmv = udaf(new KmvSketchAggregator(K))
+    val kmvMerge = udaf(new KmvMergeAggregator(K))
+    val ks = keys(5000, 21)
+    val parts = ks.zipWithIndex.map { case (x, i) => (i % 7, x) }
+      .toDF("p", "key")
+      .select(col("p"), KmvSketch.hash63(col("key")).as("h"))
+      .groupBy("p").agg(kmv(col("h")).as("sk"))
+    val merged = parts.agg(kmvMerge(col("sk"))).head().getSeq[Long](0)
+    assert(merged.toSeq == sketchOf(ks, 4).toSeq)
+  }
+
   test("merge is associative and equals the one-shot sketch") {
     val agg = new KmvSketchAggregator(K)
     def sk(ks: Seq[Long]): Seq[Long] =
