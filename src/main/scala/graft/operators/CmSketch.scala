@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.llm.TextFunctions
+
+/** Count-Min sketch as a plain counter RELATION (Cormode &
+  * Muthukrishnan, "An improved data stream summary: the count-min
+  * sketch and its applications", J. Algorithms 2005): d hash rows ×
+  * w buckets, built by one groupBy — counters ADD, so map-side
+  * combine, partition-wise merge, and micro-batch accumulation in a
+  * streaming complete-mode aggregate are all the same operation, and
+  * the same code runs batch and streaming (st22).
+  *
+  * The join-size estimator: the inner product Σ_w a[d,w]·b[d,w],
+  * minimized over depths, upper-bounds the true join cardinality
+  * Σ_k f_A(k)·f_B(k) — hash collisions only ADD cross terms, so
+  * est ≥ exact ALWAYS, deterministically. With the deterministic
+  * md5-prefix hash ([[TextFunctions.hash60]]) the whole estimate is
+  * integer arithmetic both engines reproduce, so q60/st22 hash-check
+  * the estimate itself against DuckDB rather than a bound flag.
+  *
+  * Scale: the sketch is d·w counters (4×65536 ≈ 2 MB as a relation)
+  * REGARDLESS of input size — join-size estimation from two sketches
+  * before committing either 100 TB table to an exchange.
+  */
+object CmSketch {
+
+  val Depths = 4
+  val Width = 65536L
+
+  /** The exploded (depth, bucket) pairs for one key — d struct rows
+    * per input row, hashed with the cross-engine md5-prefix hash.
+    */
+  def buckets(key: Column, depths: Int = Depths, w: Long = Width): Column =
+    explode(array((0 until depths).map { i =>
+      struct(lit(i.toLong).as("d"),
+        pmod(TextFunctions.hash60(concat(lit(s"cm$i:"), key.cast("string"))),
+          lit(w)).as("w"))
+    }: _*))
+
+  /** The sketch relation (d, w, cntName). Works identically on batch
+    * and streaming DataFrames (complete-mode groupBy count).
+    */
+  def sketch(df: DataFrame, key: Column, cntName: String,
+             depths: Int = Depths, w: Long = Width): DataFrame =
+    df.select(buckets(key, depths, w).as("b"))
+      .groupBy(col("b.d").as("d"), col("b.w").as("w"))
+      .agg(count(lit(1)).as(cntName))
+
+  /** Per-depth inner products of two sketch relations — each row an
+    * independent upper bound on the join size; min() of this frame is
+    * the CM estimate.
+    */
+  def innerProducts(a: DataFrame, b: DataFrame,
+                    cntA: String = "cnt_a", cntB: String = "cnt_b"): DataFrame =
+    a.join(b, Seq("d", "w"))
+      .groupBy("d").agg(sum(col(cntA) * col(cntB)).as("inner_e"))
+}

@@ -1257,6 +1257,37 @@ object GeneralQueries {
           withinPct(intersectEstimate(col("false"), col("true"), K),
             col("exact"), 25).as("within_rsd"))
       monthly.union(total).union(inter).orderBy("month_sec")
+    }),
+
+    // COUNT-MIN JOIN-CARDINALITY ESTIMATE — the third mergeable sketch
+    // family (after HLL/theta distincts and DDSketch quantiles): a CM
+    // sketch is a d×w counter RELATION (groupBy (depth, hash%w) count
+    // — counters ADD, so map-side combine and partition-wise merge
+    // are the aggregation itself), and the inner product of two
+    // sketches Σ_w a[d,w]·b[d,w], minimized over depths, estimates
+    // |A ⋈ B| with a one-sided guarantee: collisions only ADD cross
+    // terms, so est ≥ exact ALWAYS (Cormode–Muthukrishnan). That is
+    // the shuffle-planning primitive at 100 TB — join size from two
+    // 2 MB sketches (d=4, w=65536 fixed regardless of input) before
+    // committing either table to an exchange. Everything here is
+    // integer arithmetic on a deterministic hash (TF.hash60), so
+    // unlike the probabilistic-bound families the ESTIMATE ITSELF is
+    // hash-checked cross-engine: rows d=0..3 are the per-depth inner
+    // products, d=−1 the min (the estimate), d=−2 the exact join
+    // size computed once for the check.
+    "q60_cm_join_estimate" -> ((s, d) => {
+      import graft.operators.CmSketch
+      val a = CmSketch.sketch(Tables.lineitem(s, d), col("l_orderkey"), "cnt_a")
+      val b = CmSketch.sketch(Tables.orders(s, d), col("o_orderkey"), "cnt_b")
+      val inner = CmSketch.innerProducts(a, b)
+      val est = inner.agg(min("inner_e").as("inner_e"))
+        .select(lit(-1L).as("d"), col("inner_e"))
+      val exact = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("inner_e"))
+        .select(lit(-2L).as("d"), col("inner_e"))
+      inner.select(col("d"), col("inner_e")).union(est).union(exact)
+        .orderBy("d")
     })
   )
 
@@ -1966,6 +1997,28 @@ object GeneralQueries {
         |  SELECT -2, CAST(count(*) AS BIGINT) FROM (
         |    SELECT o_custkey FROM m GROUP BY o_custkey
         |    HAVING count(DISTINCT month_sec >= 883612800) = 2)
-        |) ORDER BY month_sec""".stripMargin
+        |) ORDER BY month_sec""".stripMargin,
+
+    // q60: the whole computation is deterministic integer arithmetic
+    // on the shared md5-prefix hash, so DuckDB reproduces the sketch
+    // AND the estimate exactly — per-depth inner products (d 0..3),
+    // the min (d = -1), and the exact join size (d = -2); est >= exact
+    // is the CM guarantee the two rows exhibit
+    "q60_cm_join_estimate" ->
+      """WITH ds AS (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS d),
+        |a AS (SELECT d, h % 65536 AS w, count(*) AS cnt_a FROM (
+        |        SELECT ds.d,
+        |               (('0x'||substr(md5('cm'||CAST(ds.d AS VARCHAR)||':'||CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT) AS h
+        |        FROM lineitem CROSS JOIN ds) GROUP BY 1, 2),
+        |b AS (SELECT d, h % 65536 AS w, count(*) AS cnt_b FROM (
+        |        SELECT ds.d,
+        |               (('0x'||substr(md5('cm'||CAST(ds.d AS VARCHAR)||':'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT) AS h
+        |        FROM orders CROSS JOIN ds) GROUP BY 1, 2),
+        |i AS (SELECT d, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS inner_e
+        |      FROM a JOIN b USING (d, w) GROUP BY 1)
+        |SELECT d, inner_e FROM i
+        |UNION ALL SELECT -1, CAST(min(inner_e) AS BIGINT) FROM i
+        |UNION ALL SELECT -2, count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY d""".stripMargin
   )
 }

@@ -1032,6 +1032,48 @@ object StreamingQueries {
             <= col("exact_union").cast("double") * lit(0.25))
             .cast("long").as("within_inter"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // STREAMING COUNT-MIN JOIN-SIZE ESTIMATE — the sixth mergeable
+    // summary with batch AND streaming rows (Misra–Gries st13,
+    // bounded top-k st18, HLL st19, DDSketch st20, theta st21, CM
+    // here): the live sketch of the arriving fact keys is just the
+    // complete-mode (d, w) counter aggregate (counters add, so
+    // micro-batch accumulation IS the CM merge), and the final select
+    // inner-products it against the static dimension's sketch —
+    // "how big would this join be right now" from 2 MB of state,
+    // without joining anything. Counter sums are batching-invariant,
+    // so q60's oracle applies verbatim.
+    "st22_streaming_cm_join_estimate" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.CmSketch
+
+      val rows = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .as[Long].collect().toSeq
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = CmSketch.sketch(in.toDF().toDF("k"), col("k"), "cnt_a")
+          .writeStream.format("memory").queryName("st22_cm")
+          .outputMode("complete").start()
+        try {
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val dim = CmSketch.sketch(Tables.orders(s, d), col("o_orderkey"), "cnt_b")
+      val inner = CmSketch.innerProducts(s.table("st22_cm"), dim)
+      val est = inner.agg(min("inner_e").as("inner_e"))
+        .select(lit(-1L).as("d"), col("inner_e"))
+      val exact = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("inner_e"))
+        .select(lit(-2L).as("d"), col("inner_e"))
+      inner.select(col("d"), col("inner_e")).union(est).union(exact)
+        .orderBy("d")
     })
   )
 
@@ -1232,6 +1274,12 @@ object StreamingQueries {
     // applies verbatim (exact_c cross-engine via the integer walk,
     // the estimate folded to its α-bound predicate)
     "st20_streaming_ddsketch" -> GeneralQueries.oracles("q56_ddsketch_rollup"),
+
+    // st22: counter sums are batching-invariant, so the streaming CM
+    // sketch equals the batch sketch and q60's oracle applies
+    // verbatim (per-depth inner products, min, exact join size)
+    "st22_streaming_cm_join_estimate" ->
+      GeneralQueries.oracles("q60_cm_join_estimate"),
 
     // st21: like st19/st20 the KMV state is a pure set-function of
     // the stream, so the batch exact sides + bound flags apply to the

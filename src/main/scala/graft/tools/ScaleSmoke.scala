@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, Similarity, TextFunctions => TF}
+import graft.operators.CmSketch
 
 /** Dev harness: do the heavy operator families keep their shape at
   * N× the largest local testdata? Builds synthetic corpora by
@@ -80,7 +81,8 @@ object ScaleSmoke {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
-      Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta") else stages0
+      Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm")
+    else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
     spark.sparkContext.setLogLevel("WARN")
@@ -103,6 +105,7 @@ object ScaleSmoke {
     if (stages("bpe")) bpeStage(docs)
     if (stages("stream")) streamStage(spark, sfDir, mult, tmp)
     if (stages("theta")) thetaStage(spark, sfDir, mult, tmp)
+    if (stages("cm")) cmStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -296,5 +299,36 @@ object ScaleSmoke {
     val csum = sk.select(explode(col("sk")).as("h"))
       .agg(sum(pmod(col("h"), lit(1000000007L)))).head().getLong(0)
     println(s"  sketch checksum (mult-invariant): $csum")
+  }
+
+  /** q60's Count-Min join-size estimate at mult copies of lineitem
+    * against the fixed orders dimension. CM counters ADD, so the fact
+    * sketch at mult copies is EXACTLY mult × the base sketch per
+    * counter — the estimate must scale exactly linearly (checksum =
+    * the estimate itself divided by mult, printed for cross-run
+    * comparison), the sketch stays d·w counters however large the
+    * corpus, and the inner product is flat.
+    */
+  private def cmStage(spark: SparkSession, sfDir: String, mult: Int,
+                      tmp: String): Unit = {
+    val base = graft.queries.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey")
+    (0 until mult).map(_ => base).reduce(_ union _)
+      .repartition(32).write.mode("overwrite").parquet(s"$tmp/cm_fact")
+    val fact = spark.read.parquet(s"$tmp/cm_fact")
+    println(s"cm fact: ${fact.count()} rows")
+    val (factSk, _) = timed("cm fact sketch build") {
+      val s = CmSketch.sketch(fact, col("l_orderkey"), "cnt_a")
+        .localCheckpoint(true)
+      println(s"  counters: ${s.count()} (fixed d*w regardless of corpus)")
+      s
+    }
+    timed("cm join-size estimate") {
+      val dim = CmSketch.sketch(
+        graft.queries.Tables.orders(spark, sfDir), col("o_orderkey"), "cnt_b")
+      val est = CmSketch.innerProducts(factSk, dim)
+        .agg(min("inner_e")).head().getLong(0)
+      println(s"  estimate: $est, per-copy (mult-invariant): ${est / mult}")
+    }
   }
 }
