@@ -101,6 +101,20 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(ei + eanb - ea) < tol, s"algebra: $ei + $eanb vs $ea")
   }
 
+  test("aggregator equals k-smallest-distinct at edge sizes (0, 1, k, k+1, dup-heavy)") {
+    val s = spark
+    import s.implicits._
+    val kmv = udaf(new KmvSketchAggregator(K))
+    for (n <- Seq(0, 1, K, K + 1, 1000)) {
+      val ks = keys(n, 31) ++ keys(n / 2, 31) // second half = duplicates
+      val df = ks.toDF("key").select(KmvSketch.hash63(col("key")).as("h"))
+      val expected = df.distinct().orderBy("h").limit(K)
+        .collect().map(_.getLong(0)).toSeq
+      val got = df.agg(kmv(col("h"))).head().getSeq[Long](0)
+      assert(got == expected, s"n=$n")
+    }
+  }
+
   test("KmvMergeAggregator over stored partials equals the one-shot sketch") {
     val s = spark
     import s.implicits._
