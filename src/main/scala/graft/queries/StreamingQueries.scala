@@ -1074,6 +1074,68 @@ object StreamingQueries {
         .select(lit(-2L).as("d"), col("inner_e"))
       inner.select(col("d"), col("inner_e")).union(est).union(exact)
         .orderBy("d")
+    }),
+
+    // STREAMING SKETCH-INDEX MAINTENANCE — the stats-maintenance twin
+    // of st04's persisted dedup index: each micro-batch APPENDS its
+    // per-month theta partials (2 KB rows) to a parquet index, and the
+    // read side folds every appended partial per month with
+    // KmvMergeAggregator — append-only files, merge-on-read, the
+    // warehouse nightly-stats pattern where landing data updates
+    // KB-sized partials and the base table is never rescanned. KMV
+    // merge is associative, commutative, and a pure set-function, so
+    // however the stream was batched (three uneven batches here, so
+    // months straddle batch boundaries and get multiple partial rows)
+    // the merged index equals q59's one-shot batch sketches: monthly
+    // sets are exhaustive (< k) ⇒ estimates exact, the grand total
+    // (month_sec = −1) engages the estimator under its 4σ bound.
+    "st23_streaming_sketch_index" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.functions.KmvSketch._
+      val K = 256
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
+      val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(K))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_sketch_index").toString + "/partials"
+
+      val ord = Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+        col("o_custkey"))
+      val rows = ord.as[(Long, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("month_sec", "o_custkey")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("month_sec"), hash63(col("o_custkey")).as("h"))
+              .groupBy("month_sec").agg(kmv(col("h")).as("sk"))
+              .write.mode("append").parquet(idx)
+            ()
+          }
+          .start()
+        try {
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      val merged = s.read.parquet(idx)
+        .groupBy("month_sec").agg(kmvMerge(col("sk")).as("sk"))
+      val exMonthly = ord.groupBy("month_sec")
+        .agg(countDistinct("o_custkey").as("exact"))
+      val monthly = merged.join(exMonthly, "month_sec")
+        .select(col("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      val total = merged.agg(kmvMerge(col("sk")).as("sk"))
+        .crossJoin(broadcast(ord.agg(countDistinct("o_custkey").as("exact"))))
+        .select(lit(-1L).as("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      monthly.union(total).orderBy("month_sec")
     })
   )
 
@@ -1280,6 +1342,21 @@ object StreamingQueries {
     // verbatim (per-depth inner products, min, exact join size)
     "st22_streaming_cm_join_estimate" ->
       GeneralQueries.oracles("q60_cm_join_estimate"),
+
+    // st23: the merged append-only index is a pure set-function of
+    // the stream, so q59's oracle applies minus its -2 halves row
+    // (the index maintains per-month grains; cross-grain set algebra
+    // is q59's read-side job)
+    "st23_streaming_sketch_index" ->
+      """WITH m AS (SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
+        |                  o_custkey
+        |           FROM orders)
+        |SELECT month_sec, exact, CAST(1 AS BIGINT) AS within_rsd FROM (
+        |  SELECT month_sec, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+        |  FROM m GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m
+        |) ORDER BY month_sec""".stripMargin,
 
     // st21: like st19/st20 the KMV state is a pure set-function of
     // the stream, so the batch exact sides + bound flags apply to the

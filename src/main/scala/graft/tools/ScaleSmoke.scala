@@ -19,7 +19,7 @@ import graft.operators.CmSketch
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
-  * stages: dedup prefix ivfpq bpe stream   (default: all)
+  * stages: dedup prefix ivfpq bpe stream theta cm   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -45,6 +45,12 @@ import graft.operators.CmSketch
   *     must plateau at the windows-within-horizon bound instead of
   *     growing with total input, and per-batch exec time must stay
   *     flat from first to last batch.
+  *   - theta (x71's shape): per-source KMV sketches must be
+  *     BIT-IDENTICAL at every mult (copies add no new grams; the
+  *     checksum proves it) and the overlap matrix flat.
+  *   - cm (q60's shape): counters are fixed d·w at every mult, the
+  *     estimate exactly linear in copies (merge is addition), and
+  *     the inner product flat.
   */
 object ScaleSmoke {
 
