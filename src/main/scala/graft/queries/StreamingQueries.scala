@@ -1041,19 +1041,30 @@ object StreamingQueries {
     // complete-mode (d, w) counter aggregate (counters add, so
     // micro-batch accumulation IS the CM merge), and the final select
     // inner-products it against the static dimension's sketch —
-    // "how big would this join be right now" from 2 MB of state,
+    // "how big would this join be right now" from sketch-sized state,
     // without joining anything. Counter sums are batching-invariant,
-    // so q60's oracle applies verbatim.
+    // so q60's oracle arithmetic applies verbatim — at THIS width:
+    // the streaming state is sized to the live use (w=16384 ⇒ ≤64k
+    // counter rows re-emitted per complete-mode trigger, vs q60's
+    // 256k batch width); the one-sided guarantee and the cross-engine
+    // hash-check hold for ANY width, the width only moves the
+    // overestimate margin. The streamed fact side is a deterministic
+    // quarter of lineitem (l_orderkey % 4 = 0) — the arriving-slice
+    // posture; the MemoryStream feed is the harness, and a quarter
+    // slice exercises identical plan and state shape at a quarter of
+    // the harness cost (the oracle filters the same slice).
     "st22_streaming_cm_join_estimate" -> ((s, d) => {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import graft.operators.CmSketch
+      val W = 16384L
 
       val rows = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .filter(col("l_orderkey") % 4 === 0)
         .as[Long].collect().toSeq
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
       withShufflePartitions(s, StreamPartitions) {
-        val q = CmSketch.sketch(in.toDF().toDF("k"), col("k"), "cnt_a")
+        val q = CmSketch.sketch(in.toDF().toDF("k"), col("k"), "cnt_a", w = W)
           .writeStream.format("memory").queryName("st22_cm")
           .outputMode("complete").start()
         try {
@@ -1064,11 +1075,13 @@ object StreamingQueries {
           in.addData(c); q.processAllAvailable()
         } finally q.stop()
       }
-      val dim = CmSketch.sketch(Tables.orders(s, d), col("o_orderkey"), "cnt_b")
+      val dim = CmSketch.sketch(Tables.orders(s, d), col("o_orderkey"), "cnt_b",
+        w = W)
       val inner = CmSketch.innerProducts(s.table("st22_cm"), dim)
       val est = inner.agg(min("inner_e").as("inner_e"))
         .select(lit(-1L).as("d"), col("inner_e"))
       val exact = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 4 === 0)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("inner_e"))
         .select(lit(-2L).as("d"), col("inner_e"))
@@ -1338,10 +1351,26 @@ object StreamingQueries {
     "st20_streaming_ddsketch" -> GeneralQueries.oracles("q56_ddsketch_rollup"),
 
     // st22: counter sums are batching-invariant, so the streaming CM
-    // sketch equals the batch sketch and q60's oracle applies
-    // verbatim (per-depth inner products, min, exact join size)
+    // sketch equals a batch sketch at the same width and q60's oracle
+    // arithmetic applies at w=16384 (per-depth inner products, min,
+    // exact join size)
     "st22_streaming_cm_join_estimate" ->
-      GeneralQueries.oracles("q60_cm_join_estimate"),
+      """WITH ds AS (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS d),
+        |li AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey % 4 = 0),
+        |a AS (SELECT d, h % 16384 AS w, count(*) AS cnt_a FROM (
+        |        SELECT ds.d,
+        |               (('0x'||substr(md5('cm'||CAST(ds.d AS VARCHAR)||':'||CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT) AS h
+        |        FROM li CROSS JOIN ds) GROUP BY 1, 2),
+        |b AS (SELECT d, h % 16384 AS w, count(*) AS cnt_b FROM (
+        |        SELECT ds.d,
+        |               (('0x'||substr(md5('cm'||CAST(ds.d AS VARCHAR)||':'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT) AS h
+        |        FROM orders CROSS JOIN ds) GROUP BY 1, 2),
+        |i AS (SELECT d, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS inner_e
+        |      FROM a JOIN b USING (d, w) GROUP BY 1)
+        |SELECT d, inner_e FROM i
+        |UNION ALL SELECT -1, CAST(min(inner_e) AS BIGINT) FROM i
+        |UNION ALL SELECT -2, count(*) FROM li JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY d""".stripMargin,
 
     // st23: the merged append-only index is a pure set-function of
     // the stream, so q59's oracle applies minus its -2 halves row
