@@ -129,6 +129,38 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestSession {
     assert(merged.toSeq == sketchOf(ks, 4).toSeq)
   }
 
+  test("disjoint sets: intersection estimate stays near zero, union adds") {
+    val s = spark
+    import s.implicits._
+    val kmv = udaf(new KmvSketchAggregator(K))
+    val df = (keys(6000, 50).map(("a", _)) ++ keys(6000, 51).map(("b", _)))
+      .toDF("g", "key")
+      .select(col("g"), KmvSketch.hash63(col("key")).as("h"))
+      .groupBy("g").agg(kmv(col("h")).as("sk"))
+    val r = df.groupBy().pivot("g").agg(first("sk"))
+      .select(
+        KmvSketch.intersectEstimate(col("a"), col("b"), K).as("ei"),
+        KmvSketch.unionEstimate(col("a"), col("b"), K).as("eu"))
+      .head()
+    val tol = 4.0 / math.sqrt(K - 2) * 12000
+    assert(r.getDouble(0) < tol, s"disjoint inter ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 12000) < tol, s"union ${r.getDouble(1)}")
+  }
+
+  test("unionSketch equals aggregating the concatenated inputs") {
+    val s = spark
+    import s.implicits._
+    val kmv = udaf(new KmvSketchAggregator(K))
+    val (x, y) = (keys(3000, 60), keys(3000, 61) ++ keys(1000, 60))
+    val parts = (x.map(("x", _)) ++ y.map(("y", _))).toDF("g", "key")
+      .select(col("g"), KmvSketch.hash63(col("key")).as("h"))
+      .groupBy("g").agg(kmv(col("h")).as("sk"))
+    val viaUnion = parts.groupBy().pivot("g").agg(first("sk"))
+      .select(KmvSketch.unionSketch(col("x"), col("y"), K).as("u"))
+      .head().getSeq[Long](0)
+    assert(viaUnion.toSeq == sketchOf(x ++ y, 8).toSeq)
+  }
+
   test("merge is associative and equals the one-shot sketch") {
     val agg = new KmvSketchAggregator(K)
     def sk(ks: Seq[Long]): Seq[Long] =
