@@ -41,16 +41,17 @@ final class KmvSketchAggregator(k: Int)
   def zero: Seq[Long] = Vector.empty
 
   /** O(1) reject once the buffer is full (h >= current max — the hot
-    * path after warm-up: only ~k·ln(n)/n of rows pass); insertion
-    * keeps the buffer sorted-distinct and capped at k.
+    * path after warm-up: only ~k·ln(n)/n of rows pass); an accepted
+    * insert binary-searches the sorted buffer for both membership and
+    * position (O(log k) compare + one O(k) patch, no re-sort — ADVICE
+    * r8), keeping it sorted-distinct and capped at k.
     */
   def reduce(buf: Seq[Long], h: Long): Seq[Long] =
     if (buf.size >= k && h >= buf.last) buf
-    else if (buf.contains(h)) buf
-    else (buf :+ h).sorted.take(k)
+    else KmvSketchOps.insertSorted(buf, h, k)
 
   def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    (a ++ b).distinct.sorted.take(k)
+    KmvSketchOps.mergeSorted(a, b, k)
 
   /** Sorted ascending; size < k means the sketch is EXHAUSTIVE (it
     * holds every distinct hash seen) and estimates become exact.
@@ -76,11 +77,73 @@ final class KmvMergeAggregator(k: Int)
   def zero: Seq[Long] = Vector.empty
   def reduce(buf: Seq[Long], sk: Seq[Long]): Seq[Long] = merge(buf, sk)
   def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    (a ++ b).distinct.sorted.take(k)
+    KmvSketchOps.mergeSorted(a, b, k)
   def finish(buf: Seq[Long]): Array[Long] = buf.toArray
 
   def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Shared sorted-buffer primitives for the KMV aggregators. Both keep
+  * the invariant "sorted ascending, distinct, size ≤ k", so inserts
+  * and merges never need a sort — the O(k log k) re-sort per accepted
+  * row that ADVICE r8 flagged in reduce(). Outputs are bit-identical
+  * to the former contains+sorted.take(k) forms (KmvSketchSpec pins
+  * the sketches).
+  */
+private[functions] object KmvSketchOps {
+
+  /** Insert `h` into sorted-distinct `buf`, capped at k smallest.
+    * Binary search finds the position; an existing hit is a no-op.
+    */
+  def insertSorted(buf: Seq[Long], h: Long, k: Int): Seq[Long] = {
+    var lo = 0
+    var hi = buf.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < buf.size && buf(lo) == h) buf
+    else {
+      val ins = buf.patch(lo, h :: Nil, 0)
+      if (ins.size > k) ins.dropRight(1) else ins
+    }
+  }
+
+  /** k smallest distinct of two sorted-distinct sequences by a linear
+    * two-pointer walk. Falls back to sorting an input that violates
+    * the precondition (defensive — persisted sketches are written
+    * sorted by construction, but the merge must never silently emit
+    * an unsorted buffer).
+    */
+  def mergeSorted(a0: Seq[Long], b0: Seq[Long], k: Int): Seq[Long] = {
+    def sortedOf(s: Seq[Long]): Seq[Long] = {
+      var i = 1
+      while (i < s.size && s(i - 1) < s(i)) i += 1
+      if (i >= s.size) s else s.distinct.sorted
+    }
+    val a = sortedOf(a0)
+    val b = sortedOf(b0)
+    if (a.isEmpty) b.take(k)
+    else if (b.isEmpty) a.take(k)
+    else {
+      val out = Vector.newBuilder[Long]
+      var i = 0
+      var j = 0
+      var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        val next =
+          if (j >= b.size || (i < a.size && a(i) <= b(j))) { val v = a(i); i += 1; v }
+          else { val v = b(j); j += 1; v }
+        // skip the duplicate when both sides carry the same hash
+        if (i < a.size && a(i) == next) i += 1
+        if (j < b.size && b(j) == next) j += 1
+        out += next
+        n += 1
+      }
+      out.result()
+    }
+  }
 }
 
 /** Column-level estimators over KMV sketch arrays. All pure builtin

@@ -1502,9 +1502,12 @@ object LlmQueries {
     // pipeline and this costs one scan — the curator's first-look
     // tool before committing to pair-level dedup. Exact sides are
     // recomputed only for the driver check (q55/q58 lifecycle note);
-    // flags: sizes within 4σ·rsd (1/√126 ≈ 8.9% ⇒ 35%), intersection
-    // within 35% of the UNION (theta set-op error is union-relative,
-    // functions/KmvSketchAggregator scaladoc).
+    // flags: sizes within a just-under-4σ·rsd margin (rsd = 1/√126 ≈
+    // 8.9%; 4σ = 35.6%, the flag uses 35%), intersection within the
+    // same margin of the UNION (theta set-op error is union-relative,
+    // functions/KmvSketchAggregator scaladoc). Disjoint source pairs
+    // survive the exact-side join (left join + coalesce 0 — ADVICE
+    // r8), so their near-zero estimates are asserted too.
     "x71_source_overlap_sketch" -> ((s, d) => {
       import graft.functions.KmvSketch._
       val K = 128
@@ -1525,7 +1528,8 @@ object LlmQueries {
           col("source_a") < col("source_b"))
         .join(broadcast(exSize.select(col("source").as("source_a"), col("n_ex").as("exact_a"))), "source_a")
         .join(broadcast(exSize.select(col("source").as("source_b"), col("n_ex").as("exact_b"))), "source_b")
-        .join(broadcast(exInter), Seq("source_a", "source_b"))
+        .join(broadcast(exInter), Seq("source_a", "source_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
         .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
         .select(col("source_a"), col("source_b"), col("exact_a"), col("exact_b"),
           col("exact_inter"), col("exact_union"),
@@ -2974,14 +2978,14 @@ object LlmQueries {
         |              count(*) AS exact_inter
         |       FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
         |       GROUP BY 1, 2)
-        |SELECT iv.source_a, iv.source_b,
+        |SELECT sa.source AS source_a, sb.source AS source_b,
         |       CAST(sa.n AS BIGINT) AS exact_a, CAST(sb.n AS BIGINT) AS exact_b,
-        |       CAST(iv.exact_inter AS BIGINT) AS exact_inter,
-        |       CAST(sa.n + sb.n - iv.exact_inter AS BIGINT) AS exact_union,
+        |       CAST(COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_inter,
+        |       CAST(sa.n + sb.n - COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_union,
         |       CAST(1 AS BIGINT) AS within_a, CAST(1 AS BIGINT) AS within_b,
         |       CAST(1 AS BIGINT) AS within_inter
-        |FROM iv JOIN sz sa ON sa.source = iv.source_a
-        |        JOIN sz sb ON sb.source = iv.source_b
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN iv ON iv.source_a = sa.source AND iv.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin
   )
 }

@@ -972,9 +972,11 @@ object StreamingQueries {
     // everything fed in, and batching cannot change the final table
     // (three uneven batches here). The exact sides are recomputed
     // batch-side only for the driver check; flags use the q58 bound
-    // pattern (sizes within 4σ·rsd = 25%; intersection within 25% of
-    // the UNION — theta set-op error is union-relative, see
-    // functions/KmvSketchAggregator).
+    // pattern (sizes within a just-under-4σ·rsd margin — 4σ = 25.2%,
+    // the flag uses 25%; intersection within the same margin of the
+    // UNION — theta set-op error is union-relative, see
+    // functions/KmvSketchAggregator). Disjoint type pairs survive
+    // the exact-side join (left join + coalesce 0 — ADVICE r8).
     "st21_streaming_theta_overlap" -> ((s, d) => {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1021,7 +1023,8 @@ object StreamingQueries {
           col("type_a") < col("type_b"))
         .join(broadcast(exSize.select(col("event_type").as("type_a"), col("n_ex").as("exact_a"))), "type_a")
         .join(broadcast(exSize.select(col("event_type").as("type_b"), col("n_ex").as("exact_b"))), "type_b")
-        .join(broadcast(exInter), Seq("type_a", "type_b"))
+        .join(broadcast(exInter), Seq("type_a", "type_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
         .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
         .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
           col("exact_inter"), col("exact_union"),
@@ -1109,8 +1112,7 @@ object StreamingQueries {
       val K = 256
       val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
       val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(K))
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_sketch_index").toString + "/partials"
+      val idx = graft.core.Scratch.dir("graft_sketch_index") + "/partials"
 
       val ord = Tables.orders(s, d).select(
         date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
@@ -1402,14 +1404,14 @@ object StreamingQueries {
         |         ON a.user_id = b.user_id AND a.day = b.day
         |        AND a.event_type < b.event_type
         |       GROUP BY 1, 2)
-        |SELECT iv.type_a, iv.type_b,
+        |SELECT sa.event_type AS type_a, sb.event_type AS type_b,
         |       CAST(sa.n AS BIGINT) AS exact_a, CAST(sb.n AS BIGINT) AS exact_b,
-        |       CAST(iv.exact_inter AS BIGINT) AS exact_inter,
-        |       CAST(sa.n + sb.n - iv.exact_inter AS BIGINT) AS exact_union,
+        |       CAST(COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_inter,
+        |       CAST(sa.n + sb.n - COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_union,
         |       CAST(1 AS BIGINT) AS within_a, CAST(1 AS BIGINT) AS within_b,
         |       CAST(1 AS BIGINT) AS within_inter
-        |FROM iv JOIN sz sa ON sa.event_type = iv.type_a
-        |        JOIN sz sb ON sb.event_type = iv.type_b
+        |FROM sz sa JOIN sz sb ON sa.event_type < sb.event_type
+        |LEFT JOIN iv ON iv.type_a = sa.event_type AND iv.type_b = sb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
 
     // st19: the final sketch state is a set-function of everything

@@ -115,6 +115,25 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("KmvSketchOps primitives equal the sort-based reference on random streams") {
+    // the r9 binary-search insert / two-pointer merge must be
+    // bit-identical to the former contains + sorted.take(k) forms
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val k = 2 + rnd.nextInt(16)
+      val xs = Seq.fill(200)(rnd.nextInt(40).toLong)
+      val ref = xs.distinct.sorted.take(k)
+      val folded = xs.foldLeft(Vector.empty[Long]: Seq[Long]) { (b, h) =>
+        if (b.size >= k && h >= b.last) b else KmvSketchOps.insertSorted(b, h, k)
+      }
+      assert(folded == ref, s"k=$k insert fold")
+      val (l, r) = xs.splitAt(xs.size / 3)
+      val (sl, sr) = (l.distinct.sorted.take(k), r.distinct.sorted.take(k))
+      assert(KmvSketchOps.mergeSorted(sl, sr, k) ==
+        (sl ++ sr).distinct.sorted.take(k), s"k=$k merge")
+    }
+  }
+
   test("KmvMergeAggregator over stored partials equals the one-shot sketch") {
     val s = spark
     import s.implicits._
