@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleGen.fromArgs(args)))
+    // the sketch-algebra SQL surface (kmv_*/dd_*/cm_bucket/hash63) —
+    // VERDICT r8 ask #4: the mergeable-summary family reachable from
+    // pure SQL, not just the Scala API
+    graft.functions.SketchSqlFunctions.register(ext)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

@@ -39,6 +39,19 @@ object SaltedAgg {
     * distributed avg already differs run-to-run.
     */
   final case class Avg(in: String, out: String) extends Agg
+  /** Sorted distinct-value array — equivalent to
+    * `array_sort(collect_set(in))` on the direct plan. THIS is the
+    * aggregate class where salting actually pays at scale: sum/count
+    * partials collapse to one row per (key, partition) under map-side
+    * combine, so a hot key costs the final reducer almost nothing —
+    * but collect_set partial STATE is proportional to the key's
+    * distinct values, and the unsalted plan ships every partition's
+    * hot-key set to ONE task to merge. The salted first stage merges
+    * per (key, salt) across `salts` tasks; the second stage folds
+    * `salts` already-deduped arrays. (ScaleSmoke's skew stage
+    * measures exactly this separation on a Zipf corpus.)
+    */
+  final case class CollectSet(in: String, out: String) extends Agg
 
   /** Two-stage salted groupBy: `groupBy(keys :+ salt).agg(partials)`
     * then `groupBy(keys).agg(merged)`. `salt` must be a deterministic
@@ -54,6 +67,7 @@ object SaltedAgg {
       case Min(in, out) => Seq(min(in).as(s"__pmin_$out"))
       case Max(in, out) => Seq(max(in).as(s"__pmax_$out"))
       case Avg(in, out) => Seq(sum(in).as(s"__pas_$out"), count(lit(1)).as(s"__pac_$out"))
+      case CollectSet(in, out) => Seq(collect_set(in).as(s"__pcs_$out"))
     }
     val merged: Seq[Column] = aggs.map {
       case Sum(_, out) => sum(s"__ps_$out").as(out)
@@ -61,6 +75,8 @@ object SaltedAgg {
       case Min(_, out) => min(s"__pmin_$out").as(out)
       case Max(_, out) => max(s"__pmax_$out").as(out)
       case Avg(_, out) => (sum(s"__pas_$out") / sum(s"__pac_$out")).as(out)
+      case CollectSet(_, out) =>
+        array_sort(array_distinct(flatten(collect_list(s"__pcs_$out")))).as(out)
     }
 
     df.withColumn("__salt", salt)

@@ -366,15 +366,23 @@ object GeneralQueries {
     // canonical hot-key shape. The two-stage salted plan spreads each
     // key across 16 sub-keys before the merge; answers are provably
     // identical to the direct groupBy (SaltingSpec), so one oracle
-    // covers both the operator and the routing.
+    // covers both the operator and the routing. The CollectSet
+    // aggregate (r9) is the class where salting actually pays —
+    // per-key state grows with distinct values, so the unsalted final
+    // merge funnels the hot key's whole set into one task (measured
+    // on a Zipf corpus in ScaleSmoke's skew stage); folded to a
+    // sorted joined string because the driver gate compares scalars.
     "q25_salted_agg" -> ((s, d) => {
       import graft.operators.SaltedAgg
-      SaltedAgg.aggregate(Tables.events(s, d),
+      SaltedAgg.aggregate(
+          Tables.events(s, d).withColumn("uid_bucket", col("user_id") % 50),
           keys = Seq("event_type"),
           salt = col("event_id") % 16,
           aggs = Seq(
             SaltedAgg.Sum("user_id", "sum_uid"), SaltedAgg.Count("n_events"),
-            SaltedAgg.Min("event_id", "min_eid"), SaltedAgg.Max("event_id", "max_eid")))
+            SaltedAgg.Min("event_id", "min_eid"), SaltedAgg.Max("event_id", "max_eid"),
+            SaltedAgg.CollectSet("uid_bucket", "uniq_uid_buckets")))
+        .withColumn("uniq_uid_buckets", concat_ws(",", col("uniq_uid_buckets")))
         .orderBy("event_type")
     }),
 
@@ -1296,6 +1304,85 @@ object GeneralQueries {
         .select(lit(-2L).as("d"), col("inner_e"))
       inner.select(col("d"), col("inner_e")).union(est).union(exact)
         .orderBy("d")
+    }),
+
+    // THE SKETCH ALGEBRA FROM PURE SQL — q58's theta overlap matrix
+    // re-expressed entirely as one spark.sql statement over the
+    // extension-registered functions (functions/SketchSqlFunctions:
+    // hash63 / kmv_sketch / kmv_estimate / kmv_intersect /
+    // kmv_union_estimate / kmv_except), VERDICT r8 ask #4: a SQL-only
+    // user (q38's audience, spark.sql.extensions on a cluster submit)
+    // reaches the mergeable-summary capability without the Scala API.
+    // The SQL functions delegate to the IDENTICAL Column
+    // implementations (SketchSqlSpec pins surface equality), so the
+    // plan — sketch-sized matrix on broadcast KB rows, exact sides
+    // only for the driver check — is q58's. Same oracle shape and
+    // bound flags as q58 (just-under-4σ = 25%).
+    "q61_sql_sketch_algebra" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH yk AS (SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS y,
+                           l_partkey AS k
+                    FROM v_lineitem),
+        sk AS (SELECT y, kmv_sketch(hash63(k), 256) AS sk FROM yk GROUP BY y),
+        sz AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM yk GROUP BY y),
+        iv AS (SELECT a.y AS ya, b.y AS yb, count(*) AS exact_inter
+               FROM yk a JOIN yk b ON a.k = b.k AND a.y < b.y GROUP BY a.y, b.y)
+        SELECT sa.y AS year_a, sb.y AS year_b, sa.n AS exact_a, sb.n AS exact_b,
+               CAST(COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_inter,
+               CAST(sa.n + sb.n - COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_union,
+               CAST(abs(kmv_estimate(ka.sk, 256) - sa.n) * 100 <= sa.n * 25 AS BIGINT) AS within_a,
+               CAST(abs(kmv_estimate(kb.sk, 256) - sb.n) * 100 <= sb.n * 25 AS BIGINT) AS within_b,
+               CAST(abs(kmv_intersect(ka.sk, kb.sk, 256) - COALESCE(iv.exact_inter, 0))
+                      <= (sa.n + sb.n - COALESCE(iv.exact_inter, 0)) * 0.25 AS BIGINT) AS within_inter,
+               CAST(abs(kmv_union_estimate(ka.sk, kb.sk, 256)
+                        - (sa.n + sb.n - COALESCE(iv.exact_inter, 0)))
+                      <= (sa.n + sb.n - COALESCE(iv.exact_inter, 0)) * 0.25 AS BIGINT) AS within_union,
+               CAST(abs(kmv_except(ka.sk, kb.sk, 256) - (sa.n - COALESCE(iv.exact_inter, 0)))
+                      <= (sa.n + sb.n - COALESCE(iv.exact_inter, 0)) * 0.25 AS BIGINT) AS within_diff
+        FROM sz sa JOIN sz sb ON sa.y < sb.y
+        JOIN sk ka ON ka.y = sa.y
+        JOIN sk kb ON kb.y = sb.y
+        LEFT JOIN iv ON iv.ya = sa.y AND iv.yb = sb.y
+        ORDER BY year_a, year_b
+      """)
+    }),
+
+    // PARTITION-PRUNED SKETCH-INDEX PROBE (VERDICT r8 ask #5) — the
+    // read path q59/st23's persisted partials were missing: the
+    // per-month theta index is hive-partitioned BY MONTH
+    // (operators/SketchIndex), so this 1996-only question scans
+    // exactly the 12 in-range month directories — planning-time
+    // partition pruning asserted in SketchIndexSpec; here the ANSWER
+    // is oracle-gated. Per-month sets (< k) are exhaustive ⇒ exact;
+    // the merged range row (month_sec = −1) engages the estimator
+    // under the q58 just-under-4σ bound. Exact sides re-read the base
+    // table only for the driver check — the production probe touches
+    // index KBs alone.
+    "q62_sketch_index_probe" -> ((s, d) => {
+      import graft.functions.KmvSketch._
+      import graft.operators.SketchIndex
+      val K = 256
+      val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(K))
+      val ord = Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+        col("o_custkey"))
+      val dir = graft.core.Scratch.dir("graft_sketch_index_part")
+      SketchIndex.writeMonthly(ord, "month_sec", "o_custkey", dir, K)
+      val From = 820454400L  // 1996-01-01T00:00:00Z
+      val Until = 852076800L // 1997-01-01T00:00:00Z
+      val probed = SketchIndex.probeRange(s, dir, From, Until)
+      val inRange = ord.filter(col("month_sec") >= From && col("month_sec") < Until)
+      val monthly = probed
+        .join(inRange.groupBy("month_sec")
+          .agg(countDistinct("o_custkey").as("exact")), "month_sec")
+        .select(col("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      val total = probed.agg(kmvMerge(col("sk")).as("sk"))
+        .crossJoin(broadcast(inRange.agg(countDistinct("o_custkey").as("exact"))))
+        .select(lit(-1L).as("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      monthly.union(total).orderBy("month_sec")
     })
   )
 
@@ -1626,7 +1713,8 @@ object GeneralQueries {
         |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
         |       count(*) AS n_events,
         |       min(event_id) AS min_eid,
-        |       max(event_id) AS max_eid
+        |       max(event_id) AS max_eid,
+        |       array_to_string(list_sort(list(DISTINCT user_id % 50)), ',') AS uniq_uid_buckets
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q24_multiset_ops" ->
@@ -2030,6 +2118,40 @@ object GeneralQueries {
         |SELECT d, inner_e FROM i
         |UNION ALL SELECT -1, CAST(min(inner_e) AS BIGINT) FROM i
         |UNION ALL SELECT -2, count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY d""".stripMargin
+        |ORDER BY d""".stripMargin,
+
+    // q61: q58's oracle verbatim in shape — the Spark side differs
+    // only in SURFACE (pure spark.sql over the registered functions),
+    // so the exact matrix and the expected-true bound flags match
+    "q61_sql_sketch_algebra" ->
+      """WITH yk AS (SELECT DISTINCT year(l_shipdate) AS y, l_partkey AS k FROM lineitem),
+        |sz AS (SELECT y, count(*) AS n FROM yk GROUP BY 1),
+        |iv AS (SELECT a.y AS year_a, b.y AS year_b, count(*) AS exact_inter
+        |       FROM yk a JOIN yk b ON a.k = b.k AND a.y < b.y GROUP BY 1, 2)
+        |SELECT CAST(sa.y AS BIGINT) AS year_a, CAST(sb.y AS BIGINT) AS year_b,
+        |       CAST(sa.n AS BIGINT) AS exact_a, CAST(sb.n AS BIGINT) AS exact_b,
+        |       CAST(COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_inter,
+        |       CAST(sa.n + sb.n - COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_union,
+        |       CAST(1 AS BIGINT) AS within_a, CAST(1 AS BIGINT) AS within_b,
+        |       CAST(1 AS BIGINT) AS within_inter, CAST(1 AS BIGINT) AS within_union,
+        |       CAST(1 AS BIGINT) AS within_diff
+        |FROM sz sa JOIN sz sb ON sa.y < sb.y
+        |LEFT JOIN iv ON iv.year_a = sa.y AND iv.year_b = sb.y
+        |ORDER BY year_a, year_b""".stripMargin,
+
+    // q62: q59's oracle shape restricted to the probed 1996 range;
+    // monthly sketches are exhaustive so flags assert the bound holds
+    "q62_sketch_index_probe" ->
+      """WITH m AS (SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
+        |                  o_custkey
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT month_sec, exact, CAST(1 AS BIGINT) AS within_rsd FROM (
+        |  SELECT month_sec, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+        |  FROM m GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m
+        |) ORDER BY month_sec""".stripMargin
   )
 }

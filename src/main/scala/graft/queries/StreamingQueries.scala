@@ -1094,11 +1094,14 @@ object StreamingQueries {
 
     // STREAMING SKETCH-INDEX MAINTENANCE — the stats-maintenance twin
     // of st04's persisted dedup index: each micro-batch APPENDS its
-    // per-month theta partials (2 KB rows) to a parquet index, and the
-    // read side folds every appended partial per month with
-    // KmvMergeAggregator — append-only files, merge-on-read, the
-    // warehouse nightly-stats pattern where landing data updates
-    // KB-sized partials and the base table is never rescanned. KMV
+    // per-month theta partials (2 KB rows) to the HIVE-PARTITIONED
+    // index layout (operators/SketchIndex — month directories, so the
+    // maintained index is range-prunable exactly like q62's batch
+    // build), and the read side folds every appended partial per
+    // month with KmvMergeAggregator — append-only files,
+    // merge-on-read, the warehouse nightly-stats pattern where
+    // landing data updates KB-sized partials and the base table is
+    // never rescanned. KMV
     // merge is associative, commutative, and a pure set-function, so
     // however the stream was batched (three uneven batches here, so
     // months straddle batch boundaries and get multiple partial rows)
@@ -1110,7 +1113,6 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import graft.functions.KmvSketch._
       val K = 256
-      val kmv = udaf(new graft.functions.KmvSketchAggregator(K))
       val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(K))
       val idx = graft.core.Scratch.dir("graft_sketch_index") + "/partials"
 
@@ -1124,9 +1126,8 @@ object StreamingQueries {
         val q = in.toDF().toDF("month_sec", "o_custkey")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.select(col("month_sec"), hash63(col("o_custkey")).as("h"))
-              .groupBy("month_sec").agg(kmv(col("h")).as("sk"))
-              .write.mode("append").parquet(idx)
+            graft.operators.SketchIndex.appendMonthly(
+              batch, "month_sec", "o_custkey", idx, K)
             ()
           }
           .start()
@@ -1139,7 +1140,7 @@ object StreamingQueries {
         } finally q.stop()
       }
 
-      val merged = s.read.parquet(idx)
+      val merged = graft.operators.SketchIndex.read(s, idx)
         .groupBy("month_sec").agg(kmvMerge(col("sk")).as("sk"))
       val exMonthly = ord.groupBy("month_sec")
         .agg(countDistinct("o_custkey").as("exact"))

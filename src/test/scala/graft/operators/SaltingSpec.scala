@@ -36,6 +36,26 @@ class SaltingSpec extends AnyFunSuite with SparkTestSession {
     assert(salted === direct)
   }
 
+  test("CollectSet equals array_sort(collect_set) on skewed data") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 3000L).map { i =>
+      val key = if (i % 10 != 0) "hot" else s"cold_${i % 7}"
+      (key, i, i % 211) // hot key sees all 211 distinct values
+    }
+    val df = rows.toDF("k", "event_id", "v").repartition(8)
+
+    val direct = df.groupBy("k")
+      .agg(array_sort(collect_set("v")).as("uniq_v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+
+    val salted = SaltedAgg.aggregate(df, Seq("k"),
+        salt = col("event_id") % 8,
+        aggs = Seq(SaltedAgg.CollectSet("v", "uniq_v")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+
+    assert(salted.toSeq === direct.toSeq)
+  }
+
   test("salted plan aggregates in two stages (salt key present in stage 1)") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => ("k", i)).toDF("k", "v")
