@@ -87,7 +87,7 @@ object ScaleSmoke {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
-      Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm")
+      Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm", "skew")
     else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
@@ -112,6 +112,7 @@ object ScaleSmoke {
     if (stages("stream")) streamStage(spark, sfDir, mult, tmp)
     if (stages("theta")) thetaStage(spark, sfDir, mult, tmp)
     if (stages("cm")) cmStage(spark, sfDir, mult, tmp)
+    if (stages("skew")) skewStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -166,10 +167,61 @@ object ScaleSmoke {
       Similarity.pqCodebooks(sample, m = 8, subDim = 8)
     }
     println(s"  codebook floats: ${cbs.map(_.map(_._2.size).sum).sum} (corpus-independent)")
-    timed("ivfpq topk (nprobe=2)") {
+    val K = 3
+    val (approx, _) = timed("ivfpq topk (nprobe=2)") {
       val r = Similarity.ivfPqTopK(emb, probes, sample, cbs,
-        k = 3, nprobe = 2, subDim = 8)
+        k = K, nprobe = 2, subDim = 8).localCheckpoint(true)
       println(s"  result rows: ${r.count()} (k-bounded)")
+      r
+    }
+    // VERDICT r8 ask #7: answer QUALITY at the scaled corpus, not just
+    // latency. The scaled corpus duplicates every vector mult times,
+    // so id-level recall is ill-defined (exact top-k is an arbitrary
+    // pick among score ties); the tie-aware standard is score recall:
+    // an approx neighbor counts iff its EXACT cosine reaches the
+    // exact kth-best score of its probe.
+    timed(s"recall@$K vs brute force (score-tie-aware)") {
+      val exact = Similarity.bruteTopKAgg(emb, probes, K)
+      val kth = exact.groupBy("probe_id")
+        .agg(min("cos_e6").as("kth_e6"), count(lit(1)).as("nk"))
+        .localCheckpoint(true)
+      val denom = kth.agg(sum("nk")).head().getLong(0)
+      val vecs = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_vec"))
+      val pv = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_vec"))
+      def recallOf(res: DataFrame): Double = {
+        val hits = res.join(vecs, "neighbor_id").join(broadcast(pv), "probe_id")
+          .select(col("probe_id"),
+            Similarity.cosineE6(col("p_vec"), col("n_vec")).as("cos_e6"))
+          .join(broadcast(kth), "probe_id")
+          .filter(col("cos_e6") >= col("kth_e6")).count()
+        hits.toDouble / denom
+      }
+      // the IVF dial: recall buys linearly more scanned lists — the
+      // headline timed path is nprobe=2; 4 and 8 (= exhaustive over
+      // the 8 coarse cells) chart the tradeoff at this corpus size
+      println(f"  recall@$K nprobe=2: ${recallOf(approx)}%.3f " +
+        f"($denom exact slots over ${kth.count()} probes)")
+      Seq(4, 8).foreach { np =>
+        val t0 = System.nanoTime()
+        val r = recallOf(Similarity.ivfPqTopK(emb, probes, sample, cbs,
+          k = K, nprobe = np, subDim = 8))
+        println(f"  recall@$K nprobe=$np: $r%.3f (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      }
+      // past nprobe, residual loss is PQ quantization error — bounded
+      // by CODEBOOK size, not architecture: the registry's 8-codeword
+      // books (kept tiny for x41's oracle) vs 64-codeword books from
+      // a bigger (still fixed, corpus-independent) sample
+      val cbs64 = Similarity.pqCodebooks(base.filter(col("vec_id") < 64),
+        m = 8, subDim = 8)
+      Seq(2, 4).foreach { np =>
+        val t0 = System.nanoTime()
+        val r = recallOf(Similarity.ivfPqTopK(emb, probes, sample, cbs64,
+          k = K, nprobe = np, subDim = 8))
+        println(f"  recall@$K nprobe=$np codebook=64: $r%.3f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      }
     }
   }
 
@@ -259,6 +311,53 @@ object ScaleSmoke {
         println(s"  emitted windows: ${spark.table("scale_stream").count()}")
       } finally q.stop()
     }
+
+    // VERDICT r8 ask #8: kill + resume AT SCALE. The same aggregation
+    // runs against a parquet FILE sink with a fixed checkpoint: half
+    // the input lands, the query is stopped mid-stream (the in-process
+    // stand-in for an executor/driver loss — CheckpointRecoverySpec
+    // covers the harder kill shapes at test scale), the other half
+    // lands, and an IDENTICAL query resumes from the checkpoint. The
+    // resumed run's sink must equal the uninterrupted memory-sink run
+    // row for row — watermark state, window boundaries, and sink
+    // exactly-once all restored from the checkpoint.
+    timed(s"stream kill+resume at $mult batches") {
+      val dirR = s"$tmp/events_stream_recovery"
+      val ckpt = s"$tmp/stream_ckpt_recovery"
+      val outR = s"$tmp/stream_out_recovery"
+      Seq(dirR, ckpt, outR).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      def land(copies: Range): Unit = copies.foreach { c =>
+        ev.withColumn("ts", col("ts") + lit(c * span))
+          .coalesce(1).write.mode("append").parquet(dirR)
+      }
+      def run(): Unit = {
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dirR)
+          .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+          .withWatermark("event_time", "300 seconds")
+          .groupBy(window(col("event_time"), "60 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_val"))
+          .select(col("window.start").cast("long").as("w"),
+            col("event_type"), col("n"), col("sum_val"))
+          .writeStream.format("parquet")
+          .option("path", outR).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      land(0 until mult / 2)
+      run() // processes the first half, then "dies"
+      land(mult / 2 until mult)
+      run() // resumes from the checkpoint over the late half
+      val sink = spark.read.parquet(outR)
+      val mem = spark.table("scale_stream")
+      val missing = mem.exceptAll(sink).count()
+      val extra = sink.exceptAll(mem).count()
+      println(s"  resumed sink rows: ${sink.count()} vs uninterrupted ${mem.count()} " +
+        s"(missing $missing, extra $extra)")
+      require(missing == 0 && extra == 0,
+        s"kill+resume diverged from the uninterrupted run: missing=$missing extra=$extra")
+    }
   }
 
   /** x71's theta-sketch source-overlap at mult copies. Copies add no
@@ -305,6 +404,200 @@ object ScaleSmoke {
     val csum = sk.select(explode(col("sk")).as("h"))
       .agg(sum(pmod(col("h"), lit(1000000007L)))).head().getLong(0)
     println(s"  sketch checksum (mult-invariant): $csum")
+  }
+
+  /** Run `f` with session confs temporarily overridden (restored on
+    * exit; body must EXECUTE inside the scope — all uses here count()
+    * eagerly).
+    */
+  private def withConf[A](spark: SparkSession, kvs: (String, String)*)(f: => A): A = {
+    // get() can return null for confs whose DEFAULT is null (e.g.
+    // adaptive.autoBroadcastJoinThreshold) — restore those via unset
+    val prev = kvs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** VERDICT r8 ask #1 — the one 100 TB risk that had no measurement:
+    * a Zipf-skewed key distribution (key 0 holds ~20% of ALL rows,
+    * key 1 ~10%, key 2 ~5% — the reference's attacked-dst_ip case,
+    * hha.py:267) at mult copies of `events`, driving
+    *
+    *   - AGG: both q25 aggregate classes, measured for what the
+    *     measurement actually shows. sum/count/min/max: map-side
+    *     combine collapses the hot key to one partial row per
+    *     partition, so the UNSALTED plan is already flat — the
+    *     numbers validate q25's comment that salting is pure
+    *     overhead for distributive aggregates. collect_set: per-key
+    *     OUTPUT is the hot key's whole distinct set, so the final
+    *     single-task merge is irreducible under any salting that
+    *     preserves the output shape — both plans carry it, printed
+    *     as the output-bound critical path. Checksums must agree.
+    *   - JOIN: fact ⋈ user dim (4 rows/user) with broadcast DISABLED
+    *     (the too-big-to-broadcast posture) and a realistic per-
+    *     OUTPUT-row cost (the md5-based hash60 fused after the join —
+    *     the downstream-feature shape that makes a straggler's extra
+    *     output rows hurt), three ways: plain sort-merge with AQE
+    *     skew handling OFF (the straggler baseline — one task owns
+    *     the hot key's 20% of all output), SaltedJoin (q35's
+    *     operator, AQE still off — the manual escape hatch, hot key
+    *     spread over 32 tasks), and plain with AQE skew-join ON at a
+    *     test-scale split threshold (the session-default mitigation;
+    *     the default 256 MB threshold never fires at local scale, so
+    *     it is lowered to let AQE demonstrate the same split).
+    *     All three checksums must agree.
+    *   - DEDUP: the hot-CLUSTER shape — one document duplicated into
+    *     ~2% of the corpus. Candidate pairs inside the hot cluster
+    *     are the cluster's own quadratic answer (band-bucket joins
+    *     emit them; nothing all-pairs across clusters), and CC must
+    *     still converge with the hot cluster intact.
+    */
+  private def skewStage(spark: SparkSession, sfDir: String, mult: Int,
+                        tmp: String): Unit = {
+    // events is the smallest base table; 4× extra copies put the
+    // skewed corpus in the regime where per-task work, not fixed
+    // overhead, decides the wall (at mult=50 → 20M fact rows, hot
+    // task 4M) — the separation the stage exists to measure
+    val skewMult = mult * 4
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value")
+    val stride = ev.agg(max("event_id")).head().getLong(0) + 1L
+    (0 until skewMult).map { c =>
+      ev.withColumn("event_id", col("event_id") + lit(c.toLong * stride))
+    }.reduce(_ union _)
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(100)) < 20, lit(0L))
+          .when(pmod(col("event_id"), lit(100)) < 30, lit(1L))
+          .when(pmod(col("event_id"), lit(100)) < 35, lit(2L))
+          .otherwise(col("user_id")))
+      .repartition(32).write.mode("overwrite").parquet(s"$tmp/skew_events")
+    val fact = spark.read.parquet(s"$tmp/skew_events")
+    val n = fact.count()
+    val hot = fact.filter(col("user_id") === 0L).count()
+    println(f"skew corpus: $n rows ($skewMult copies), hot key 0 holds $hot (${hot * 100.0 / n}%.1f%%)")
+
+    // ---- aggregation: both q25 classes, unsalted vs salted ----
+    def sumChecksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(sum("s").as("s"), sum("n").as("n")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (caDirect, tDirA) = timed("agg sum/count UNSALTED") {
+      sumChecksum(fact.groupBy("user_id")
+        .agg(sum("event_id").as("s"), count(lit(1)).as("n")))
+    }
+    val (caSalted, tSaltA) = timed("agg sum/count SALTED x32") {
+      sumChecksum(graft.operators.SaltedAgg.aggregate(fact, Seq("user_id"),
+        salt = pmod(col("event_id"), lit(32)),
+        aggs = Seq(graft.operators.SaltedAgg.Sum("event_id", "s"),
+          graft.operators.SaltedAgg.Count("n"))))
+    }
+    require(caDirect == caSalted,
+      s"salted/unsalted sum/count diverged: $caDirect vs $caSalted")
+    println(f"  distributive aggs: unsalted FLAT under skew ($tDirA%.2f s vs salted " +
+      f"$tSaltA%.2f s) — map-side combine collapses the hot key; salting is pure overhead here")
+    def setChecksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(sum(size(col("uniq"))).as("sz"),
+        sum(pmod(hash(col("uniq")).cast("long"), lit(1000000007L))).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (cuDirect, tDirS) = timed("agg collect_set UNSALTED") {
+      setChecksum(fact.groupBy("user_id")
+        .agg(array_sort(collect_set("event_id")).as("uniq")))
+    }
+    val (cuSalted, tSaltS) = timed("agg collect_set SALTED x32") {
+      setChecksum(graft.operators.SaltedAgg.aggregate(fact, Seq("user_id"),
+        salt = pmod(col("event_id"), lit(32)),
+        aggs = Seq(graft.operators.SaltedAgg.CollectSet("event_id", "uniq"))))
+    }
+    require(cuDirect == cuSalted,
+      s"salted/unsalted collect_set diverged: $cuDirect vs $cuSalted")
+    println(f"  holistic agg (collect_set): both bounded by the irreducible per-key " +
+      f"output merge ($tDirS%.2f s vs $tSaltS%.2f s) — skew relief requires sharding " +
+      "the OUTPUT, not the computation; checksums agree")
+
+    // ---- join: straggler baseline vs SaltedJoin vs AQE skew-join ----
+    // 4 dim rows per user (the user × feature shape): join OUTPUT is
+    // 4× the fact, so the hot task's cost is dominated by real join
+    // work, not scan overhead
+    val dim = fact.select("user_id").distinct()
+      .crossJoin(spark.range(4).select(col("id").as("f")))
+      .withColumn("payload", (col("user_id") * 7L + col("f")) % 1001L)
+      .drop("f")
+      .repartition(32).localCheckpoint(true)
+    println(s"  dim rows: ${dim.count()} (4/user; broadcast disabled to force the shuffle-join regime)")
+    // per-OUTPUT-row feature hash (md5-based hash60): the downstream
+    // work a real pipeline fuses after the join — this is what makes
+    // the hot task's 20% of all output rows a wall-clock straggler
+    def joinChecksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(pmod(graft.llm.TextFunctions.hash60(concat_ws(":",
+          col("user_id"), col("event_id"), col("payload"))),
+          lit(1000000007L))).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val noBroadcast = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val (cjPlain, _) = timed("join plain smj, AQE skew OFF") {
+      withConf(spark, noBroadcast :+
+          ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+        joinChecksum(fact.join(dim, "user_id"))
+      }
+    }
+    val (cjSalted, _) = timed("join SALTED x32, AQE skew OFF") {
+      withConf(spark, noBroadcast :+
+          ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+        joinChecksum(graft.operators.SaltedJoin.inner(fact, dim,
+          Seq("user_id"), salts = 32))
+      }
+    }
+    val (cjAqe, _) = timed("join plain smj, AQE skew ON") {
+      withConf(spark, noBroadcast ++ Seq(
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m"): _*) {
+        joinChecksum(fact.join(dim, "user_id"))
+      }
+    }
+    require(cjPlain == cjSalted && cjPlain == cjAqe,
+      s"join checksums diverged: plain=$cjPlain salted=$cjSalted aqe=$cjAqe")
+    println(s"  join checksums agree: $cjPlain")
+
+    // ---- dedup: hot-cluster corpus, CC must converge ----
+    val docs0 = graft.queries.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val nDocs = docs0.count()
+    val dStride = docs0.agg(max("doc_id")).head().getLong(0) + 1L
+    val hotN = math.max(50L, nDocs * mult / 50L) // ~2% of the scaled corpus
+    val hotText = docs0.orderBy("doc_id").select("text").head().getString(0)
+    val hotDocs = spark.range(hotN)
+      .select((col("id") + lit(dStride * (mult + 1))).as("doc_id"),
+        lit(hotText).as("text"))
+    (0 until mult).map { c =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(c.toLong * dStride))
+    }.reduce(_ union _).union(hotDocs)
+      .repartition(32).write.mode("overwrite").parquet(s"$tmp/skew_docs")
+    val sdocs = spark.read.parquet(s"$tmp/skew_docs")
+    println(s"  skewed dedup corpus: ${sdocs.count()} docs (hot cluster ≥ ${hotN + mult})")
+    timed("minhash candidates (hot cluster)") {
+      val c = Dedup.minhashCandidates(sdocs, "text", "doc_id").localCheckpoint(true)
+      println(s"    pairs: ${c.count()}")
+      timed("connected components (hot cluster)") {
+        val l = Dedup.connectedComponents(c, "doc_a", "doc_b")
+        val hotLabelSize = l.groupBy("label").count()
+          .agg(max("count")).head().getLong(0)
+        println(s"    labeled nodes: ${l.count()}, clusters: " +
+          s"${l.select("label").distinct().count()}, largest cluster: $hotLabelSize")
+        require(hotLabelSize >= hotN + mult,
+          s"hot cluster split: $hotLabelSize < ${hotN + mult}")
+      }
+    }
   }
 
   /** q60's Count-Min join-size estimate at mult copies of lineitem
