@@ -85,4 +85,30 @@ object SaltedAgg {
       .groupBy(keys.map(col): _*)
       .agg(merged.head, merged.tail: _*)
   }
+
+  /** Holistic-aggregate skew relief that [[aggregate]]'s CollectSet
+    * CANNOT give (measured in ScaleSmoke's skew stage): a hot key's
+    * distinct-value set is its own output, so any plan that assembles
+    * it in one row pays one task for the whole set — salting the
+    * computation still funnels the merge. The scalable form keeps the
+    * OUTPUT sharded: values are routed to shards BY VALUE, so each
+    * (key, shard) row holds a disjoint slice of the key's set, dedup
+    * within a shard is exact, no cross-shard merge exists at all, and
+    * the hot key costs `shards` parallel tasks bounded by |set|/shards.
+    * Flattening a key's shards reproduces `array_sort(collect_set)`
+    * exactly (disjointness makes the union concatenation — SaltingSpec
+    * pins it); downstream consumers stream shard rows instead of
+    * materializing monster arrays — the only shape that survives a
+    * key whose set itself is executor-memory-sized.
+    *
+    * `shardExpr` must be a deterministic pure function of the VALUE
+    * (e.g. `pmod(col("v"), lit(16))` or a hash of it) — a row-level
+    * salt like [[aggregate]]'s would scatter duplicates across shards
+    * and break the disjoint-union property.
+    */
+  def collectSetSharded(df: DataFrame, keys: Seq[String], valueCol: String,
+                        shardExpr: Column, out: String): DataFrame =
+    df.withColumn("__shard", shardExpr)
+      .groupBy((keys :+ "__shard").map(col): _*)
+      .agg(array_sort(collect_set(valueCol)).as(out))
 }

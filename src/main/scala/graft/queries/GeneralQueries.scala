@@ -1383,6 +1383,27 @@ object GeneralQueries {
         .select(lit(-1L).as("month_sec"), col("exact"),
           withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
       monthly.union(total).orderBy("month_sec")
+    }),
+
+    // SHARDED-OUTPUT HOLISTIC AGGREGATE — the skew relief ScaleSmoke's
+    // measurement shows two-stage salting CANNOT give collect_set (the
+    // hot key's set IS the output, so any single-row plan funnels it
+    // through one task): values route to shards BY VALUE
+    // (SaltedAgg.collectSetSharded), each (key, shard) row holds a
+    // disjoint exact slice, no cross-shard merge exists, and the hot
+    // key costs `shards` parallel bounded tasks. Flattening a key's
+    // shards equals array_sort(collect_set) (SaltingSpec); here the
+    // per-shard rows themselves are the oracle-gated output (folded
+    // to sorted joined strings — the driver gate compares scalars).
+    "q63_sharded_collect_set" -> ((s, d) => {
+      import graft.operators.SaltedAgg
+      SaltedAgg.collectSetSharded(
+          Tables.events(s, d).withColumn("uid_bucket", col("user_id") % 200),
+          Seq("event_type"), "uid_bucket",
+          shardExpr = pmod(col("uid_bucket"), lit(4)), out = "uniq")
+        .withColumnRenamed("__shard", "shard")
+        .withColumn("uniq", concat_ws(",", col("uniq")))
+        .orderBy("event_type", "shard")
     })
   )
 
@@ -2152,6 +2173,16 @@ object GeneralQueries {
         |  FROM m GROUP BY 1
         |  UNION ALL
         |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m
-        |) ORDER BY month_sec""".stripMargin
+        |) ORDER BY month_sec""".stripMargin,
+
+    // q63: shard = value % 4 is a pure value function, so grouping by
+    // it reproduces the disjoint per-shard distinct slices exactly
+    "q63_sharded_collect_set" ->
+      """SELECT event_type,
+        |       CAST(user_id % 200 % 4 AS BIGINT) AS shard,
+        |       array_to_string(list_sort(list(DISTINCT user_id % 200)), ',') AS uniq
+        |FROM events
+        |GROUP BY event_type, user_id % 200 % 4
+        |ORDER BY event_type, shard""".stripMargin
   )
 }

@@ -519,6 +519,16 @@ object ScaleSmoke {
     println(f"  holistic agg (collect_set): both bounded by the irreducible per-key " +
       f"output merge ($tDirS%.2f s vs $tSaltS%.2f s) — skew relief requires sharding " +
       "the OUTPUT, not the computation; checksums agree")
+    val (szSharded, tShard) = timed("agg collect_set SHARDED OUT x32") {
+      graft.operators.SaltedAgg.collectSetSharded(fact, Seq("user_id"),
+          "event_id", shardExpr = pmod(col("event_id"), lit(32)), out = "uniq")
+        .agg(sum(size(col("uniq")))).head().getLong(0)
+    }
+    require(szSharded == cuDirect._1,
+      s"sharded-output set size diverged: $szSharded vs ${cuDirect._1}")
+    println(f"  sharded OUTPUT (collectSetSharded, q63's operator): $tShard%.2f s — " +
+      "the hot key's set never assembles in one task; disjoint shard union " +
+      s"covers the same $szSharded values")
 
     // ---- join: straggler baseline vs SaltedJoin vs AQE skew-join ----
     // 4 dim rows per user (the user × feature shape): join OUTPUT is

@@ -56,6 +56,29 @@ class SaltingSpec extends AnyFunSuite with SparkTestSession {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("collectSetSharded shards are disjoint and union to the direct set") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 3000L).map { i =>
+      val key = if (i % 10 != 0) "hot" else s"cold_${i % 7}"
+      (key, i % 211)
+    }
+    val df = rows.toDF("k", "v").repartition(8)
+    val sharded = SaltedAgg.collectSetSharded(df, Seq("k"), "v",
+        pmod(col("v"), lit(4)), "uniq_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    // within-key shards are disjoint, and their union is the direct set
+    sharded.groupBy(_._1).foreach { case (k, g) =>
+      val all = g.flatMap(_._3)
+      assert(all.length == all.distinct.length, s"key $k shards overlap")
+    }
+    val direct = df.groupBy("k")
+      .agg(array_sort(collect_set("v")).as("uniq_v"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    sharded.groupBy(_._1).foreach { case (k, g) =>
+      assert(g.flatMap(_._3).sorted.toSeq == direct(k), s"key $k union mismatch")
+    }
+  }
+
   test("salted plan aggregates in two stages (salt key present in stage 1)") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => ("k", i)).toDF("k", "v")
