@@ -1404,6 +1404,77 @@ object GeneralQueries {
         .withColumnRenamed("__shard", "shard")
         .withColumn("uniq", concat_ws(",", col("uniq")))
         .orderBy("event_type", "shard")
+    }),
+
+    // DDSKETCH FROM PURE SQL — q56's relative-error quantile path via
+    // the extension-registered dd_bucket/dd_bucket_value scalars
+    // (q61's pattern for the second sketch family): build the
+    // log-bucket sketch relation, cumulative-walk it to p50/p95/p99,
+    // and bound-check the midpoint estimator against the exact
+    // discrete quantile from the SAME walk over the identity
+    // relation — all in one spark.sql statement. The exact side
+    // (exact_c) is integer arithmetic both engines reproduce, so it
+    // is hash-checked cross-engine like q56.
+    "q64_sql_ddsketch" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("value_c"))
+        .createOrReplaceTempView("v_ev_vals")
+      s.sql("""
+        WITH qs AS (SELECT explode(array(500000L, 950000L, 990000L)) AS qe6),
+        sk AS (SELECT event_type, dd_bucket(value_c, 1.04D) AS bucket,
+                      count(*) AS cnt
+               FROM v_ev_vals GROUP BY 1, 2),
+        cum AS (SELECT event_type, bucket, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM sk),
+        est AS (SELECT event_type, qe6, max(n) AS n,
+                       min(CASE WHEN cum >= (n * qe6 + 999999) DIV 1000000
+                                THEN bucket END) AS bucket
+                FROM cum CROSS JOIN qs GROUP BY event_type, qe6),
+        xg AS (SELECT event_type, value_c AS bucket, count(*) AS cnt
+               FROM v_ev_vals GROUP BY 1, 2),
+        xcum AS (SELECT event_type, bucket, cnt,
+                        sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                        sum(cnt) OVER (PARTITION BY event_type) AS n
+                 FROM xg),
+        exact AS (SELECT event_type, qe6,
+                         min(CASE WHEN cum >= (n * qe6 + 999999) DIV 1000000
+                                  THEN bucket END) AS exact_c
+                  FROM xcum CROSS JOIN qs GROUP BY event_type, qe6)
+        SELECT est.event_type, est.qe6, est.n, exact.exact_c,
+               CAST(abs(dd_bucket_value(est.bucket, 1.04D) - exact.exact_c)
+                      <= exact.exact_c * 0.03 AS BIGINT) AS within_rel
+        FROM est JOIN exact
+          ON est.event_type = exact.event_type AND est.qe6 = exact.qe6
+        ORDER BY event_type, qe6
+      """)
+    }),
+
+    // COUNT-MIN FROM PURE SQL — q60's join-size estimator via the
+    // extension-registered cm_bucket scalar: depth arrives as a
+    // COLUMN (SQL explodes its own 0..3 range), the sketches are
+    // plain GROUP BYs, the estimate is the min per-depth inner
+    // product. Deterministic integer arithmetic end to end, so the
+    // estimate itself is hash-checked by q60's oracle arithmetic.
+    "q65_sql_cm_estimate" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        WITH ds AS (SELECT explode(sequence(0L, 3L)) AS d),
+        a AS (SELECT d, cm_bucket(l_orderkey, d, 65536L) AS w, count(*) AS cnt_a
+              FROM v_lineitem CROSS JOIN ds GROUP BY 1, 2),
+        b AS (SELECT d, cm_bucket(o_orderkey, d, 65536L) AS w, count(*) AS cnt_b
+              FROM v_orders CROSS JOIN ds GROUP BY 1, 2),
+        i AS (SELECT a.d, sum(cnt_a * cnt_b) AS inner_e
+              FROM a JOIN b ON a.d = b.d AND a.w = b.w GROUP BY 1)
+        SELECT d, inner_e FROM i
+        UNION ALL SELECT -1L, min(inner_e) FROM i
+        UNION ALL SELECT -2L, count(*) FROM v_lineitem
+                  JOIN v_orders ON l_orderkey = o_orderkey
+        ORDER BY d
+      """)
     })
   )
 
@@ -2183,6 +2254,44 @@ object GeneralQueries {
         |       array_to_string(list_sort(list(DISTINCT user_id % 200)), ',') AS uniq
         |FROM events
         |GROUP BY event_type, user_id % 200 % 4
-        |ORDER BY event_type, shard""".stripMargin
+        |ORDER BY event_type, shard""".stripMargin,
+
+    // q64: the exact discrete quantile from the same cumulative walk
+    // (integer arithmetic both engines reproduce); the sketch flag is
+    // the within-alpha predicate, expected true
+    "q64_sql_ddsketch" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |qs AS (SELECT CAST(unnest([500000,950000,990000]) AS BIGINT) AS qe6),
+        |g AS (SELECT event_type, value_c, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |c AS (SELECT event_type, value_c, cnt,
+        |             sum(cnt) OVER (PARTITION BY event_type ORDER BY value_c) AS cum,
+        |             sum(cnt) OVER (PARTITION BY event_type) AS n
+        |      FROM g)
+        |SELECT event_type, qe6, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(min(CASE WHEN cum >= (n * qe6 + 999999) // 1000000
+        |                     THEN value_c END) AS BIGINT) AS exact_c,
+        |       CAST(1 AS BIGINT) AS within_rel
+        |FROM c CROSS JOIN qs
+        |GROUP BY event_type, qe6
+        |ORDER BY event_type, qe6""".stripMargin,
+
+    // q65: q60's oracle arithmetic verbatim — the Spark side differs
+    // only in surface (pure SQL over cm_bucket)
+    "q65_sql_cm_estimate" ->
+      """WITH ds AS (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS d),
+        |a AS (SELECT d, h % 65536 AS w, count(*) AS cnt_a FROM (
+        |        SELECT ds.d,
+        |               (('0x'||substr(md5('cm'||CAST(ds.d AS VARCHAR)||':'||CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT) AS h
+        |        FROM lineitem CROSS JOIN ds) GROUP BY 1, 2),
+        |b AS (SELECT d, h % 65536 AS w, count(*) AS cnt_b FROM (
+        |        SELECT ds.d,
+        |               (('0x'||substr(md5('cm'||CAST(ds.d AS VARCHAR)||':'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT) AS h
+        |        FROM orders CROSS JOIN ds) GROUP BY 1, 2),
+        |i AS (SELECT d, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS inner_e
+        |      FROM a JOIN b USING (d, w) GROUP BY 1)
+        |SELECT d, inner_e FROM i
+        |UNION ALL SELECT -1, CAST(min(inner_e) AS BIGINT) FROM i
+        |UNION ALL SELECT -2, count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY d""".stripMargin
   )
 }
