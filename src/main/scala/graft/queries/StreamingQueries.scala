@@ -1140,8 +1140,13 @@ object StreamingQueries {
         } finally q.stop()
       }
 
+      // localCheckpoint: `merged` (81 sketch rows) feeds both the
+      // monthly join and the grand total — without it each branch
+      // re-runs partition discovery over the ~3-batches×months
+      // directory tree the hive-partitioned layout creates
       val merged = graft.operators.SketchIndex.read(s, idx)
         .groupBy("month_sec").agg(kmvMerge(col("sk")).as("sk"))
+        .localCheckpoint(true)
       val exMonthly = ord.groupBy("month_sec")
         .agg(countDistinct("o_custkey").as("exact"))
       val monthly = merged.join(exMonthly, "month_sec")
