@@ -28,7 +28,23 @@ object SaltedJoin {
     * is fully replicated.
     */
   def inner(left: DataFrame, right: DataFrame, keys: Seq[String],
-            salts: Int): DataFrame = {
+            salts: Int): DataFrame =
+    salted(left, right, keys, salts, "inner")
+
+  /** LEFT OUTER under the same salting — the skew-safe enrichment
+    * join (hot fact keys left-joining a dimension that may lack
+    * some keys). Correct because every left row carries exactly ONE
+    * salt value: a matched row joins its replicas under its own
+    * salt, and an unmatched row survives the (key, salt) left join
+    * exactly once with nulled right columns — result ≡ the unsalted
+    * left join (SaltedJoinSpec pins it, nulls included).
+    */
+  def left(left: DataFrame, right: DataFrame, keys: Seq[String],
+           salts: Int): DataFrame =
+    salted(left, right, keys, salts, "left")
+
+  private def salted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     salts: Int, how: String): DataFrame = {
     require(salts >= 1, "salts must be positive")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "input already has a '__salt' column — rename it before salting")
@@ -36,6 +52,6 @@ object SaltedJoin {
       pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
-    l.join(r, keys :+ "__salt").drop("__salt")
+    l.join(r, keys :+ "__salt", how).drop("__salt")
   }
 }

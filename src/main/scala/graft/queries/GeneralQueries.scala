@@ -1452,6 +1452,26 @@ object GeneralQueries {
       """)
     }),
 
+    // SKEW-SAFE LEFT OUTER JOIN (SaltedJoin.left, r9) — the
+    // enrichment shape q35's inner form can't cover: hot fact keys
+    // left-joining a dimension that lacks some keys. Every left row
+    // carries exactly one salt, so unmatched rows survive the
+    // (key, salt) left join exactly once with nulls — result ≡ the
+    // plain left join (SaltedJoinSpec pins it frame-to-frame; this
+    // row hash-gates it through the aggregate, unmatched rows in the
+    // o_custkey = −1 bucket).
+    "q66_salted_left_join" -> ((s, d) => {
+      import graft.operators.SaltedJoin
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        asInt(col("l_extendedprice"), 2).as("price_c"))
+      val r = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      SaltedJoin.left(l, r, Seq("o_orderkey"), salts = 4)
+        .groupBy(coalesce(col("o_custkey"), lit(-1L)).as("o_custkey"))
+        .agg(count(lit(1)).as("n_items"), sum("price_c").as("sum_price_c"))
+        .orderBy("o_custkey")
+    }),
+
     // COUNT-MIN FROM PURE SQL — q60's join-size estimator via the
     // extension-registered cm_bucket scalar: depth arrives as a
     // COLUMN (SQL explodes its own 0..3 range), the sketches are
@@ -2274,6 +2294,17 @@ object GeneralQueries {
         |FROM c CROSS JOIN qs
         |GROUP BY event_type, qe6
         |ORDER BY event_type, qe6""".stripMargin,
+
+    // q66: the plain left join IS the oracle, so the salted plan's
+    // equivalence (nulls included, via the -1 bucket) is hash-gated
+    "q66_salted_left_join" ->
+      """SELECT CAST(COALESCE(o_custkey, -1) AS BIGINT) AS o_custkey,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |                         WHERE o_orderkey % 3 = 0) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q65: q60's oracle arithmetic verbatim — the Spark side differs
     // only in surface (pure SQL over cm_bucket)

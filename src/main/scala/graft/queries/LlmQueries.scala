@@ -1540,6 +1540,42 @@ object LlmQueries {
             <= col("exact_union").cast("double") * lit(0.35))
             .cast("long").as("within_inter"))
         .orderBy("source_a", "source_b")
+    }),
+
+    // INT8 EMBEDDING QUANTIZATION — the storage op an embedding
+    // pipeline runs before ANN indexing ships: per-vector max-abs
+    // symmetric scale, FLOOR quantizer to [-127, 127] (floor, not
+    // round — banker's-rounding ties differ between engines; floor
+    // on identical IEEE doubles does not), 4× smaller than float32
+    // with dequantization error provably < scale/127. Pure per-row
+    // codegen'd array expressions, no shuffle before the
+    // presentation sort — embarrassingly parallel at any corpus
+    // size. Both engines compute the identical double-precision
+    // expression tree (the x10 cosineE6 determinism pattern), so the
+    // CODES themselves are hash-checked cross-engine via their
+    // sum/min/max, and the error bound rides as a flag.
+    "x72_int8_quantize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb
+        .withColumn("__scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .withColumn("__codes",
+          when(col("__scale") === 0d,
+            transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"), x =>
+            floor(x.cast("double") * lit(127d) / col("__scale")).cast("long"))))
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          aggregate(col("__codes"), lit(0L), (a, x) => a + x).as("sum_code"),
+          array_min(col("__codes")).as("min_code"),
+          array_max(col("__codes")).as("max_code"),
+          when(col("__scale") === 0d, lit(1L)).otherwise(
+            (array_max(zip_with(col("__codes"), col("embedding"), (c, v) =>
+              abs(c.cast("double") * col("__scale") / lit(127d)
+                - v.cast("double"))))
+              <= col("__scale") / lit(127d) * lit(1.0000001d)).cast("long"))
+            .as("within_err"))
+        .orderBy("vec_id")
     })
   )
 
@@ -2986,6 +3022,29 @@ object LlmQueries {
         |       CAST(1 AS BIGINT) AS within_inter
         |FROM sz sa JOIN sz sb ON sa.source < sb.source
         |LEFT JOIN iv ON iv.source_a = sa.source AND iv.source_b = sb.source
-        |ORDER BY source_a, source_b""".stripMargin
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // x72: the identical double-precision quantization expression —
+    // float→double widening is exact and both engines evaluate the
+    // same IEEE tree, so code sums/extremes hash-match; the error
+    // bound holds by construction (floor error < 1 code unit)
+    "x72_int8_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |                  list_max(list_transform(embedding,
+        |                           x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |           FROM embeddings),
+        |c AS (SELECT vec_id, len(embedding) AS n_dims,
+        |             CASE WHEN scale = 0
+        |                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |                  ELSE list_transform(embedding,
+        |                       x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT))
+        |             END AS codes
+        |      FROM s)
+        |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+        |       CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |       CAST(list_min(codes) AS BIGINT) AS min_code,
+        |       CAST(list_max(codes) AS BIGINT) AS max_code,
+        |       CAST(1 AS BIGINT) AS within_err
+        |FROM c ORDER BY vec_id""".stripMargin
   )
 }

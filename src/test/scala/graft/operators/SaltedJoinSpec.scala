@@ -25,6 +25,25 @@ class SaltedJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(plain.exceptAll(salted).isEmpty, "salted lost rows")
   }
 
+  test("salted LEFT join equals the plain left join, nulls included") {
+    val s = spark; import s.implicits._
+    // orders 1..2000 vs a dim covering only even keys: odd keys must
+    // survive exactly once each with a null right side
+    val l = spark.read.parquet(s"$D/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey"))
+    val r = spark.read.parquet(s"$D/orders.parquet")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val plain = l.join(r, Seq("k"), "left")
+    val salted = SaltedJoin.left(l, r, Seq("k"), salts = 5)
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    assert(salted.exceptAll(plain).isEmpty, "salted-left produced extra rows")
+    assert(plain.exceptAll(salted).isEmpty, "salted-left lost rows")
+    assert(salted.filter(col("price").isNull).count() ===
+      l.filter(col("k") % 2 =!= 0).count(),
+      "every unmatched left row must survive exactly once with nulls")
+  }
+
   test("identical duplicate rows of a hot key keep their multiplicity") {
     val s = spark; import s.implicits._
     // 1000 byte-identical left rows on one key (they all salt alike —
