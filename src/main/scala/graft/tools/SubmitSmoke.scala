@@ -42,9 +42,17 @@ object SubmitSmoke {
     // surface), and the theta partial-merge (typed Aggregator buffers
     // — Seq[Long] via ExpressionEncoder — serialized between separate
     // executor JVMs, which local[n]'s shared classloader never tests)
+    // q61/q64 are PURE spark.sql over the extension-registered sketch
+    // functions: resolving them here proves the SQL surface survives
+    // the deploy path (submit.sh also sets
+    // spark.sql.extensions=graft.core.GraftExtensions, the
+    // conf-string registration a cluster user writes), and the
+    // kmv_sketch ScalaAggregator — an Aggregator closure + its
+    // ExpressionEncoder — serializes to SEPARATE executor JVMs
     for (name <- Seq("q01_tpch_q1", "q02_nation_revenue",
         "x04_token_stats", "x02_minhash_lsh", "q55_sketch_partial_merge",
-        "q59_theta_partial_merge")) {
+        "q59_theta_partial_merge", "q61_sql_sketch_algebra",
+        "q64_sql_ddsketch")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")

@@ -24,10 +24,15 @@ JAR="$(ls target/scala-*/hadoophistogramanalyzespark*.jar | head -1)"
 echo "jar: $JAR"
 
 export SPARK_HOME=/opt/spark
+# spark.sql.extensions is the conf-string registration a cluster user
+# writes (GraftSession.configure also injects programmatically — the
+# registry replaces duplicates, so both paths together are safe); the
+# smoke's q61/q64 then resolve the sketch SQL functions through it.
 "$SPARK_HOME/bin/spark-submit" \
   --master "$MASTER" \
   --class graft.tools.SubmitSmoke \
   --conf spark.ui.enabled=false \
   --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.extensions=graft.core.GraftExtensions \
   --conf spark.executor.memory=1536m \
   "$JAR" "$SF"
