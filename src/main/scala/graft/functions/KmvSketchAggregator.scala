@@ -50,8 +50,10 @@ final class KmvSketchAggregator(k: Int)
     if (buf.size >= k && h >= buf.last) buf
     else KmvSketchOps.insertSorted(buf, h, k)
 
+  // both sides are this aggregator's own buffers — sorted-distinct by
+  // construction, so the trusted merge skips the defensive sort check
   def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    KmvSketchOps.mergeSorted(a, b, k)
+    KmvSketchOps.mergeTrusted(a, b, k)
 
   /** Sorted ascending; size < k means the sketch is EXHAUSTIVE (it
     * holds every distinct hash seen) and estimates become exact.
@@ -75,9 +77,13 @@ final class KmvMergeAggregator(k: Int)
   require(k > 1, s"k must be > 1, got $k")
 
   def zero: Seq[Long] = Vector.empty
-  def reduce(buf: Seq[Long], sk: Seq[Long]): Seq[Long] = merge(buf, sk)
+  // sk arrives from EXTERNAL rows (persisted sketches) — the full
+  // mergeSorted defends against an unsorted input once per row
+  def reduce(buf: Seq[Long], sk: Seq[Long]): Seq[Long] =
+    KmvSketchOps.mergeSorted(buf, sk, k)
+  // internal buffers — invariant holds, trusted merge
   def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    KmvSketchOps.mergeSorted(a, b, k)
+    KmvSketchOps.mergeTrusted(a, b, k)
   def finish(buf: Seq[Long]): Array[Long] = buf.toArray
 
   def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
@@ -110,11 +116,11 @@ private[functions] object KmvSketchOps {
     }
   }
 
-  /** k smallest distinct of two sorted-distinct sequences by a linear
-    * two-pointer walk. Falls back to sorting an input that violates
-    * the precondition (defensive — persisted sketches are written
-    * sorted by construction, but the merge must never silently emit
-    * an unsorted buffer).
+  /** k smallest distinct of two sorted-distinct sequences. Falls back
+    * to sorting an input that violates the precondition (defensive —
+    * persisted sketches are written sorted by construction, but the
+    * merge must never silently emit an unsorted buffer). Use
+    * [[mergeTrusted]] when both sides are this module's own buffers.
     */
   def mergeSorted(a0: Seq[Long], b0: Seq[Long], k: Int): Seq[Long] = {
     def sortedOf(s: Seq[Long]): Seq[Long] = {
@@ -122,28 +128,47 @@ private[functions] object KmvSketchOps {
       while (i < s.size && s(i - 1) < s(i)) i += 1
       if (i >= s.size) s else s.distinct.sorted
     }
-    val a = sortedOf(a0)
-    val b = sortedOf(b0)
+    mergeTrusted(sortedOf(a0), sortedOf(b0), k)
+  }
+
+  /** [[mergeSorted]] minus the precondition check. Asymmetric sizes
+    * (the dominant shape in a mixed distinct+UDAF plan, where the
+    * final aggregation merges thousands of row-sized partials into a
+    * k-sized buffer) fold the small side in by binary-search insert —
+    * zero allocation when the small side is already contained; the
+    * balanced case runs a primitive-array two-pointer walk. Outputs
+    * are bit-identical across all paths (KmvSketchSpec pins it).
+    */
+  def mergeTrusted(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
     if (a.isEmpty) b.take(k)
     else if (b.isEmpty) a.take(k)
+    else if (b.size < 8 || b.size.toLong * 8 <= a.size)
+      b.foldLeft(a)((acc, h) =>
+        if (acc.size >= k && h >= acc.last) acc else insertSorted(acc, h, k))
+    else if (a.size < 8 || a.size.toLong * 8 <= b.size)
+      a.foldLeft(b)((acc, h) =>
+        if (acc.size >= k && h >= acc.last) acc else insertSorted(acc, h, k))
     else {
-      val out = Vector.newBuilder[Long]
+      val aa = a.toArray
+      val bb = b.toArray
+      val out = new Array[Long](math.min(k, aa.length + bb.length))
       var i = 0
       var j = 0
       var n = 0
-      while (n < k && (i < a.size || j < b.size)) {
+      while (n < out.length && (i < aa.length || j < bb.length)) {
         val next =
-          if (j >= b.size || (i < a.size && a(i) <= b(j))) { val v = a(i); i += 1; v }
-          else { val v = b(j); j += 1; v }
+          if (j >= bb.length || (i < aa.length && aa(i) <= bb(j))) {
+            val v = aa(i); i += 1; v
+          } else { val v = bb(j); j += 1; v }
         // skip the duplicate when both sides carry the same hash
-        if (i < a.size && a(i) == next) i += 1
-        if (j < b.size && b(j) == next) j += 1
-        out += next
+        if (i < aa.length && aa(i) == next) i += 1
+        if (j < bb.length && bb(j) == next) j += 1
+        out(n) = next
         n += 1
       }
-      out.result()
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        if (n == out.length) out else java.util.Arrays.copyOf(out, n))
     }
-  }
 }
 
 /** Column-level estimators over KMV sketch arrays. All pure builtin

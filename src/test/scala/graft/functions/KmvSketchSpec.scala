@@ -131,6 +131,23 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestSession {
       val (sl, sr) = (l.distinct.sorted.take(k), r.distinct.sorted.take(k))
       assert(KmvSketchOps.mergeSorted(sl, sr, k) ==
         (sl ++ sr).distinct.sorted.take(k), s"k=$k merge")
+      assert(KmvSketchOps.mergeTrusted(sl, sr, k) ==
+        (sl ++ sr).distinct.sorted.take(k), s"k=$k trusted merge")
+    }
+    // the asymmetric fold paths and the balanced two-pointer path must
+    // all be bit-identical: tiny-vs-large (subset and fresh), and
+    // near-equal sizes past the 8-element threshold
+    for (k <- Seq(16, 64, 256)) {
+      val big = (0L until 300L).map(_ * 3).distinct.sorted.take(k)
+      val sub = big.take(4) // contained — the zero-allocation fold
+      val fresh = Seq(1L, 4L, 7L) // disjoint tiny side
+      val near = (0L until 280L).map(_ * 3 + 1).distinct.sorted.take(k)
+      for (b <- Seq(sub, fresh, near)) {
+        assert(KmvSketchOps.mergeTrusted(big, b, k) ==
+          (big ++ b).distinct.sorted.take(k), s"k=$k b=${b.size}")
+        assert(KmvSketchOps.mergeTrusted(b, big, k) ==
+          (big ++ b).distinct.sorted.take(k), s"k=$k reversed b=${b.size}")
+      }
     }
   }
 
