@@ -37,6 +37,26 @@ object LlmQueries {
   private def dDot(a: String, b: String) =
     dSum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
 
+  /** x72/x73's SQ8 quantization, shared: per-vector max-abs scale and
+    * the FLOOR quantizer to [-127, 127] (floor, not round — rounding
+    * ties differ between engines; floor on identical IEEE doubles
+    * does not). Both sides of the oracle evaluate the same tree.
+    */
+  private def sq8Scale(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+  private def sq8Codes(v: org.apache.spark.sql.Column,
+                       scale: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(scale === 0d, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x =>
+        floor(x.cast("double") * lit(127d) / scale).cast("long")))
+  /** DuckDB rendering of the same scale / codes. */
+  private def dSq8Scale(v: String) =
+    s"list_max(list_transform($v, x -> abs(CAST(x AS DOUBLE))))"
+  private def dSq8Codes(v: String, scale: String) =
+    s"""CASE WHEN $scale = 0 THEN list_transform($v, x -> CAST(0 AS BIGINT))
+       |     ELSE list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / $scale) AS BIGINT))
+       |END""".stripMargin
+
   /** DuckDB rendering of Similarity.cosineE6 (floored e6 long). */
   private def cosSql(a: String, b: String) =
     s"""CAST(floor(1000000.0 * ${dDot(a, b)}
@@ -1557,13 +1577,8 @@ object LlmQueries {
     "x72_int8_quantize" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       emb
-        .withColumn("__scale",
-          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-        .withColumn("__codes",
-          when(col("__scale") === 0d,
-            transform(col("embedding"), _ => lit(0L)))
-          .otherwise(transform(col("embedding"), x =>
-            floor(x.cast("double") * lit(127d) / col("__scale")).cast("long"))))
+        .withColumn("__scale", sq8Scale(col("embedding")))
+        .withColumn("__codes", sq8Codes(col("embedding"), col("__scale")))
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("n_dims"),
           aggregate(col("__codes"), lit(0L), (a, x) => a + x).as("sum_code"),
@@ -1576,6 +1591,42 @@ object LlmQueries {
               <= col("__scale") / lit(127d) * lit(1.0000001d)).cast("long"))
             .as("within_err"))
         .orderBy("vec_id")
+    }),
+
+    // SQ8 TOP-K READ PATH — the search over x72's quantized codes
+    // (faiss's SQ8 posture: 4× less memory traffic than float32,
+    // decode-free scoring): approximate dot = (Σ ca·cb)·sa·sb/127²,
+    // where the inner Σ is EXACT INTEGER arithmetic — so unlike
+    // float ANN scores the whole ranking is deterministic and the
+    // SCORES are hash-checked cross-engine (the x10 brute-force
+    // pattern, with dot_e6 floored after an identically-ordered
+    // double rescale). Same scan/broadcast shape as x10: one corpus
+    // pass, probe side broadcast, output k-bounded.
+    "x73_sq8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def quantized(df: DataFrame, idAs: String, codesAs: String,
+                    scaleAs: String): DataFrame =
+        df.withColumn("__s", sq8Scale(col("embedding")))
+          .select(col("vec_id").as(idAs),
+            sq8Codes(col("embedding"), col("__s")).as(codesAs),
+            col("__s").as(scaleAs))
+      val c = quantized(emb, "neighbor_id", "c_codes", "c_scale")
+      val p = quantized(emb.filter(col("vec_id") < 10),
+        "probe_id", "p_codes", "p_scale")
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("dot_e6").desc, col("neighbor_id"))
+      c.crossJoin(broadcast(p))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("__idot",
+          aggregate(zip_with(col("c_codes"), col("p_codes"), (x, y) => x * y),
+            lit(0L), (a, x) => a + x))
+        .withColumn("dot_e6",
+          floor(lit(1000000d) * col("__idot").cast("double")
+            * col("c_scale") * col("p_scale") / lit(16129d)).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("probe_id", "neighbor_id", "dot_e6", "rnk")
+        .orderBy("probe_id", "rnk")
     })
   )
 
@@ -3045,6 +3096,29 @@ object LlmQueries {
         |       CAST(list_min(codes) AS BIGINT) AS min_code,
         |       CAST(list_max(codes) AS BIGINT) AS max_code,
         |       CAST(1 AS BIGINT) AS within_err
-        |FROM c ORDER BY vec_id""".stripMargin
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    // x73: the identical SQ8 quantization + EXACT integer dot, then
+    // the identically-ordered double rescale — rank and scores both
+    // hash-match (the x10 brute-force oracle pattern)
+    "x73_sq8_topk" ->
+      s"""WITH q AS (SELECT vec_id, ${dSq8Scale("embedding")} AS s, embedding FROM embeddings),
+         |c AS (SELECT vec_id, s, ${dSq8Codes("embedding", "s")} AS codes FROM q),
+         |p AS (SELECT vec_id AS probe_id, s AS p_scale, codes AS p_codes
+         |      FROM c WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |         CAST(floor(1000000.0 * CAST(list_sum(
+         |                 list_transform(generate_series(1, len(c.codes)),
+         |                                i -> c.codes[i] * p.p_codes[i])) AS DOUBLE)
+         |              * c.s * p.p_scale / 16129.0) AS BIGINT) AS dot_e6
+         |  FROM c, p WHERE c.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, dot_e6,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY dot_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, dot_e6, rnk FROM ranked
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
   )
 }
