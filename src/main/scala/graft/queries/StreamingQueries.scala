@@ -1157,6 +1157,46 @@ object StreamingQueries {
         .select(lit(-1L).as("month_sec"), col("exact"),
           withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
       monthly.union(total).orderBy("month_sec")
+    }),
+
+    // STREAMING SHARDED-OUTPUT SET STATE — q63's operator as live
+    // state: collect_set per (key, value-shard) in complete mode, so
+    // the hot key's distinct-value state is SPLIT across shard groups
+    // instead of accumulating in one (the state-size analogue of the
+    // batch argument: ScaleSmoke's skew stage shows the per-key set
+    // is the irreducible object — sharding the state rows is the only
+    // bound). Set state is a pure set-function of the stream, so
+    // batching cannot change the final table (three uneven batches),
+    // which must equal q63's batch answer — the same oracle shape.
+    "st24_streaming_sharded_set" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val rows = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 200).as("uid_bucket"))
+        .as[(String, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = graft.operators.SaltedAgg.collectSetSharded(
+            in.toDF().toDF("event_type", "uid_bucket"),
+            Seq("event_type"), "uid_bucket",
+            shardExpr = pmod(col("uid_bucket"), lit(4)), out = "uniq")
+          .writeStream.format("memory").queryName("st24_sharded")
+          .outputMode("complete").start()
+        try {
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st24_sharded")
+        .withColumnRenamed("__shard", "shard")
+        .withColumn("uniq", concat_ws(",", col("uniq")))
+        .orderBy("event_type", "shard")
     })
   )
 
@@ -1435,6 +1475,16 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // st24: set state is a set-function of the stream — the final
+    // complete-mode table equals q63's batch answer
+    "st24_streaming_sharded_set" ->
+      """SELECT event_type,
+        |       CAST(user_id % 200 % 4 AS BIGINT) AS shard,
+        |       array_to_string(list_sort(list(DISTINCT user_id % 200)), ',') AS uniq
+        |FROM events
+        |GROUP BY event_type, user_id % 200 % 4
+        |ORDER BY event_type, shard""".stripMargin,
 
     // draining the whole directory once = the plain batch aggregate
     "st11_file_stream_agg" ->
