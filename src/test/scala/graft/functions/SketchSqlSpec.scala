@@ -117,4 +117,20 @@ class SketchSqlSpec extends AnyFunSuite with SparkTestSession {
     val bd = spark.sql("SELECT dd_bucket(100, 1.04D) AS b").head().getLong(0)
     assert(b == bd)
   }
+
+  test("misuse fails at analysis with a named, readable error") {
+    def msg(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(msg("SELECT kmv_estimate(array(1L))")
+      .contains("kmv_estimate expects exactly 2 arguments"))
+    assert(msg("SELECT dd_bucket(100, 'x')")
+      .contains("gamma must be a numeric literal"))
+    // k must be plan-time constant — a column reference is rejected,
+    // not silently mis-planned
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2)).toDF("h", "kk").createOrReplaceTempView("sq_bad")
+    assert(msg("SELECT kmv_sketch(h, kk) FROM sq_bad GROUP BY 1")
+      .contains("integer literal"))
+  }
 }
