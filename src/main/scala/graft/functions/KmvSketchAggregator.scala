@@ -117,16 +117,21 @@ private[functions] object KmvSketchOps {
   }
 
   /** k smallest distinct of two sorted-distinct sequences. Falls back
-    * to sorting an input that violates the precondition (defensive —
-    * persisted sketches are written sorted by construction, but the
-    * merge must never silently emit an unsorted buffer). Use
-    * [[mergeTrusted]] when both sides are this module's own buffers.
+    * to sorting an input that violates the precondition, and CAPS each
+    * side at k (defensive — persisted sketches are written sorted and
+    * ≤ k by construction, but a sketch persisted under a LARGER k must
+    * degrade to its k smallest hashes — still a valid KMV sketch at
+    * this k — rather than flow oversized through [[mergeTrusted]]'s
+    * fold paths and break the size ≤ k buffer invariant; ADVICE r9).
+    * Use [[mergeTrusted]] when both sides are this module's own
+    * buffers.
     */
   def mergeSorted(a0: Seq[Long], b0: Seq[Long], k: Int): Seq[Long] = {
     def sortedOf(s: Seq[Long]): Seq[Long] = {
       var i = 1
       while (i < s.size && s(i - 1) < s(i)) i += 1
-      if (i >= s.size) s else s.distinct.sorted
+      val sorted = if (i >= s.size) s else s.distinct.sorted
+      if (sorted.size > k) sorted.take(k) else sorted
     }
     mergeTrusted(sortedOf(a0), sortedOf(b0), k)
   }

@@ -50,7 +50,13 @@ object SketchSqlFunctions {
 
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(i: Int, _) => i
-    case Literal(l: Long, _) => l.toInt
+    case Literal(l: Long, _) =>
+      // range-check instead of silently truncating: kmv_sketch(h,
+      // 4294967298L) must fail loudly, not become k=2 (ADVICE r9)
+      if (l < Int.MinValue || l > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn: the sketch size k must fit in an INT, got $l")
+      else l.toInt
     case Literal(s: Short, _) => s.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: the sketch size k must be an integer literal, got $other")

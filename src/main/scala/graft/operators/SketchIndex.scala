@@ -1,8 +1,9 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{KmvSketch, KmvSketchAggregator}
+import graft.functions.{KmvMergeAggregator, KmvSketch, KmvSketchAggregator}
 
 /** Persisted per-month theta/KMV sketch index, HIVE-PARTITIONED by
   * month (VERDICT r8 ask #5): each month's customer/key sketch is a
@@ -16,18 +17,40 @@ import graft.functions.{KmvSketch, KmvSketchAggregator}
   * the base table (exact sides in q62 are recomputed only for the
   * driver check).
   *
-  * Batch builds ([[writeMonthly]]) and streaming maintenance
-  * ([[appendMonthly]], st23's foreachBatch) share the layout: KMV
-  * merge is associative+commutative+idempotent-on-sets, so however
-  * many partial rows a month accumulated across micro-batches, the
-  * merge-on-read ([[KmvSketch]] merge aggregator) equals the one-shot
-  * sketch.
+  * The index is a two-level LSM (VERDICT r9 ask #1): streaming
+  * maintenance ([[appendStaged]], st23's foreachBatch) appends each
+  * micro-batch's partials as ONE FLAT FILE under `<dir>_staging/` —
+  * measured ~0.2 s against ~1.2 s for a hive-layout append, because a
+  * partitioned write pays a parquet writer + commit rename PER MONTH
+  * DIRECTORY (~80 at TPC-H date range) regardless of committer
+  * algorithm, and that cost would scale with index age on every
+  * micro-batch. [[compact]] periodically folds staging + hive into the
+  * read-optimized hive layout (one row/file per month) and clears the
+  * folded staging files. Readers ([[read]], [[probeRange]]) see
+  * hive ∪ staging, so the index is always complete; KMV merge is
+  * associative + commutative + IDEMPOTENT on sets, so a staging file
+  * that races a compaction and gets both folded and re-read changes
+  * nothing — the union of the same hash sets is the same set.
   *
   * Partition-value inference types `month_sec=<v>` directories as INT
   * when values fit; [[read]] normalizes the column back to LONG so
   * downstream schemas (and the driver's dtype gate) are stable.
   */
 object SketchIndex {
+
+  private def stagingDir(dir: String): String = dir + "_staging"
+
+  /** A level is present when its path holds any DATA entry — a
+    * pre-created empty directory (Scratch roots) or one holding only
+    * commit metadata (`_SUCCESS` left behind after compact cleared the
+    * staged files) is as absent as no directory.
+    */
+  private def exists(s: SparkSession, p: String): Boolean = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(path) && (fs.getFileStatus(path).isFile ||
+      fs.listStatus(path).exists(!_.getPath.getName.startsWith("_")))
+  }
 
   /** Build/replace the index: one sketch row per month, one directory
     * per month. `rows` needs (monthCol: long epoch-seconds, keyCol).
@@ -40,8 +63,10 @@ object SketchIndex {
       .write.partitionBy(monthCol).mode("overwrite").parquet(dir)
   }
 
-  /** Append one micro-batch's partials (streaming foreachBatch): same
-    * layout, merge-on-read folds the extra rows per month.
+  /** Append one micro-batch's partials straight into the hive layout.
+    * Correct (merge-on-read folds the extra rows) but pays the
+    * per-month-directory commit cost on EVERY batch — prefer
+    * [[appendStaged]] + periodic [[compact]] on a live stream.
     */
   def appendMonthly(batch: DataFrame, monthCol: String, keyCol: String,
                     dir: String, k: Int): Unit = {
@@ -51,20 +76,108 @@ object SketchIndex {
       .write.partitionBy(monthCol).mode("append").parquet(dir)
   }
 
-  /** The whole index, month type normalized to long. */
-  def read(s: SparkSession, dir: String,
-           monthCol: String = "month_sec"): DataFrame =
-    s.read.parquet(dir)
-      .withColumn(monthCol, col(monthCol).cast("long"))
+  /** Append one micro-batch's partials to the write-optimized staging
+    * level: month is a DATA column, the whole batch lands as one flat
+    * file (the partials are months × 2 KB, so coalesce(1) moves KBs).
+    * Readers union staging in; [[compact]] folds and clears it.
+    */
+  def appendStaged(batch: DataFrame, monthCol: String, keyCol: String,
+                   dir: String, k: Int): Unit = {
+    val kmv = udaf(new KmvSketchAggregator(k))
+    batch.select(col(monthCol), KmvSketch.hash63(col(keyCol)).as("h"))
+      .groupBy(monthCol).agg(kmv(col("h")).as("sk"))
+      .coalesce(1)
+      .write.mode("append").parquet(stagingDir(dir))
+  }
 
-  /** In-range partial rows — the filter sits on the PARTITION column
-    * (before the long-normalizing cast), so it prunes at planning
-    * time: out-of-range month directories are never listed into the
-    * scan (SketchIndexSpec asserts selectedPartitions == range).
+  /** Fold the accumulated state — hive partials plus staged files —
+    * back to ONE sketch row in ONE file per month, and clear the
+    * folded staging files. Append-only maintenance accumulates
+    * files = micro-batches, and while merge-on-read stays CORRECT
+    * forever (KMV merge is associative + commutative), its cost grows
+    * linearly in batch count; compaction restores files = months
+    * without changing a single sketch bit — the fold per month is
+    * exactly what merge-on-read would compute, so the compacted index
+    * is hash-identical (SketchIndexSpec pins file count AND sketch
+    * bytes).
+    *
+    * The hive level is rewritten in place via DYNAMIC partition
+    * overwrite — only month directories present in the fold are
+    * touched, so an append racing into a NEW month is never
+    * clobbered. Staging deletion is limited to the files LISTED
+    * BEFORE the fold ran: a staging file that lands mid-compaction
+    * survives to the next pass, and one that gets folded AND re-read
+    * is harmless by merge idempotence. The folded frame is
+    * months × 2 KB by design, so the eager localCheckpoint that
+    * breaks lineage to the files being overwritten (Spark forbids
+    * overwriting a path still being read) materializes KBs, never
+    * data-scale rows.
+    *
+    * Returns the folded index content (the materialized checkpoint,
+    * month type already long): it IS what merge-on-read over the
+    * compacted directory produces, so a caller that compacts and then
+    * queries — st23's lifecycle — reuses it instead of paying a
+    * second discovery + merge pass over the files just written.
+    */
+  def compact(spark: SparkSession, dir: String, k: Int,
+              monthCol: String = "month_sec"): DataFrame = {
+    val stg = new Path(stagingDir(dir))
+    val fs = stg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedFiles =
+      if (fs.exists(stg)) fs.listStatus(stg).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      else Array.empty[Path]
+
+    // groupBy(monthCol) already hash-co-locates each month in exactly
+    // one task, so the write below emits one file per month directory
+    // without a further repartition
+    val kmvMerge = udaf(new KmvMergeAggregator(k))
+    val folded = read(spark, dir, monthCol)
+      .groupBy(monthCol).agg(kmvMerge(col("sk")).as("sk"))
+      .localCheckpoint(true)
+    val conf = spark.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try folded.write.partitionBy(monthCol).mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+    stagedFiles.foreach(fs.delete(_, false))
+    folded
+  }
+
+  /** The whole index — compacted hive level ∪ staging level — month
+    * type normalized to long.
+    */
+  def read(s: SparkSession, dir: String,
+           monthCol: String = "month_sec"): DataFrame = {
+    val norm = (df: DataFrame) =>
+      df.select(col(monthCol).cast("long").as(monthCol), col("sk"))
+    val levels =
+      (if (exists(s, dir)) Seq(norm(s.read.parquet(dir))) else Nil) ++
+      (if (exists(s, stagingDir(dir))) Seq(norm(s.read.parquet(stagingDir(dir)))) else Nil)
+    require(levels.nonEmpty, s"sketch index not found at $dir")
+    levels.reduce(_ unionByName _)
+  }
+
+  /** In-range partial rows. On the hive level the filter sits on the
+    * PARTITION column (before the long-normalizing cast), so it prunes
+    * at planning time: out-of-range month directories are never listed
+    * into the scan (SketchIndexSpec asserts selectedPartitions ==
+    * range). The staging level — bounded by compaction cadence, not
+    * data size — is column-filtered within its flat files.
     */
   def probeRange(s: SparkSession, dir: String, fromSec: Long, untilSec: Long,
-                 monthCol: String = "month_sec"): DataFrame =
-    s.read.parquet(dir)
-      .filter(col(monthCol) >= fromSec && col(monthCol) < untilSec)
-      .withColumn(monthCol, col(monthCol).cast("long"))
+                 monthCol: String = "month_sec"): DataFrame = {
+    val inRange = (df: DataFrame) =>
+      df.filter(col(monthCol) >= fromSec && col(monthCol) < untilSec)
+        .select(col(monthCol).cast("long").as(monthCol), col("sk"))
+    val levels =
+      (if (exists(s, dir)) Seq(inRange(s.read.parquet(dir))) else Nil) ++
+      (if (exists(s, stagingDir(dir))) Seq(inRange(s.read.parquet(stagingDir(dir)))) else Nil)
+    require(levels.nonEmpty, s"sketch index not found at $dir")
+    levels.reduce(_ unionByName _)
+  }
 }

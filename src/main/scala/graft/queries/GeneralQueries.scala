@@ -1415,10 +1415,17 @@ object GeneralQueries {
     // relation — all in one spark.sql statement. The exact side
     // (exact_c) is integer arithmetic both engines reproduce, so it
     // is hash-checked cross-engine like q56.
+    // DDSketch's log-bucket domain is STRICTLY POSITIVE values — a
+    // non-positive value_c would make dd_bucket NULL (log of ≤ 0) and
+    // flip within_rel to NULL against the oracle's hardcoded 1, so
+    // the precondition is enforced with an explicit filter on BOTH
+    // sides rather than relied on implicitly (ADVICE r9; today
+    // events.value > 0 always, so the filter drops zero rows)
     "q64_sql_ddsketch" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("event_type"),
           round(col("value") * 100).cast("long").as("value_c"))
+        .filter(col("value_c") > 0)
         .createOrReplaceTempView("v_ev_vals")
       s.sql("""
         WITH qs AS (SELECT explode(array(500000L, 950000L, 990000L)) AS qe6),
@@ -2278,9 +2285,11 @@ object GeneralQueries {
 
     // q64: the exact discrete quantile from the same cumulative walk
     // (integer arithmetic both engines reproduce); the sketch flag is
-    // the within-alpha predicate, expected true
+    // the within-alpha predicate, expected true. Positivity filter
+    // mirrors the Spark side's DDSketch-domain precondition.
     "q64_sql_ddsketch" ->
-      """WITH ev AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+      """WITH ev AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c
+        |            FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
         |qs AS (SELECT CAST(unnest([500000,950000,990000]) AS BIGINT) AS qe6),
         |g AS (SELECT event_type, value_c, count(*) AS cnt FROM ev GROUP BY 1, 2),
         |c AS (SELECT event_type, value_c, cnt,

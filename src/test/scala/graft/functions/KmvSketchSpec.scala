@@ -151,6 +151,22 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("mergeSorted caps an oversized external sketch at this k") {
+    // a sketch persisted under a LARGER k must degrade to its k
+    // smallest hashes (still a valid KMV sketch at this k), not flow
+    // oversized through the fold paths and break the ≤ k invariant
+    // (ADVICE r9)
+    val k = 8
+    val oversized = (0L until 32L).map(_ * 5) // written under k=32
+    val own = Seq(2L, 7L, 101L)
+    for ((a, b) <- Seq((oversized, own), (own, oversized),
+                       (oversized, Seq.empty[Long]), (oversized, oversized.map(_ + 1)))) {
+      val m = KmvSketchOps.mergeSorted(a, b, k)
+      assert(m.size <= k, s"size ${m.size} > k=$k")
+      assert(m == (a ++ b).distinct.sorted.take(k))
+    }
+  }
+
   test("KmvMergeAggregator over stored partials equals the one-shot sketch") {
     val s = spark
     import s.implicits._

@@ -132,5 +132,9 @@ class SketchSqlSpec extends AnyFunSuite with SparkTestSession {
     Seq((1L, 2)).toDF("h", "kk").createOrReplaceTempView("sq_bad")
     assert(msg("SELECT kmv_sketch(h, kk) FROM sq_bad GROUP BY 1")
       .contains("integer literal"))
+    // a BIGINT k past Int range must fail loudly, not truncate to a
+    // valid-looking tiny k (ADVICE r9)
+    assert(msg("SELECT kmv_sketch(h, 4294967298) FROM sq_bad GROUP BY 1")
+      .contains("must fit in an INT"))
   }
 }

@@ -66,6 +66,120 @@ class SketchIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(SketchIndex.read(s, dir).count() > 10)
   }
 
+  test("compact folds each month's partials to one file, sketches bit-identical") {
+    val s = spark
+    import s.implicits._
+    val all = rows(5000, 4)
+    val dir = graft.core.Scratch.dir("ski_compact")
+    // accumulate 3 partial rows per month, like a 3-batch st23 stream
+    Seq(0, 1, 2).foreach { b =>
+      SketchIndex.appendMonthly(
+        all.filter(pmod(col("key") * 31 + col("month_sec"), lit(3)) === b),
+        "month_sec", "key", dir, K)
+    }
+    val kmvMerge = udaf(new KmvMergeAggregator(K))
+    def sketches() = SketchIndex.read(s, dir)
+      .groupBy("month_sec").agg(kmvMerge(col("sk")).as("sk"))
+      .orderBy("month_sec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val before = sketches()
+    assert(SketchIndex.read(s, dir).count() > 10,
+      "precondition: months hold multiple partial rows")
+
+    SketchIndex.compact(s, dir, K)
+
+    // ONE row and ONE parquet file per month directory
+    assert(SketchIndex.read(s, dir).count() === 10)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    val monthDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("month_sec="))
+    assert(monthDirs.length === 10)
+    monthDirs.foreach { d =>
+      val parquets = fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(parquets.length === 1,
+        s"expected 1 folded file in ${d.getPath.getName}, got ${parquets.length}")
+    }
+    // hash-invariant: merge-on-read over the compacted index equals
+    // merge-on-read over the partials, bit for bit
+    assert(sketches() == before)
+    // the probe path still prunes at planning time post-compact
+    val probe = SketchIndex.probeRange(s, dir, 3L * Month, 7L * Month)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.selectedPartitions.partitionCount === 4)
+  }
+
+  test("staged appends read back exactly; compact folds them into hive and clears staging") {
+    val s = spark
+    import s.implicits._
+    val all = rows(5000, 6)
+    val dir = graft.core.Scratch.dir("ski_staged") + "/idx"
+    // three staged micro-batches — each lands ONE flat file, no hive dirs
+    Seq(0, 1, 2).foreach { b =>
+      SketchIndex.appendStaged(
+        all.filter(pmod(col("key") * 31 + col("month_sec"), lit(3)) === b),
+        "month_sec", "key", dir, K)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    def stagingFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "_staging"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(stagingFiles() === 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)), "no hive level yet")
+
+    // merge-on-read over staging alone equals the one-shot sketch
+    val kmvMerge = udaf(new KmvMergeAggregator(K))
+    val kmv = udaf(new KmvSketchAggregator(K))
+    def mergedRead() = SketchIndex.read(s, dir)
+      .groupBy("month_sec").agg(kmvMerge(col("sk")).as("sk"))
+      .orderBy("month_sec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val oneShot = all
+      .select(col("month_sec"), KmvSketch.hash63(col("key")).as("h"))
+      .groupBy("month_sec").agg(kmv(col("h")).as("sk"))
+      .orderBy("month_sec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(mergedRead() == oneShot)
+
+    // compact: staging folded into the hive level, staging cleared,
+    // content unchanged; a post-compact probe prunes as usual
+    val folded = SketchIndex.compact(s, dir, K)
+    assert(stagingFiles() === 0)
+    assert(mergedRead() == oneShot)
+    assert(folded.orderBy("month_sec").collect()
+      .map(r => (r.getAs[Long]("month_sec"), r.getSeq[Long](folded.columns.indexOf("sk")))).toSeq
+      == oneShot)
+    val probe = SketchIndex.probeRange(s, dir, 3L * Month, 7L * Month)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.selectedPartitions.partitionCount === 4)
+
+    // a staged append AFTER compaction is visible to readers (LSM union)
+    SketchIndex.appendStaged(
+      all.filter(col("month_sec") === 0L).withColumn("key", col("key") + 100000),
+      "month_sec", "key", dir, K)
+    val m0 = SketchIndex.read(s, dir).filter(col("month_sec") === 0L).count()
+    assert(m0 === 2, "hive row + staged row for month 0")
+  }
+
+  test("compact leaves out-of-fold month directories untouched (dynamic overwrite)") {
+    val s = spark
+    import s.implicits._
+    val all = rows(5000, 5)
+    val dir = graft.core.Scratch.dir("ski_compact_dyn")
+    SketchIndex.appendMonthly(all, "month_sec", "key", dir, K)
+    SketchIndex.appendMonthly(all, "month_sec", "key", dir, K)
+    SketchIndex.compact(s, dir, K)
+    // a NEW month appended after compaction coexists with folded rows
+    val late = Seq((11L * Month, 42L)).toDF("month_sec", "key")
+    SketchIndex.appendMonthly(late, "month_sec", "key", dir, K)
+    val months = SketchIndex.read(s, dir)
+      .select("month_sec").distinct().collect().map(_.getLong(0)).sorted
+    assert(months.toSeq == ((0L to 9L).map(_ * Month) :+ 11L * Month))
+  }
+
   test("read normalizes the inferred partition type back to long") {
     val dir = graft.core.Scratch.dir("ski_type")
     SketchIndex.writeMonthly(rows(500, 3), "month_sec", "key", dir, K)
