@@ -108,7 +108,15 @@ object Bench {
     // Bench set = the oracle queries plus bench-only plan variants
     // (e.g. the materialized spike pipeline, the path a real deployment
     // runs — SpikeDetector.detect(materialize = true)).
-    val queries = SparkEntry.queries ++ graft.queries.ReferenceQueries.benchOnly
+    // SPARK_GRAFT_BENCH_ONLY=<comma-list of name prefixes> narrows the
+    // run for targeted re-measurement (dev-side; the driver runs full)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queries0 = SparkEntry.queries ++ graft.queries.ReferenceQueries.benchOnly
+    val queries = only match {
+      case Some(ps) => queries0.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => queries0
+    }
 
     // Warm the JVM + each table's first scan with a handful of CHEAP
     // queries (classloading, codegen framework, parquet footers). A
@@ -181,9 +189,18 @@ object Bench {
           // for the >HeavySecs tail (r7's best-of-3 — a burst can end
           // before the sentinel runs, so a clean reading alone must
           // not exempt a heavy sample)
+          // min-of-2 floor for the 1–4 s band (VERDICT r9 ask #2): the
+          // first execution of a plan carries its one-time query
+          // compilation — for the big codegen'd retrieval stages
+          // (x38/x52/x57) that is ~1 s, which r7's median-of-3
+          // amortized and r8's single-sample branch then REPORTED,
+          // reading as a 2× "drift" with the plan unchanged. One warm
+          // re-run per midband entry buys back the steady-state cost;
+          // the >4 s tail already re-draws unconditionally.
           def needMore: Boolean =
             sent > sentinelFloor * SentinelInflation ||
               samples.map(_._1).min > HeavySecs ||
+              samples.size < 2 ||
               (PinnedIters(name) && samples.size < Iters)
           while (needMore && caps.hasNext) {
             if (elapsed < caps.next()) {
