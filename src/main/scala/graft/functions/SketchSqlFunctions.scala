@@ -138,7 +138,11 @@ object SketchSqlFunctions {
 
     // per-depth form of CmSketch.buckets: depth arrives as a COLUMN
     // (SQL explodes its own depth range), so the prefix is assembled
-    // row-side with the same "cm<d>:" shape the Scala path uses
+    // row-side with the same "cm<d>:" shape the Scala path uses.
+    // NOTE the plan cost: because the bucket expression is nullable,
+    // a join on it infers an isnotnull filter that RE-EVALUATES the
+    // md5 per row (2× hash work) — prefer cm_buckets below for
+    // sketch-relation builds; this scalar stays for point probes.
     inject("cm_bucket", graft.operators.CmSketch.getClass) { args =>
       expectArgs("cm_bucket", args, 3)
       val (key, d, w) = (toCol(args(0)), toCol(args(1)), toCol(args(2)))
@@ -146,6 +150,18 @@ object SketchSqlFunctions {
         graft.llm.TextFunctions.hash60(
           concat(lit("cm"), d.cast("string"), lit(":"), key.cast("string"))),
         w))
+    }
+
+    // the whole depth range as an array<struct<d,w>> — the EXACT
+    // Column the Scala path explodes (CmSketch.bucketsArray), so
+    // `explode(cm_buckets(k, w))` reproduces q60's plan from SQL:
+    // hash computed once inside the struct, downstream filters read
+    // the field (VERDICT r9 ask #6). w must be a numeric literal
+    // (sketch geometry is a plan-time constant).
+    inject("cm_buckets", graft.operators.CmSketch.getClass) { args =>
+      expectArgs("cm_buckets", args, 2)
+      val w = litDouble(args(1), "cm_buckets").toLong
+      toExpr(graft.operators.CmSketch.bucketsArray(toCol(args(0)), w = w))
     }
   }
 }

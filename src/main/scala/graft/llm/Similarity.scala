@@ -891,6 +891,29 @@ object Similarity {
     * touches nprobe/K of it. A (probe, neighbor) pair matches in at
     * most one cluster (corpus vectors live in exactly one list), so
     * the Σ_m aggregation is unambiguous.
+    *
+    * ==Choosing nprobe and codebook size by corpus scale==
+    * Recall is bounded by two independent losses: list pruning
+    * (missed clusters — bought back linearly by `nprobe`) and PQ
+    * quantization distortion (bought back by codebook size, at
+    * codewords × M floats of broadcast state). Both losses only
+    * matter relative to the corpus's own score gaps, which is a
+    * function of CORPUS SIZE. At sf0.1-derived scales (20k–100k
+    * vectors) the registry setting (nprobe=2, 8-codeword books) reads
+    * score-recall@3 = 1.000 at every sweep point (SCALE_r09). On a
+    * TINY index (sf0.01: 500 vectors, 6 probes) the same setting
+    * reads 0.17, and NO dial rescues the PQ path — nprobe 2→8 ×
+    * codebooks 8→128 stays within 0.06–0.28, non-monotonically,
+    * because every candidate's ADC score is distorted by more than
+    * the gaps separating true neighbors — while [[ivfTopK]] (exact
+    * scoring, same pruning) climbs 0.44 → 1.000 as nprobe reaches the
+    * cell count (RecallSpec pins both ends). Rule of thumb: below
+    * ~10k vectors drop PQ — use [[bruteTopK]] (cheap there) or
+    * [[ivfTopK]] with generous nprobe; from ~10k vectors start at
+    * nprobe=2 with 8-codeword books and raise either dial only when a
+    * held-out score-recall probe set says so — they trade linearly
+    * more scan (`nprobe`) or broadcast bytes (codewords) for recall,
+    * never plan shape.
     */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
                 codebooks: Seq[Seq[(Long, Seq[Float])]], k: Int, nprobe: Int,

@@ -1489,11 +1489,12 @@ object GeneralQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
       Tables.orders(s, d).createOrReplaceTempView("v_orders")
       s.sql("""
-        WITH ds AS (SELECT explode(sequence(0L, 3L)) AS d),
-        a AS (SELECT d, cm_bucket(l_orderkey, d, 65536L) AS w, count(*) AS cnt_a
-              FROM v_lineitem CROSS JOIN ds GROUP BY 1, 2),
-        b AS (SELECT d, cm_bucket(o_orderkey, d, 65536L) AS w, count(*) AS cnt_b
-              FROM v_orders CROSS JOIN ds GROUP BY 1, 2),
+        WITH a AS (SELECT b.d AS d, b.w AS w, count(*) AS cnt_a
+              FROM (SELECT explode(cm_buckets(l_orderkey, 65536L)) AS b
+                    FROM v_lineitem) GROUP BY 1, 2),
+        b AS (SELECT b.d AS d, b.w AS w, count(*) AS cnt_b
+              FROM (SELECT explode(cm_buckets(o_orderkey, 65536L)) AS b
+                    FROM v_orders) GROUP BY 1, 2),
         i AS (SELECT a.d, sum(cnt_a * cnt_b) AS inner_e
               FROM a JOIN b ON a.d = b.d AND a.w = b.w GROUP BY 1)
         SELECT d, inner_e FROM i

@@ -19,7 +19,8 @@ import graft.operators.CmSketch
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
-  * stages: dedup prefix ivfpq bpe stream theta cm   (default: all)
+  * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
+  *         spike   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -87,7 +88,8 @@ object ScaleSmoke {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
-      Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm", "skew")
+      Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm", "skew",
+        "shardstate", "spike")
     else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
@@ -113,6 +115,8 @@ object ScaleSmoke {
     if (stages("theta")) thetaStage(spark, sfDir, mult, tmp)
     if (stages("cm")) cmStage(spark, sfDir, mult, tmp)
     if (stages("skew")) skewStage(spark, sfDir, mult, tmp)
+    if (stages("shardstate")) shardStateStage(spark, sfDir, mult, tmp)
+    if (stages("spike")) spikeSkewStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -608,6 +612,182 @@ object ScaleSmoke {
           s"hot cluster split: $hotLabelSize < ${hotN + mult}")
       }
     }
+  }
+
+  /** st24's sharded set STATE at mult copies under a 20%-hot key
+    * (VERDICT r9 ask #4 — the streaming twin of skewStage's batch
+    * collectSetSharded measurement). Complete-mode collect_set state
+    * is the per-key distinct-value set itself, so a hot key's state
+    * ROW grows with the corpus and pins one task's memory; sharding
+    * the state BY VALUE splits it into shard-many rows that hash to
+    * different partitions. The stage streams the corpus through both
+    * shapes and reports per-batch exec, state rows/bytes, and the
+    * LARGEST single set row — the quantity a real deployment must
+    * bound — then requires the final sharded table to equal the batch
+    * q63-shape answer checksum-for-checksum (set state is a pure
+    * set-function of the stream, so batching cannot change it).
+    */
+  private def shardStateStage(spark: SparkSession, sfDir: String, mult: Int,
+                              tmp: String): Unit = {
+    import spark.implicits._
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select("event_id", "user_id")
+    val stride = ev.agg(max("event_id")).head().getLong(0) + 1L
+    val dir = s"$tmp/shardstate_events"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // one file per copy; 20% of rows remapped to the hot user 0
+    // (skewStage's mapping), so the hot SET grows with the corpus
+    (0 until mult).foreach { c =>
+      ev.withColumn("event_id", col("event_id") + lit(c.toLong * stride))
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(100)) < 20, lit(0L))
+            .otherwise(col("user_id") % 50))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val fact = spark.read.parquet(dir)
+    val n = fact.count()
+    println(s"shardstate corpus: $n rows, hot user 0 holds " +
+      s"${fact.filter(col("user_id") === 0L).count()} ($mult files)")
+
+    def setChecksum(df: DataFrame, setCol: String): (Long, Long) = {
+      val r = df.agg(sum(size(col(setCol))).as("sz"),
+        sum(pmod(hash(col(setCol)).cast("long"), lit(1000000007L))).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // batch q63-shape answer — the oracle the stream must reproduce
+    val batchSharded = graft.operators.SaltedAgg.collectSetSharded(
+        fact, Seq("user_id"), "event_id",
+        shardExpr = pmod(col("event_id"), lit(32)), out = "uniq")
+      .withColumn("uniq", array_sort(col("uniq")))
+      .localCheckpoint(true)
+    val batchCk = setChecksum(batchSharded, "uniq")
+
+    val filesPerTrigger = math.max(1, mult / 8) // ~8 triggers at any mult
+    def runStream(name: String, shape: DataFrame => DataFrame,
+                  sortedSetCol: String): (Long, Long) = {
+      val qname = s"scale_shardstate_$name"
+      val (ck, secs) = timed(s"stream complete-mode collect_set [$name]") {
+        val q = shape(spark.readStream.schema(fact.schema)
+            .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .option("checkpointLocation", s"$tmp/shardstate_ckpt_${name}_${System.nanoTime()}")
+          .start()
+        try {
+          q.processAllAvailable()
+          val prog = q.recentProgress.toSeq
+          val state = prog.flatMap(_.stateOperators.headOption)
+          val execMs = prog.flatMap(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue))
+          println(s"  [$name] batches: ${prog.size}, state rows last " +
+            s"${state.lastOption.map(_.numRowsTotal).getOrElse(0L)}, state mem max " +
+            s"${state.map(_.memoryUsedBytes).foldLeft(0L)(math.max) / 1024} KB, " +
+            s"per-batch exec ms first=${execMs.headOption.getOrElse(-1L)} " +
+            s"last=${execMs.lastOption.getOrElse(-1L)} max=${execMs.foldLeft(0L)(math.max)}")
+          val table = spark.table(qname)
+            .withColumn(sortedSetCol, array_sort(col(sortedSetCol)))
+          val largest = table.agg(max(size(col(sortedSetCol)))).head().getInt(0)
+          println(f"  [$name] final rows: ${table.count()}, largest single set row: " +
+            f"$largest values (${largest * 100.0 / n}%.1f%% of corpus)")
+          setChecksum(table, sortedSetCol)
+        } finally q.stop()
+      }
+      println(f"  [$name] wall $secs%.2f s")
+      ck
+    }
+
+    val directCk = runStream("direct",
+      in => in.groupBy("user_id").agg(collect_set("event_id").as("uniq")),
+      "uniq")
+    val shardedCk = runStream("sharded_x32",
+      in => graft.operators.SaltedAgg.collectSetSharded(
+        in, Seq("user_id"), "event_id",
+        shardExpr = pmod(col("event_id"), lit(32)), out = "uniq"),
+      "uniq")
+    require(directCk._1 == batchCk._1,
+      s"direct stream total set size diverged from batch: $directCk vs $batchCk")
+    require(shardedCk == batchCk,
+      s"sharded stream state diverged from the batch q63 answer: $shardedCk vs $batchCk")
+    println(s"  sharded streaming state == batch sharded answer (checksum $batchCk); " +
+      "hot key's set split across 32 state rows instead of one")
+  }
+
+  /** The reference pipeline's OWN skew case (VERDICT r9 ask #5):
+    * hha.py:267's scenario — one attacked dst_ip dominating the
+    * histogram — run through the ACTUAL r05/r08 plans
+    * ([[graft.reference.SpikeDetector]]) at mult copies with 20% of
+    * all rows remapped to a single hot IP. The pipeline is
+    * structurally skew-immune and the stage measures that claim
+    * instead of arguing it: both window aggregates are DISTRIBUTIVE
+    * (sum/count partials under a truncating avg), so map-side combine
+    * collapses the hot key before the exchange, and the baseline join
+    * runs on POST-AGGREGATION frames — one row per key per side — so
+    * no join task ever sees the hot key's raw rows. Wall must track
+    * the uniform corpus at every mult and the alert set must be
+    * IDENTICAL across detect / detectFused / forced-AQE-skew plans.
+    */
+  private def spikeSkewStage(spark: SparkSession, sfDir: String, mult: Int,
+                             tmp: String): Unit = {
+    import graft.queries.{RefHistogram, Tables}
+    import graft.reference.{SpikeDetector, SpikeParams}
+    val t = RefHistogram.tmax(spark, sfDir)
+    val hist0 = RefHistogram.derive(Tables.events(spark, sfDir), t)
+    val hotIp = 3232235520L
+    def land(out: String, hot: Boolean): DataFrame = {
+      val scaledHist = (0 until mult).map(_ => hist0).reduce(_ union _)
+      val remapped = if (hot)
+        scaledHist.withColumn("dst_ip",
+          when(pmod(col("timestamp") * 31 + col("CountPkt"), lit(100)) < 20,
+            lit(hotIp)).otherwise(col("dst_ip")))
+      else scaledHist
+      remapped.repartition(32).write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+    val uniform = land(s"$tmp/spike_hist_uniform", hot = false)
+    val hot = land(s"$tmp/spike_hist_hot", hot = true)
+    val hotShare = hot.filter(col("dst_ip") === hotIp).count() * 100.0 / hot.count()
+    println(f"spike corpus: ${hot.count()} rows x2 variants, hot dst_ip holds $hotShare%.1f%%")
+
+    val curStart = t - RefHistogram.CurWindowSec
+    def alerts(h: DataFrame, fused: Boolean): DataFrame = {
+      val cur = col("timestamp") > curStart
+      val prev = col("timestamp") < curStart
+      if (fused) SpikeDetector.detectFused(h, cur, prev, SpikeParams())
+      else SpikeDetector.detect(h, cur, prev, SpikeParams())
+    }
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(pmod(hash(col("num_protocol"), col("type_proto"), col("dst_ip"),
+          col("sum_val")).cast("long"), lit(1000000007L))).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (ckUniform, tUniform) = timed("spike detect, UNIFORM corpus") {
+      checksum(alerts(uniform, fused = false))
+    }
+    val (ckHot, tHot) = timed("spike detect, 20%-hot dst_ip") {
+      checksum(alerts(hot, fused = false))
+    }
+    val (ckHotFused, tHotFused) = timed("spike detectFused, 20%-hot dst_ip") {
+      checksum(alerts(hot, fused = true))
+    }
+    val (ckHotAqe, tHotAqe) = timed("spike detect, 20%-hot, forced AQE skew") {
+      withConf(spark,
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m") {
+        checksum(alerts(hot, fused = false))
+      }
+    }
+    require(ckHot == ckHotFused && ckHot == ckHotAqe,
+      s"hot-corpus alert sets diverged: detect=$ckHot fused=$ckHotFused aqe=$ckHotAqe")
+    println(f"  alerts: uniform ${ckUniform._1} rows, hot ${ckHot._1} rows — identical " +
+      "across detect/detectFused/AQE-skew plans on the hot corpus")
+    println(f"  walls: uniform $tUniform%.2f s vs hot $tHot%.2f s " +
+      f"(fused $tHotFused%.2f s, AQE $tHotAqe%.2f s) — distributive map-side combine " +
+      "collapses the hot key before the exchange; the baseline join sees one row per key")
   }
 
   /** q60's Count-Min join-size estimate at mult copies of lineitem

@@ -112,6 +112,25 @@ class SketchSqlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("SQL cm_buckets equals the Scala bucketsArray, depth by depth") {
+    val s = spark
+    import s.implicits._
+    (1 until 300).map(_.toLong).toDF("key").createOrReplaceTempView("sq_cmb")
+    val sqlRows = s.sql(
+      """SELECT key, b.d AS d, b.w AS w
+        |FROM (SELECT key, explode(cm_buckets(key, 65536L)) AS b FROM sq_cmb)
+        |ORDER BY key, d""".stripMargin).collect()
+    val scalaRows = s.table("sq_cmb")
+      .select(col("key"), CmSketch.buckets(col("key")).as("b"))
+      .select(col("key"), col("b.d").as("d"), col("b.w").as("w"))
+      .orderBy("key", "d").collect()
+    assert(sqlRows.length == scalaRows.length && sqlRows.length == 299 * 4)
+    sqlRows.zip(scalaRows).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1) &&
+        x.getLong(2) == y.getLong(2), s"mismatch at key ${x.getLong(0)} d ${x.getLong(1)}")
+    }
+  }
+
   test("gamma accepts plain decimal literals (SQL decimals fold to double)") {
     val b = spark.sql("SELECT dd_bucket(100, 1.04) AS b").head().getLong(0)
     val bd = spark.sql("SELECT dd_bucket(100, 1.04D) AS b").head().getLong(0)
