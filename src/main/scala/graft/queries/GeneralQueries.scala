@@ -1479,6 +1479,52 @@ object GeneralQueries {
         .orderBy("o_custkey")
     }),
 
+    // SKETCH-INDEX LSM LIFECYCLE (VERDICT r9 ask #1, driver-proven) —
+    // q62's probe over an index built the way a LIVE STREAM builds
+    // it: two staged micro-batch appends (flat write-optimized files,
+    // ~6× cheaper per batch than a hive append), a compact() fold
+    // into the hive-partitioned read layout, then a THIRD staged
+    // append landing after compaction — so the probe reads the
+    // two-level hive ∪ staging union. KMV merge is associative,
+    // commutative, and idempotent on sets, so however the rows were
+    // split across levels the merged range answer equals q62's
+    // one-shot build — which is exactly what the oracle asserts.
+    // File-count and hash-invariance mechanics live in
+    // SketchIndexSpec; this row puts the lifecycle's ANSWER under the
+    // DuckDB gate.
+    "q67_sketch_index_lifecycle" -> ((s, d) => {
+      import graft.functions.KmvSketch._
+      import graft.operators.SketchIndex
+      val K = 256
+      val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(K))
+      val ord = Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+        col("o_custkey"))
+      val dir = graft.core.Scratch.dir("graft_sketch_index_lsm") + "/idx"
+      Seq(0, 1).foreach { b =>
+        SketchIndex.appendStaged(ord.filter(col("o_custkey") % 3 === b),
+          "month_sec", "o_custkey", dir, K)
+      }
+      SketchIndex.compact(s, dir, K)
+      SketchIndex.appendStaged(ord.filter(col("o_custkey") % 3 === 2),
+        "month_sec", "o_custkey", dir, K)
+      val From = 820454400L  // 1996-01-01T00:00:00Z
+      val Until = 852076800L // 1997-01-01T00:00:00Z
+      val probed = SketchIndex.probeRange(s, dir, From, Until)
+        .groupBy("month_sec").agg(kmvMerge(col("sk")).as("sk"))
+      val inRange = ord.filter(col("month_sec") >= From && col("month_sec") < Until)
+      val monthly = probed
+        .join(inRange.groupBy("month_sec")
+          .agg(countDistinct("o_custkey").as("exact")), "month_sec")
+        .select(col("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      val total = probed.agg(kmvMerge(col("sk")).as("sk"))
+        .crossJoin(broadcast(inRange.agg(countDistinct("o_custkey").as("exact"))))
+        .select(lit(-1L).as("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      monthly.union(total).orderBy("month_sec")
+    }),
+
     // COUNT-MIN FROM PURE SQL — q60's join-size estimator via the
     // extension-registered cm_bucket scalar: depth arrives as a
     // COLUMN (SQL explodes its own 0..3 range), the sketches are
@@ -2262,6 +2308,22 @@ object GeneralQueries {
     // q62: q59's oracle shape restricted to the probed 1996 range;
     // monthly sketches are exhaustive so flags assert the bound holds
     "q62_sketch_index_probe" ->
+      """WITH m AS (SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
+        |                  o_custkey
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT month_sec, exact, CAST(1 AS BIGINT) AS within_rsd FROM (
+        |  SELECT month_sec, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+        |  FROM m GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m
+        |) ORDER BY month_sec""".stripMargin,
+
+    // q67: same oracle arithmetic as q62 — the staged/compacted/
+    // staged-again index is a pure set-function of the rows, so the
+    // lifecycle must reproduce the one-shot build's probe answer
+    "q67_sketch_index_lifecycle" ->
       """WITH m AS (SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
         |                  o_custkey
         |           FROM orders
