@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.SketchSqlFunctions.register(ext)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // sketch-driven join planning: broadcast hints from persisted
+    // Count-Min post-filter cardinality bounds (no-op until a table
+    // registers stats via graft.operators.SketchStats)
+    ext.injectOptimizerRule(_ => graft.plans.SketchBroadcastRule)
   }
 }
