@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps (min/max statistics per file and dimension)
+  * for UNPARTITIONED parquet layouts — the skipping mechanism that
+  * completes the trio: hive partition pruning skips DIRECTORIES at
+  * planning time (GenericSource, SketchIndex), [[ZOrder]] clusters
+  * rows so per-file ranges are TIGHT, and the zone map is what turns
+  * those tight ranges into files never opened. Same idea as
+  * Delta/Iceberg file statistics, built from nothing but the public
+  * `input_file_name()` function and one aggregation.
+  *
+  * Scale shape: the map is files × dims rows (KBs per 100k files),
+  * built in ONE scan with map-side combine. A box probe reads the
+  * map (tiny), collects only the SURVIVING file names (bounded by
+  * the answer's file set, the same driver-side list every
+  * lake-format scan planner holds), and hands them to one
+  * multi-path parquet read with the exact predicate re-applied —
+  * pruning is a performance act, never a correctness one, because a
+  * file whose [min,max] box intersects the query box may still hold
+  * no matching rows. At 100 TB over a z-ordered table the difference
+  * is "open every file" vs "open the files whose z-range intersects
+  * the box" — ZoneMapSpec pins both the skip count and answer
+  * equality, q69 runs the whole lifecycle under the DuckDB oracle.
+  */
+object ZoneMap {
+
+  /** One inclusive [lo, hi] box side per dimension column. */
+  final case class Range(column: String, lo: Long, hi: Long)
+
+  /** One-scan build of the zone map for `dims` (long-comparable
+    * columns), persisted at `zmPath`: a row per data file with
+    * min_/max_ per dimension.
+    */
+  def build(spark: SparkSession, tablePath: String, dims: Seq[String],
+            zmPath: String): Unit = {
+    require(dims.nonEmpty, "zone map needs at least one dimension")
+    val aggs = dims.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(1)
+      .write.mode("overwrite").parquet(zmPath)
+  }
+
+  /** Files whose per-file [min,max] intersects EVERY side of the box
+    * — the candidate set a scan must open. Driver-sized: bounded by
+    * the file count, and after pruning by the answer's file set.
+    */
+  def prunedFiles(spark: SparkSession, zmPath: String,
+                  box: Seq[Range]): Seq[String] = {
+    val zm = spark.read.parquet(zmPath)
+    val keep = box.map(r =>
+        col(s"max_${r.column}") >= r.lo && col(s"min_${r.column}") <= r.hi)
+      .reduce(_ && _)
+    zm.filter(keep).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Total file count in the map (for skip-ratio reporting). */
+  def fileCount(spark: SparkSession, zmPath: String): Long =
+    spark.read.parquet(zmPath).count()
+
+  /** The exact box predicate — re-applied after pruning because zone
+    * intersection is necessary, not sufficient.
+    */
+  def boxPredicate(box: Seq[Range]): Column =
+    box.map(r => col(r.column).cast("long").between(r.lo, r.hi)).reduce(_ && _)
+
+  /** Read only the files the zone map cannot rule out, with the exact
+    * predicate applied on top. An empty candidate set short-circuits
+    * to an empty frame with the table's schema (a zero-path parquet
+    * read has none to infer).
+    */
+  def readPruned(spark: SparkSession, tablePath: String, zmPath: String,
+                 box: Seq[Range]): DataFrame = {
+    val files = prunedFiles(spark, zmPath, box)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(tablePath).schema)
+    else spark.read.parquet(files: _*).filter(boxPredicate(box))
+  }
+}

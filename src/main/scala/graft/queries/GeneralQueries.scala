@@ -1525,6 +1525,75 @@ object GeneralQueries {
       monthly.union(total).orderBy("month_sec")
     }),
 
+    // SKETCH-DRIVEN JOIN PLANNING — persisted Count-Min column stats
+    // (operators/SketchStats) + the injected optimizer rule
+    // (plans/SketchBroadcastRule): Spark's size-only stats see the
+    // WHOLE FILE's size for a filtered scan, so a dimension that a
+    // selective filter shrank to broadcast range still sort-merge-
+    // joins — at 100 TB, a full fact-table exchange. The rule bounds
+    // the post-filter cardinality with a CM point query (collisions
+    // only ADD, so "small" evidence is safe) and writes a broadcast
+    // hint into the Join node. Run with static auto-broadcast
+    // DISABLED and executed eagerly inside the scope (q57's
+    // localCheckpoint pattern — and with the same baseline caveat:
+    // the shape gate sees the post-checkpoint plan, so the SMJ→BHJ
+    // flip itself is pinned by SketchBroadcastSpec in every sbt
+    // test), so the broadcast in this plan exists ONLY because the
+    // sketch said so; the oracle asserts the hinted plan's ANSWER
+    // equals the plain join. Stats registration is scoped
+    // register→run→unregister so no other registry entry's hint
+    // surface changes.
+    "q68_sketch_broadcast_join" -> ((s, d) => {
+      import graft.operators.SketchStats
+      val ordersPath = s"$d/orders.parquet"
+      val statsDir = graft.core.Scratch.dir("graft_sketch_stats") + "/orders_priority"
+      SketchStats.build(Tables.orders(s, d), col("o_orderpriority"), statsDir)
+      SketchStats.register(s, statsDir, ordersPath, "o_orderpriority",
+        avgRowBytes = 64)
+      try {
+        SketchStats.withStaticBroadcastOff(s) {
+          Tables.lineitem(s, d)
+            .join(Tables.orders(s, d)
+                .filter(col("o_orderpriority") === "1-URGENT"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"),
+              sum(asInt(col("l_quantity"), 0)).as("sum_qty"))
+            .localCheckpoint(true)
+        }.orderBy("l_returnflag")
+      } finally SketchStats.unregister(ordersPath, "o_orderpriority")
+    }),
+
+    // FILE-LEVEL ZONE-MAP SKIPPING (operators/ZoneMap) — the third
+    // member of the file-skipping trio: hive partition pruning skips
+    // directories (q62), ZOrder clusters rows so per-file ranges are
+    // tight (q32), and the zone map turns those ranges into files
+    // never opened. Lifecycle under the oracle: z-order lineitem by
+    // (l_partkey, l_suppkey) into a multi-file layout, build the
+    // per-file min/max map in one scan, probe a 2-D box through
+    // prunedFiles → multi-path read → exact predicate. Pruning must
+    // be invisible in the ANSWER (the oracle runs the same box on
+    // the ORIGINAL table — same rows, different layout); the
+    // files-actually-skipped assertion lives in ZoneMapSpec.
+    "q69_zonemap_pruned_scan" -> ((s, d) => {
+      import graft.operators.{ZOrder, ZoneMap}
+      import graft.operators.ZoneMap.Range
+      val root = graft.core.Scratch.dir("graft_zonemap")
+      val table = s"$root/li_z"
+      val zm = s"$root/li_zm"
+      ZOrder.writeZOrdered(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"),
+        table, Seq("l_partkey", "l_suppkey"), bits = 11, files = 16)
+      ZoneMap.build(s, table, Seq("l_partkey", "l_suppkey"), zm)
+      val box = Seq(Range("l_partkey", 10, 400), Range("l_suppkey", 1, 40))
+      ZoneMap.readPruned(s, table, zm, box)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(asInt(col("l_quantity"), 0)).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // COUNT-MIN FROM PURE SQL — q60's join-size estimator via the
     // extension-registered cm_bucket scalar: depth arrives as a
     // COLUMN (SQL explodes its own 0..3 range), the sketches are
@@ -2335,6 +2404,25 @@ object GeneralQueries {
         |  UNION ALL
         |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m
         |) ORDER BY month_sec""".stripMargin,
+
+    // q68: broadcast hints are semantically transparent — the
+    // sketch-planned join must reproduce the plain join+agg exactly
+    "q68_sketch_broadcast_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q69: zone-map pruning is layout-only — the boxed aggregate over
+    // the pruned z-ordered copy must equal the same box on the
+    // original table
+    "q69_zonemap_pruned_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 400 AND l_suppkey BETWEEN 1 AND 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // q63: shard = value % 4 is a pure value function, so grouping by
     // it reproduces the disjoint per-shard distinct slices exactly

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.operators.ZoneMap.Range
+
+/** File-level zone-map skipping over a z-ordered layout: the probe
+  * must open strictly fewer files than the table holds (that is the
+  * operator's whole point) while producing exactly the full-scan
+  * answer, and an impossible box must short-circuit to empty without
+  * touching data files.
+  */
+class ZoneMapSpec extends AnyFunSuite with SparkTestSession {
+
+  private val D = "/root/testdata/sf0.001"
+
+  private lazy val layout: (String, String) = {
+    val root = graft.core.Scratch.dir("zonemap_spec")
+    val table = s"$root/li_z"
+    val zm = s"$root/li_zm"
+    ZOrder.writeZOrdered(
+      spark.read.parquet(s"$D/lineitem.parquet"),
+      table, Seq("l_partkey", "l_suppkey"), bits = 10, files = 16)
+    ZoneMap.build(spark, table, Seq("l_partkey", "l_suppkey"), zm)
+    (table, zm)
+  }
+
+  private val box = Seq(Range("l_partkey", 10, 40), Range("l_suppkey", 1, 5))
+
+  test("probe opens fewer files than the table holds") {
+    val (table, zm) = layout
+    val total = ZoneMap.fileCount(spark, zm)
+    val kept = ZoneMap.prunedFiles(spark, zm, box).size
+    assert(total >= 8, s"layout produced only $total files")
+    assert(kept < total, s"no files skipped: kept $kept of $total")
+    assert(kept > 0, "box matches data; candidate set must be non-empty")
+  }
+
+  test("pruned read equals the full-scan answer") {
+    val (table, zm) = layout
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))).collect().map(_.getString(0)).toSet
+    val full = key(spark.read.parquet(table).filter(ZoneMap.boxPredicate(box)))
+    val pruned = key(ZoneMap.readPruned(spark, table, zm, box))
+    assert(full.nonEmpty)
+    assert(pruned == full)
+  }
+
+  test("a box outside every zone short-circuits to empty") {
+    val (table, zm) = layout
+    val none = Seq(Range("l_partkey", -100, -1))
+    assert(ZoneMap.prunedFiles(spark, zm, none).isEmpty)
+    val out = ZoneMap.readPruned(spark, table, zm, none)
+    assert(out.count() == 0)
+    assert(out.schema == spark.read.parquet(table).schema)
+  }
+}
