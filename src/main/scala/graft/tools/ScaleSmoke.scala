@@ -20,7 +20,7 @@ import graft.operators.CmSketch
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
-  *         spike   (default: all)
+  *         spike planning   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -89,7 +89,7 @@ object ScaleSmoke {
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
       Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm", "skew",
-        "shardstate", "spike")
+        "shardstate", "spike", "planning")
     else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
@@ -117,6 +117,7 @@ object ScaleSmoke {
     if (stages("skew")) skewStage(spark, sfDir, mult, tmp)
     if (stages("shardstate")) shardStateStage(spark, sfDir, mult, tmp)
     if (stages("spike")) spikeSkewStage(spark, sfDir, mult, tmp)
+    if (stages("planning")) planningStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -819,5 +820,112 @@ object ScaleSmoke {
         .agg(min("inner_e")).head().getLong(0)
       println(s"  estimate: $est, per-copy (mult-invariant): ${est / mult}")
     }
+  }
+
+  /** The two planning-side operators at mult copies (round 10):
+    *
+    * Sketch-driven broadcast (SketchStats + SketchBroadcastRule,
+    * q68's shape): a fact × mult join against a dim × mult whose FILE
+    * is far past the 10 MB static threshold, filtered to a 2% class
+    * slice. Static stats must sort-merge (they see the whole file);
+    * AQE can only convert at runtime AFTER the map stages ran; the
+    * sketch hint broadcasts at PLANNING time, so the fact-side
+    * exchange never exists. All three answers must be
+    * checksum-equal, and the separation should grow with mult —
+    * SMJ pays the fact shuffle (linear in corpus), the hinted BHJ
+    * pays a scan plus a class-slice broadcast (constant per copy).
+    *
+    * Zone-map skipping (ZoneMap over a ZOrder layout, q69's shape):
+    * events × mult z-ordered into 4·mult files; a ~2% box probe must
+    * open only the intersecting files while the full-scan filter
+    * reads everything — files-opened is printed as the direct
+    * measure, answers checksum-equal.
+    */
+  private def planningStage(spark: SparkSession, sfDir: String, mult: Int,
+                            tmp: String): Unit = {
+    import graft.operators.{SketchStats, ZOrder, ZoneMap}
+    import graft.operators.ZoneMap.Range
+    import graft.queries.Tables
+
+    val ordBase = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"),
+        // statuses in this corpus are uniform thirds; a real dim's
+        // rare attribute (country code, flash-sale flag) is modeled
+        // deterministically: 2% of orders are 'flash'
+        when(col("o_orderkey") % 50 === 0, lit("flash"))
+          .otherwise(concat(lit("c"), (col("o_orderkey") % 7).cast("string")))
+          .as("o_class"))
+    val liBase = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val stride = ordBase.agg(max("o_orderkey")).head().getLong(0) + 1L
+    def copies(df: DataFrame, idCol: String, out: String): DataFrame = {
+      (0 until mult).map(c => df.withColumn(idCol, col(idCol) + lit(c * stride)))
+        .reduce(_ union _).repartition(32).write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+    val dimPath = s"$tmp/plan_dim"
+    val fact = copies(liBase, "l_orderkey", s"$tmp/plan_fact")
+    val dim = copies(ordBase, "o_orderkey", dimPath)
+    println(s"planning corpus: fact ${fact.count()} rows, dim ${dim.count()} rows " +
+      s"('flash' slice ${dim.filter(col("o_class") === "flash").count()})")
+
+    def joinAgg(): (Long, Long) = {
+      val r = fact.join(dim.filter(col("o_class") === "flash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (ckSmj, tSmj) = timed("flash join, static stats (AQE off)") {
+      withConf(spark, "spark.sql.adaptive.enabled" -> "false") { joinAgg() }
+    }
+    val (ckAqe, tAqe) = timed("flash join, AQE runtime conversion") { joinAgg() }
+    val statsDir = s"$tmp/plan_stats"
+    SketchStats.build(dim, col("o_class"), statsDir)
+    SketchStats.register(spark, statsDir, dimPath, "o_class",
+      avgRowBytes = 64, thresholdBytes = 32L << 20)
+    val (ckHint, tHint) = try {
+      timed("flash join, sketch-hinted BHJ (AQE off)") {
+        withConf(spark, "spark.sql.adaptive.enabled" -> "false") { joinAgg() }
+      }
+    } finally SketchStats.unregister(dimPath, "o_class")
+    require(ckSmj == ckAqe && ckSmj == ckHint,
+      s"planning answers diverged: smj=$ckSmj aqe=$ckAqe hint=$ckHint")
+    println(f"  checksums equal ($ckSmj); walls: static-SMJ $tSmj%.2f s, " +
+      f"AQE $tAqe%.2f s, sketch-BHJ $tHint%.2f s")
+
+    val evBase = Tables.events(spark, sfDir).select(col("event_id"),
+      (col("user_id") % 2048).as("uz"),
+      (round(col("value") * 100).cast("long") % 2048).as("vz"),
+      col("value"))
+    val evScaled = (0 until mult).map(_ => evBase).reduce(_ union _)
+    val zTable = s"$tmp/plan_zorder"
+    val zmPath = s"$tmp/plan_zm"
+    timed("z-order layout write") {
+      ZOrder.writeZOrdered(evScaled, zTable, Seq("uz", "vz"),
+        bits = 11, files = 4 * mult)
+    }
+    timed("zone-map build (one scan)") {
+      ZoneMap.build(spark, zTable, Seq("uz", "vz"), zmPath)
+    }
+    val box = Seq(Range("uz", 64, 191), Range("vz", 0, 511))
+    val total = ZoneMap.fileCount(spark, zmPath)
+    val kept = ZoneMap.prunedFiles(spark, zmPath, box).size
+    def csum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (ckFull, tFull) = timed("box query, full scan") {
+      csum(spark.read.parquet(zTable).filter(ZoneMap.boxPredicate(box)))
+    }
+    val (ckPruned, tPruned) = timed("box query, zone-map pruned") {
+      csum(ZoneMap.readPruned(spark, zTable, zmPath, box))
+    }
+    require(ckFull == ckPruned,
+      s"zone-map pruning changed the answer: $ckFull vs $ckPruned")
+    println(f"  zone map: opened $kept of $total files " +
+      f"(${100.0 * kept / total}%.1f%%), answers equal ($ckFull); " +
+      f"full $tFull%.2f s vs pruned $tPruned%.2f s")
   }
 }
