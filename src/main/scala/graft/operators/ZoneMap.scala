@@ -30,21 +30,65 @@ object ZoneMap {
   /** One inclusive [lo, hi] box side per dimension column. */
   final case class Range(column: String, lo: Long, hi: Long)
 
+  private def statsOf(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "zone map needs at least one dimension")
+    val aggs = dims.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(1)
+  }
+
   /** One-scan build of the zone map for `dims` (long-comparable
     * columns), persisted at `zmPath`: a row per data file with
     * min_/max_ per dimension.
     */
   def build(spark: SparkSession, tablePath: String, dims: Seq[String],
-            zmPath: String): Unit = {
-    require(dims.nonEmpty, "zone map needs at least one dimension")
-    val aggs = dims.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c")))
-    spark.read.parquet(tablePath)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .repartition(1)
+            zmPath: String): Unit =
+    statsOf(spark.read.parquet(tablePath), dims)
       .write.mode("overwrite").parquet(zmPath)
+
+  /** Incremental maintenance — the streaming twin of [[build]]: scan
+    * ONLY `files` (a micro-batch's just-landed part-files) and APPEND
+    * their stats rows to the map. Stats are per-file facts, so
+    * append-only maintenance never rewrites an existing row and the
+    * maintained map equals what a from-scratch [[build]] would
+    * produce over the same files (st25 puts that under the oracle).
+    */
+  def appendStats(spark: SparkSession, files: Seq[String], dims: Seq[String],
+                  zmPath: String): Unit =
+    if (files.nonEmpty)
+      statsOf(spark.read.parquet(files: _*), dims)
+        .write.mode("append").parquet(zmPath)
+
+  /** Fold the map's accumulated per-batch stats files into ONE file —
+    * the lifecycle verb every append-maintained index needs (the
+    * sketch index learned this in round 9: append-only partials mean
+    * files = micro-batches forever, and open-cost grows with stream
+    * age). Stats rows are per-file FACTS with no merge arithmetic, so
+    * compaction is a pure rewrite: same rows, one file
+    * (ZoneMapSpec pins both). localCheckpoint materializes the
+    * snapshot before the overwrite so the read never races its own
+    * rewrite.
+    */
+  def compactStats(spark: SparkSession, zmPath: String): Unit =
+    spark.read.parquet(zmPath).localCheckpoint(true)
+      .repartition(1).write.mode("overwrite").parquet(zmPath)
+
+  /** The current data part-files of a directory (commit metadata
+    * excluded) — the before/after diff a foreachBatch maintenance
+    * loop uses to find what a batch landed. Driver-sized: bounded by
+    * the file count, the same listing every scan planner holds.
+    */
+  def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.toString
+    }.toSeq
   }
 
   /** Files whose per-file [min,max] intersects EVERY side of the box

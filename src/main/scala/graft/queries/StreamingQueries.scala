@@ -1203,6 +1203,67 @@ object StreamingQueries {
         .withColumnRenamed("__shard", "shard")
         .withColumn("uniq", concat_ws(",", col("uniq")))
         .orderBy("event_type", "shard")
+    }),
+
+    // STREAMING ZONE-MAP MAINTENANCE — the file-skipping index's
+    // maintenance loop, completing the persisted-index streaming trio
+    // (fingerprints st04, sketches st23, zone maps here): each
+    // micro-batch lands its rows as range-clustered part-files
+    // (repartitionByRange on the leading dimension — the clustered
+    // landing a lake write gives), diffs the table's file listing to
+    // find exactly what it landed, and appends ONLY those files'
+    // min/max rows to the map (operators/ZoneMap.appendStats) — the
+    // base table is never rescanned, so maintenance cost is the
+    // batch, not the table. Stats are per-file facts, so the
+    // maintained map equals a from-scratch build over the same files
+    // (ZoneMapSpec pins that), and the pruned box probe over the
+    // streamed table must reproduce q69's oracle answer exactly.
+    "st25_streaming_zonemap" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.ZoneMap
+      import graft.operators.ZoneMap.Range
+      val root = graft.core.Scratch.dir("graft_zonemap_stream")
+      val table = s"$root/t"
+      val zm = s"$root/zm"
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .as[(Long, Long, String, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("l_partkey", "l_suppkey", "l_returnflag", "qty")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val before = ZoneMap.dataFiles(s, table).toSet
+            batch.repartitionByRange(2, col("l_partkey"))
+              .sortWithinPartitions("l_partkey")
+              .write.mode("append").parquet(table)
+            val landed = ZoneMap.dataFiles(s, table).filterNot(before)
+            ZoneMap.appendStats(s, landed, Seq("l_partkey", "l_suppkey"), zm)
+            ()
+          }
+          .start()
+        try {
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          // the nightly pass while the stream is quiescent: fold the
+          // per-batch stats files to one (per-file facts — a pure
+          // rewrite); the third batch appends AFTER compaction, so
+          // the probe reads the compacted ∪ appended map
+          ZoneMap.compactStats(s, zm)
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      val box = Seq(Range("l_partkey", 10, 400), Range("l_suppkey", 1, 40))
+      ZoneMap.readPruned(s, table, zm, box)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1491,6 +1552,16 @@ object StreamingQueries {
         |FROM events
         |GROUP BY event_type, user_id % 200 % 4
         |ORDER BY event_type, shard""".stripMargin,
+
+    // st25: zone-map pruning is layout-only and the maintained map is
+    // a per-file fact table — the pruned box probe over the streamed
+    // table is q69's plain box aggregate
+    "st25_streaming_zonemap" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 400 AND l_suppkey BETWEEN 1 AND 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // draining the whole directory once = the plain batch aggregate
     "st11_file_stream_agg" ->

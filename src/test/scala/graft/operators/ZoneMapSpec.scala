@@ -48,6 +48,38 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestSession {
     assert(pruned == full)
   }
 
+  test("incremental appendStats equals a from-scratch build") {
+    val root = graft.core.Scratch.dir("zonemap_incr")
+    val table = s"$root/t"
+    val li = spark.read.parquet(s"$D/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+    // two landings, as a maintenance loop would see them
+    val incr = s"$root/zm_incr"
+    val halves = Seq(li.filter(col("l_partkey") % 2 === 0),
+      li.filter(col("l_partkey") % 2 === 1))
+    halves.foreach { h =>
+      val before = ZoneMap.dataFiles(spark, table).toSet
+      h.coalesce(2).write.mode("append").parquet(table)
+      val landed = ZoneMap.dataFiles(spark, table).filterNot(before)
+      assert(landed.nonEmpty)
+      ZoneMap.appendStats(spark, landed, Seq("l_partkey", "l_suppkey"), incr)
+    }
+    val scratch = s"$root/zm_full"
+    ZoneMap.build(spark, table, Seq("l_partkey", "l_suppkey"), scratch)
+    def rows(p: String): Set[String] =
+      spark.read.parquet(p).collect().map(_.mkString("|")).toSet
+    assert(rows(incr) == rows(scratch))
+
+    // the LSM lifecycle verb: two appends left >= 2 stats files;
+    // compaction folds to one with identical rows
+    assert(ZoneMap.dataFiles(spark, incr).size >= 2)
+    val beforeRows = rows(incr)
+    ZoneMap.compactStats(spark, incr)
+    assert(ZoneMap.dataFiles(spark, incr).size == 1,
+      "compaction must leave exactly one stats file")
+    assert(rows(incr) == beforeRows, "compaction changed the map's rows")
+  }
+
   test("a box outside every zone short-circuits to empty") {
     val (table, zm) = layout
     val none = Seq(Range("l_partkey", -100, -1))
