@@ -49,10 +49,18 @@ object SubmitSmoke {
     // conf-string registration a cluster user writes), and the
     // kmv_sketch ScalaAggregator — an Aggregator closure + its
     // ExpressionEncoder — serializes to SEPARATE executor JVMs
+    // q68/q69 are the round-10 planning pair: q68's broadcast hint
+    // needs SketchBroadcastRule injected (here via BOTH registration
+    // paths — the conf string submit.sh sets and GraftSession's
+    // programmatic withExtensions; duplicate-safe), and its eager
+    // in-scope execution must broadcast driver-built stats to
+    // separate executor JVMs; q69's zone-map probe reads a
+    // driver-pruned multi-path file list on executor JVMs
     for (name <- Seq("q01_tpch_q1", "q02_nation_revenue",
         "x04_token_stats", "x02_minhash_lsh", "q55_sketch_partial_merge",
         "q59_theta_partial_merge", "q61_sql_sketch_algebra",
-        "q64_sql_ddsketch")) {
+        "q64_sql_ddsketch", "q68_sketch_broadcast_join",
+        "q69_zonemap_pruned_scan")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
