@@ -341,6 +341,29 @@ object Similarity {
       .select(col(idOut), col(vecOut), col(nrmOut), col("c.cid").as("cluster"))
   }
 
+  /** Public argmax coarse-quantizer assignment (the [[assignClusters]]
+    * literal path, nprobe=1): collect the centroid frame once (tiny by
+    * contract — an IVF-sized quantizer), inline it as literal arrays,
+    * and return `(idCol, cluster)` with assignment FUSED INTO THE SCAN
+    * — no join, no window, no shuffle. Ties break to the lower
+    * centroid id, identical to [[assignClustersByJoin]] and to the
+    * row_number-over-(score desc, cent_id) oracle form.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        (r.getLong(0), v, normOf(v))
+      }
+      .sortBy(_._1).toSeq
+    assignClusters(corpus, cents, nprobe = 1, "vid", "vec", "nrm", idCol, vecCol)
+      .select(col("vid").as(idCol), col("cluster"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell/Goldstein
     * λ=0.5): greedily pick the candidate maximizing relevance minus
     * its max similarity to anything already picked — the re-ranker

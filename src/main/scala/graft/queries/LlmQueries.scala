@@ -1627,6 +1627,42 @@ object LlmQueries {
         .filter(col("rnk") <= 5)
         .select("probe_id", "neighbor_id", "dot_e6", "rnk")
         .orderBy("probe_id", "rnk")
+    }),
+
+    // CLUSTER-BALANCED SUBSET SELECTION — the semantic-diversity
+    // counterpart of x69's per-source quota (the cluster-cap step a
+    // balanced training mixture runs after embedding; cf. SemDeDup's
+    // cluster-then-prune posture, Abbas et al. 2023): every vector is
+    // assigned to its nearest of 8 fixed centroids by the IVF coarse
+    // quantizer's argmax-integer-cosine (deterministic cross-engine,
+    // ties to the lower centroid id), then each semantic cluster's
+    // contribution is capped at Q = 25 by the bounded top-k aggregate
+    // over a deterministic per-vector hash draw — survivors are a
+    // uniform pseudo-random draw WITHIN each cluster, no cluster
+    // dominates, and aggregate state is |clusters|·Q regardless of
+    // corpus size. Scale shape: assignment is the collected-literal
+    // coarse quantizer fused into the scan (Similarity
+    // .assignToCentroids — no join, no shuffle), so the ONLY exchange
+    // carrying data is the quota aggregation's |clusters|·Q partials;
+    // the oracle replays assignment + windowed quota exactly.
+    "x74_cluster_balanced_sample" -> ((s, d) => {
+      val Q = 25
+      implicit val enc: org.apache.spark.sql.Encoder[graft.functions.Scored] =
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored]
+      val topk = udaf(new graft.functions.TopKAggregator(Q))
+      val emb = Tables.embeddings(s, d)
+      val assigned = Similarity.assignToCentroids(
+        emb, emb.filter(col("vec_id") < 8))
+      assigned
+        .select(col("cluster"),
+          TF.hash60(concat(lit("cbal:"), col("vec_id").cast("string"))).as("score"),
+          col("vec_id").as("id"))
+        .groupBy("cluster")
+        .agg(topk(col("score"), col("id")).as("kept"))
+        .select(col("cluster"), posexplode(col("kept")).as(Seq("pos", "t")))
+        .select(col("cluster"), col("t.id").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("cluster", "rk")
     })
   )
 
@@ -3119,6 +3155,29 @@ object LlmQueries {
          |              ORDER BY dot_e6 DESC, neighbor_id) AS BIGINT) AS rnk
          |  FROM scored)
          |SELECT probe_id, neighbor_id, dot_e6, rnk FROM ranked
-         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // x74: x27's assignment CTE (argmax cosine, ties to lower
+    // centroid id) + x69's windowed quota over the hash draw
+    "x74_cluster_balanced_sample" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_vec
+         |               FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, c.cent_id,
+         |              ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |       FROM embeddings e, cents c),
+         |asg AS (SELECT vec_id, cent_id AS cluster FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY c_score DESC, cent_id) AS rnk
+         |          FROM sc) WHERE rnk = 1),
+         |h AS (SELECT cluster, vec_id,
+         |             ${dH("'cbal:' || CAST(vec_id AS VARCHAR)")} AS hv
+         |      FROM asg),
+         |r AS (SELECT cluster, vec_id,
+         |             row_number() OVER (PARTITION BY cluster
+         |                                ORDER BY hv DESC, vec_id) AS rk
+         |      FROM h)
+         |SELECT cluster, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 25
+         |ORDER BY cluster, rk""".stripMargin
   )
 }

@@ -166,4 +166,39 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
       assert(leaked === 0)
     } finally split.unpersist()
   }
+
+  test("x74: every cluster's quota is respected with dense ranks and unique survivors") {
+    val kept = q("x74_cluster_balanced_sample").cache()
+    try {
+      // survivors are unique documents spread over at most 8 clusters
+      assert(kept.select("vec_id").distinct().count() === kept.count())
+      assert(kept.select("cluster").distinct().count() <= 8)
+      // per-cluster: at most Q=25 kept, ranks exactly 1..n (dense)
+      val perCluster = kept.groupBy("cluster")
+        .agg(count("*").as("n"), max("rk").as("mx"),
+          countDistinct("rk").as("dr")).cache()
+      val bad = perCluster
+        .filter(col("n") > 25 || col("mx") =!= col("n") || col("dr") =!= col("n"))
+        .count()
+      assert(bad === 0, "quota overflow or non-dense ranks")
+      // a cluster with >= Q members must keep EXACTLY Q (the cap binds,
+      // it doesn't thin): recompute assignment sizes independently
+      val emb = spark.read.parquet(s"$D/embeddings.parquet")
+      assert(emb.count() > 8 * 25, "fixture large enough for the cap to bind")
+      assert(perCluster.filter(col("n") === 25).count() >= 1,
+        "at least one cluster must hit the cap on this corpus")
+    } finally kept.unpersist()
+  }
+
+  test("x74: assignment fuses into the scan — no join, no ranking window") {
+    val plan = executedPlan(q("x74_cluster_balanced_sample"))
+    // the collected-literal coarse quantizer means NO join of any kind:
+    // centroids ride in the projection as literal arrays
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    // the quota runs through the bounded typed aggregate (state |clusters|*Q
+    // before the exchange), not a corpus-wide ranking window
+    assert(plan.contains("ObjectHashAggregate"),
+      s"quota must use the bounded top-k aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no corpus-wide ranking window:\n$plan")
+  }
 }
