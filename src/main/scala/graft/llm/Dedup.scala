@@ -700,4 +700,59 @@ object Dedup {
       .filter(col("containment_e6") >= minContE6)
       .select("doc_a", "doc_b", "n_shared", "containment_e6")
   }
+
+  /** Duplicate-span REMOVAL — the corpus TRANSFORM whose audit-only
+    * counterpart is x60's span coverage (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * removes the duplicated substrings themselves rather than whole
+    * documents): every word `w`-gram appearing in at least `minDocs`
+    * DISTINCT documents marks its `w` token positions as covered in
+    * every document containing it; each document is rewritten keeping
+    * only uncovered tokens, in order. Emits `(idCol, n_tokens,
+    * n_removed, text_scrubbed)` for EVERY input doc — docs shorter
+    * than `w` tokens or with no duplicated grams pass through intact.
+    *
+    * Scale: never pairwise — the duplicated-gram set is a group-count
+    * over (gram hash, doc) with map-side combine, the cover join is an
+    * equi-join on the 60-bit gram hash (uniform), and reassembly is a
+    * per-doc bounded aggregation (state = one document's tokens). The
+    * gram and token frames are each consumed twice, so they
+    * materialize once via eager localCheckpoint (the x28 rule:
+    * checkpoint, not cache — leak-free).
+    */
+  def scrubDuplicateSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          w: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .localCheckpoint(true)
+    val grams = base.filter(size(col("t")) >= w)
+      .select(col(idCol),
+        posexplode(transform(wordShingles(col("t"), w), g => hash60(g)))
+          .as(Seq("s0", "h")))
+      .select(col(idCol), (col("s0") + 1).as("s"), col("h"))
+      .localCheckpoint(true)
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    // overlapping dup spans yield repeated (doc, p) rows — harmless:
+    // the anti join below is existence-only, so no dedup shuffle here
+    val covered = grams.join(dup, "h")
+      .select(col(idCol), explode(sequence(col("s"), col("s") + (w - 1))).as("p"))
+    val toks = base
+      .select(col(idCol), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
+    val re = kept.groupBy(idCol).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x("tok"))).as("text_scrubbed"),
+      count(lit(1)).as("n_kept"))
+    base.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextFunctions => TF}
+import graft.llm.{Dedup, Multimodal, Retrieval, Selection, Similarity, TextFunctions => TF}
 
 /** LLM-training-data pipeline queries (builder brief: dedup,
   * similarity search, text analysis, multimodal — first-class
@@ -1663,7 +1663,40 @@ object LlmQueries {
         .select(col("cluster"), col("t.id").as("vec_id"),
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("cluster", "rk")
-    })
+    }),
+
+    // DSIR-STYLE IMPORTANCE SELECTION (Xie et al. 2023, e6-integer
+    // variant — llm/Selection.scala's scaladoc): target domain =
+    // doc_id % 11 == 0 (the x28 mod-split convention), features =
+    // hashed word bigrams in 4096 buckets. The weight table is one
+    // conditional-aggregation scan collected like a codebook; scoring
+    // fuses into the raw-pool scan as a literal-array fold (no join,
+    // no shuffle), and the top-100 is TakeOrderedAndProject — the
+    // whole selection pass is two corpus scans however large the
+    // corpus. Oracle replays buckets, integer weights, and ranking.
+    "x75_dsir_select" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val weights = Selection.importanceWeights(docs, col("doc_id") % 11 === 0)
+      val scored = Selection.importanceScores(
+        docs.filter(col("doc_id") % 11 =!= 0), weights)
+      scored.orderBy(col("score_e6").desc, col("doc_id")).limit(100)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "n_grams", "score_e6", "rk")
+        .orderBy("rk")
+    }),
+
+    // DUPLICATE-SPAN SCRUB (Lee et al. 2022's remove-the-substring
+    // posture; Dedup.scrubDuplicateSpans scaladoc has the scale
+    // story): every word 5-gram shared by >= 2 distinct docs is
+    // scrubbed from ALL of them; the rewritten corpus — full
+    // text_scrubbed strings — is hash-compared against the oracle's
+    // independent replay, so the transform itself (not just counts)
+    // is cross-engine exact.
+    "x76_dup_span_scrub" -> ((s, d) =>
+      Dedup.scrubDuplicateSpans(
+          Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"))
+        .orderBy("doc_id"))
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3178,6 +3211,61 @@ object LlmQueries {
          |      FROM h)
          |SELECT cluster, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 25
-         |ORDER BY cluster, rk""".stripMargin
+         |ORDER BY cluster, rk""".stripMargin,
+
+    // x75: bucketed-bigram integer importance weights (// is DuckDB
+    // floor division — identical to Java long division on the
+    // nonnegative operands here), then the raw pool ranked by its
+    // literal-weight fold
+    "x75_dsir_select" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 2),
+         |g AS (SELECT doc_id, (${dH("gram")} % 4096) AS b
+         |      FROM (SELECT doc_id,
+         |                   unnest(list_transform(generate_series(1, len(t)-1),
+         |                                         i -> t[i] || ' ' || t[i+1])) AS gram
+         |            FROM base)),
+         |stats AS (SELECT b,
+         |                 sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS tc,
+         |                 sum(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS rc
+         |          FROM g GROUP BY 1),
+         |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM stats),
+         |w AS (SELECT b, (1000000*tc)//tt - (1000000*rc)//rt AS wt FROM stats, tot),
+         |score AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |                 CAST(sum(wt) AS BIGINT) AS score_e6
+         |          FROM g JOIN w USING (b) WHERE doc_id % 11 <> 0 GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk
+         |      FROM score)
+         |SELECT doc_id, n_grams, score_e6, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
+    // x76: dup 5-gram starts -> covered positions -> anti-joined
+    // token rewrite, string_agg ORDER BY p = the position-sorted
+    // concat_ws
+    "x76_dup_span_scrub" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, s,
+         |             ${dH("t[s]||' '||t[s+1]||' '||t[s+2]||' '||t[s+3]||' '||t[s+4]")} AS h
+         |      FROM (SELECT doc_id, unnest(generate_series(1, len(t)-4)) AS s, t
+         |            FROM base WHERE len(t) >= 5)),
+         |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+         |                       FROM g GROUP BY 1) WHERE nd >= 2),
+         |cs AS (SELECT DISTINCT doc_id, s FROM g JOIN dup USING (h)),
+         |cp AS (SELECT DISTINCT doc_id, s + o AS p
+         |       FROM cs CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o)),
+         |tp AS (SELECT doc_id, p, t[p] AS tok
+         |       FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+         |             FROM base)),
+         |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+         |         FROM tp LEFT JOIN cp ON tp.doc_id = cp.doc_id AND tp.p = cp.p
+         |         WHERE cp.p IS NULL),
+         |re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_scrubbed,
+         |              count(*) AS n_kept
+         |       FROM kept GROUP BY 1),
+         |b2 AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM base)
+         |SELECT b2.doc_id, n_tokens,
+         |       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |       coalesce(text_scrubbed, '') AS text_scrubbed
+         |FROM b2 LEFT JOIN re USING (doc_id) ORDER BY b2.doc_id""".stripMargin
   )
 }

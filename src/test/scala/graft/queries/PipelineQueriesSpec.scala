@@ -190,6 +190,57 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     } finally kept.unpersist()
   }
 
+  test("x75: selection stays in the raw pool with dense ranks and non-increasing scores") {
+    val top = q("x75_dsir_select").orderBy("rk").collect()
+    assert(top.length === 100)
+    // every selected doc is from the raw pool (never the target domain)
+    assert(top.forall(r => r.getLong(0) % 11 != 0))
+    // ranks dense 1..100, scores non-increasing along them
+    assert(top.map(_.getLong(3)).toSeq === (1L to 100L))
+    val scores = top.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("x75: scoring fuses into the scan — literal weights, no join") {
+    val docs = graft.queries.Tables.documents(spark, D)
+    val w = graft.llm.Selection.importanceWeights(docs, col("doc_id") % 11 === 0)
+    // weight table is the fixed-size artifact the design promises
+    assert(w.length === 4096)
+    val scored = graft.llm.Selection.importanceScores(
+      docs.filter(col("doc_id") % 11 =!= 0), w)
+    val plan = executedPlan(scored)
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    // and the full query's top-100 is the bounded take, not a global sort
+    val full = executedPlan(q("x75_dsir_select"))
+    assert(full.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition take + driver merge:\n$full")
+  }
+
+  test("x76: token accounting ties out and a removed span implies a cross-doc gram") {
+    val scrub = q("x76_dup_span_scrub").cache()
+    try {
+      val docs = spark.read.parquet(s"$D/documents.parquet")
+      assert(scrub.count() === docs.count(), "every doc must survive as a row")
+      // n_tokens - n_removed = tokens actually present in the rewrite
+      val bad = scrub.filter(
+        col("n_removed") < 0 || col("n_removed") > col("n_tokens") ||
+          (when(col("text_scrubbed") === "", lit(0L))
+            .otherwise(size(split(col("text_scrubbed"), " ")).cast("long"))
+            =!= col("n_tokens") - col("n_removed"))).count()
+      assert(bad === 0, "token accounting broken")
+      // the corpus is template-generated: some spans must actually scrub
+      assert(scrub.filter(col("n_removed") > 0).count() >= 1)
+      // kept text is a sub-multiset of the original tokens
+      val joined = scrub.filter(col("text_scrubbed") =!= "")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .filter(!expr(
+          "forall(split(text_scrubbed, ' '), tk -> array_contains(split(text, ' '), tk))"))
+        .count()
+      assert(joined === 0, "rewrite invented a token")
+    } finally scrub.unpersist()
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
