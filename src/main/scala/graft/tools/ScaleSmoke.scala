@@ -20,7 +20,7 @@ import graft.operators.CmSketch
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
-  *         spike planning   (default: all)
+  *         spike planning selection   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -89,7 +89,7 @@ object ScaleSmoke {
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
       Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm", "skew",
-        "shardstate", "spike", "planning")
+        "shardstate", "spike", "planning", "selection")
     else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
@@ -118,6 +118,7 @@ object ScaleSmoke {
     if (stages("shardstate")) shardStateStage(spark, sfDir, mult, tmp)
     if (stages("spike")) spikeSkewStage(spark, sfDir, mult, tmp)
     if (stages("planning")) planningStage(spark, sfDir, mult, tmp)
+    if (stages("selection")) selectionStage(spark, sfDir, mult, tmp, docs)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -927,5 +928,60 @@ object ScaleSmoke {
     println(f"  zone map: opened $kept of $total files " +
       f"(${100.0 * kept / total}%.1f%%), answers equal ($ckFull); " +
       f"full $tFull%.2f s vs pruned $tPruned%.2f s")
+  }
+
+  /** The selection/transform family (x74/x75/x76). Claims measured:
+    *   - x75: the importance-weight table is 4096 longs at EVERY mult
+    *     (the driver collect cannot grow — it is keyed by bucket, not
+    *     by gram), weight build is one conditional-agg scan, scoring
+    *     one join-free scan, top-100 k-bounded: the whole selection
+    *     pass is two linear scans however large the corpus.
+    *   - x76: scrub time is linear in the covered-position join's
+    *     OUTPUT (w· gram rows); the scaled corpus duplicates every
+    *     doc, so every >=w-token doc must scrub to empty — the
+    *     fully-scrubbed count proves the cover is total, and there is
+    *     no pairwise comparison anywhere.
+    *   - x74: the balanced sample's aggregate state and output stay
+    *     clusters·Q at every mult — the kept count is
+    *     corpus-independent while the scan grows linearly.
+    */
+  private def selectionStage(spark: SparkSession, sfDir: String, mult: Int,
+                             tmp: String, docs: DataFrame): Unit = {
+    import graft.llm.Selection
+    val (w, _) = timed("dsir weights (one scan)") {
+      Selection.importanceWeights(docs, col("doc_id") % 11 === 0)
+    }
+    println(s"  weight table: ${w.length} longs (corpus-independent)")
+    timed("dsir score + top-100") {
+      val top = Selection
+        .importanceScores(docs.filter(col("doc_id") % 11 =!= 0), w)
+        .orderBy(col("score_e6").desc, col("doc_id")).limit(100)
+      println(s"  selected: ${top.count()} (k-bounded)")
+    }
+    timed("dup-span scrub") {
+      val r = Dedup.scrubDuplicateSpans(docs).localCheckpoint(true)
+      val agg = r.agg(count(lit(1)).as("n"),
+        sum(when(col("n_removed") === col("n_tokens") &&
+          col("n_tokens") >= 5, 1L).otherwise(0L)).as("full"),
+        sum("n_removed").as("rm")).head()
+      println(s"  docs: ${agg.getLong(0)}, fully scrubbed: ${agg.getLong(1)}, " +
+        s"tokens removed: ${agg.getLong(2)}")
+    }
+    val base = graft.queries.Tables.embeddings(spark, sfDir)
+    val emb = scaled(base, "vec_id", mult, s"$tmp/embeddings_sel")
+    println(s"embeddings: ${emb.count()} ($mult x ${base.count()})")
+    timed("cluster-balanced sample") {
+      implicit val enc: org.apache.spark.sql.Encoder[graft.functions.Scored] =
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored]
+      val topk = udaf(new graft.functions.TopKAggregator(25))
+      val kept = Similarity
+        .assignToCentroids(emb, base.filter(col("vec_id") < 8))
+        .select(col("cluster"),
+          TF.hash60(concat(lit("cbal:"), col("vec_id").cast("string"))).as("score"),
+          col("vec_id").as("id"))
+        .groupBy("cluster").agg(topk(col("score"), col("id")).as("kept"))
+        .select(col("cluster"), posexplode(col("kept")).as(Seq("pos", "t")))
+      println(s"  kept rows: ${kept.count()} (clusters x Q, corpus-independent)")
+    }
   }
 }
