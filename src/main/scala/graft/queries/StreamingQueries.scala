@@ -1264,6 +1264,57 @@ object StreamingQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Streaming temporal AS-OF join (TemporalJoin's scaladoc — the
+    // streaming twin of q11's native batch as-of exec, with q11's
+    // oracle SQL verbatim): event probes and order-version updates
+    // arrive as one keyed stream in two EVENT-TIME-ORDERED batches
+    // (split at the midpoint second, the streamStage discipline —
+    // batch-2 rows are never late), each probe emits exactly once with
+    // the latest version at or before its time when the watermark
+    // proves the match final, and the far-future sentinel flushes the
+    // tail. The sentinel is a dim row, so it never appears in the
+    // output.
+    "st26_streaming_asof_join" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.streaming.{TemporalJoin, TemporalRow}
+
+      val probes = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("sec"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val dims = Tables.orders(s, d)
+        .groupBy(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").cast("long"))
+        .agg(max("o_orderkey"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val rows: Seq[TemporalRow] =
+        probes.map(p => TemporalRow(p._2, is_dim = false, p._1, p._3)) ++
+          dims.map(v => TemporalRow(v._1, is_dim = true, v._3, v._2))
+      val mid = (rows.map(_.sec).min + rows.map(_.sec).max) / 2
+      val far = rows.map(_.sec).max + 1000000L
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TemporalRow]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = TemporalJoin.join(in.toDF(), watermarkDelaySec = 1)
+          .writeStream.format("memory").queryName("st26_matches")
+          .outputMode("append").start()
+        try {
+          val (b1, b2) = rows.partition(_.sec < mid)
+          in.addData(b1); q.processAllAvailable()
+          in.addData(b2); q.processAllAvailable()
+          in.addData(TemporalRow(-1L, is_dim = true, -1L, far))
+          q.processAllAvailable()
+          in.addData(TemporalRow(-1L, is_dim = true, -2L, far + 10))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st26_matches")
+        .select(col("event_id"), col("user_id"), col("evt_sec"),
+          col("ord_sec"), col("o_orderkey"))
+        .orderBy("event_id")
     })
   )
 
@@ -1552,6 +1603,20 @@ object StreamingQueries {
         |FROM events
         |GROUP BY event_type, user_id % 200 % 4
         |ORDER BY event_type, shard""".stripMargin,
+
+    // st26: the temporal join's answer is q11's batch as-of join —
+    // same SQL verbatim: batching cannot change which version is
+    // latest-at-or-before a probe once the watermark finalizes it
+    "st26_streaming_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.evt_sec, r.ord_sec, r.o_orderkey
+        |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS evt_sec
+        |      FROM events) l
+        |ASOF LEFT JOIN (
+        |      SELECT o_custkey AS user_id, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ord_sec,
+        |             max(o_orderkey) AS o_orderkey
+        |      FROM orders GROUP BY 1, 2) r
+        |  ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec
+        |ORDER BY event_id""".stripMargin,
 
     // st25: zone-map pruning is layout-only and the maintained map is
     // a per-file fact table — the pruned box probe over the streamed
