@@ -20,7 +20,7 @@ import graft.operators.CmSketch
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
-  *         spike planning selection   (default: all)
+  *         spike planning selection temporal   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -89,7 +89,7 @@ object ScaleSmoke {
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
       Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm", "skew",
-        "shardstate", "spike", "planning", "selection")
+        "shardstate", "spike", "planning", "selection", "temporal")
     else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
@@ -119,6 +119,7 @@ object ScaleSmoke {
     if (stages("spike")) spikeSkewStage(spark, sfDir, mult, tmp)
     if (stages("planning")) planningStage(spark, sfDir, mult, tmp)
     if (stages("selection")) selectionStage(spark, sfDir, mult, tmp, docs)
+    if (stages("temporal")) temporalStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -928,6 +929,102 @@ object ScaleSmoke {
     println(f"  zone map: opened $kept of $total files " +
       f"(${100.0 * kept / total}%.1f%%), answers equal ($ckFull); " +
       f"full $tFull%.2f s vs pruned $tPruned%.2f s")
+  }
+
+  /** st26's streaming temporal as-of join at mult copies. Claims
+    * measured: FMGWS state is one row per KEY at every batch (not per
+    * version — numRowsTotal proves it), state MEMORY plateaus instead
+    * of growing with the versions seen (the horizon pruning — each
+    * copy adds a full version history per key, all of it prunable
+    * once the watermark passes), per-batch exec stays flat from first
+    * to last batch, and the streamed answer checksum-equals the batch
+    * as-of join over the same scaled frames.
+    */
+  private def temporalStage(spark: SparkSession, sfDir: String, mult: Int,
+                            tmp: String): Unit = {
+    import spark.implicits._
+    import graft.streaming.{TemporalJoin, TemporalRow}
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        graft.queries.Tables.tsSec.as("sec"))
+    val Seq(smin, smax) = ev.agg(min("sec"), max("sec"))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val span = smax - smin + 3600L
+    val idBig = 1000000000L
+    val dir = s"$tmp/temporal_stream"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // one event-time-ordered file per copy: probes = events, versions
+    // = the %7 slice deduped per (user, sec) — each copy replays the
+    // full version history one span later
+    (0 until mult).foreach { c =>
+      val probes = ev.filter(col("event_id") % 7 =!= 0)
+        .select(col("user_id"), lit(false).as("is_dim"),
+          (col("event_id") + c * idBig).as("id"),
+          (col("sec") + c * span).as("sec"))
+      val dims = ev.filter(col("event_id") % 7 === 0)
+        .groupBy("user_id", "sec").agg(max("event_id").as("v"))
+        .select(col("user_id"), lit(true).as("is_dim"),
+          (col("v") + c * idBig).as("id"),
+          (col("sec") + c * span).as("sec"))
+      probes.unionByName(dims).coalesce(1).write.mode("append").parquet(dir)
+    }
+    // far-future sentinel version lands last to flush the tail
+    Seq(TemporalRow(-1L, is_dim = true, -1L, smax + mult * span + 1000000L))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    val nIn = spark.read.parquet(dir).count()
+    println(s"temporal rows: $nIn in $mult event-time-ordered files (+ sentinel)")
+
+    timed(s"temporal as-of stream $mult batches") {
+      val in = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TemporalRow].schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = TemporalJoin.join(in.toDF(), watermarkDelaySec = 1)
+        .writeStream.format("memory").queryName("scale_temporal")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/temporal_ckpt_${System.nanoTime()}")
+        .start()
+      try {
+        q.processAllAvailable()
+        val prog = q.recentProgress.toSeq
+        val state = prog.flatMap(_.stateOperators.headOption)
+        val execMs = prog.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue))
+        val memKb = state.map(_.memoryUsedBytes / 1024)
+        println(s"  batches: ${prog.size}; state rows last " +
+          s"${state.lastOption.map(_.numRowsTotal).getOrElse(0L)} = keys, " +
+          s"not versions (versions fed: ~${nIn / 7})")
+        println(s"  state KB per batch: first=${memKb.headOption.getOrElse(0L)} " +
+          s"median=${if (memKb.isEmpty) 0 else memKb.sorted.apply(memKb.size / 2)} " +
+          s"max=${memKb.foldLeft(0L)(math.max)} (plateau = horizon pruning)")
+        println(s"  per-batch exec ms: first=${execMs.headOption.getOrElse(-1L)} " +
+          s"median=${if (execMs.isEmpty) -1 else execMs.sorted.apply(execMs.size / 2)} " +
+          s"max=${execMs.foldLeft(0L)(math.max)}")
+      } finally q.stop()
+    }
+
+    timed("batch as-of equivalence") {
+      val all = spark.read.parquet(dir).filter(col("id") >= 0)
+      val l = all.filter(!col("is_dim"))
+        .select(col("id").as("event_id"), col("user_id"),
+          col("sec").as("evt_sec"))
+      val r = all.filter(col("is_dim"))
+        .select(col("user_id"), col("sec").as("ord_sec"),
+          col("id").as("o_orderkey"))
+      val batch = graft.operators.AsOfJoin.backward(
+        l, r, Seq("user_id"), "evt_sec", "ord_sec")
+      def csum(df: DataFrame): (Long, Long) = {
+        val row = df.agg(count(lit(1)).as("n"),
+          sum(col("evt_sec") + coalesce(col("ord_sec"), lit(0L)) +
+            coalesce(col("o_orderkey"), lit(0L))).as("s")).head()
+        (row.getLong(0), row.getLong(1))
+      }
+      val cb = csum(batch)
+      val cs = csum(spark.table("scale_temporal"))
+      require(cb == cs, s"stream diverged from batch as-of: $cb vs $cs")
+      println(s"  stream == batch as-of: $cs over ${cs._1} probes")
+    }
   }
 
   /** The selection/transform family (x74/x75/x76). Claims measured:
