@@ -63,6 +63,11 @@ object Selection {
     val rt = rc.sum
     require(tt > 0, "target side has no grams — check targetPred")
     require(rt > 0, "raw side has no grams — check targetPred")
+    // 1e6·count must stay in a Long: loud precondition instead of a
+    // silent wrap at ~9.2e12 grams per side (the fix at that scale is
+    // counting in units of, say, 64 grams — not silently wrong weights)
+    require(tt <= Long.MaxValue / 1000000L && rt <= Long.MaxValue / 1000000L,
+      s"gram counts too large for e6 integer frequencies: tt=$tt rt=$rt")
     Array.tabulate(buckets)(b => 1000000L * tc(b) / tt - 1000000L * rc(b) / rt)
   }
 

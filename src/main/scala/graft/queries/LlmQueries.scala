@@ -1696,7 +1696,42 @@ object LlmQueries {
     "x76_dup_span_scrub" -> ((s, d) =>
       Dedup.scrubDuplicateSpans(
           Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007; Ohlsson's
+    // sequential Poisson sampling) — the WEIGHTED counterpart of
+    // q21's uniform seeded sample and x69's unweighted quota: doc
+    // weight = n_chars, priority = w·2^20 DIV u for a deterministic
+    // per-doc hash draw u ∈ [1, 2^20], keep the top 48 priorities,
+    // and attach the published estimator est = max(w, τ) with τ = the
+    // 49th priority — Σ est over the sample is unbiased for Σ w over
+    // the corpus, which is what lets a 48-doc sample answer
+    // "how many chars does this source hold" at any corpus size.
+    // All-integer (DIV truncation = DuckDB // on these nonnegative
+    // operands), so priorities and the estimator hash cross-engine.
+    // Scale shape: priority is a pure projection; top-49 is
+    // TakeOrderedAndProject (per-partition top, driver merge); the
+    // window + τ join run on 49 rows.
+    "x77_priority_sample" -> ((s, d) => {
+      val scored = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("u", pmod(
+          TF.hash60(concat(lit("prio:"), col("doc_id").cast("string"))),
+          lit(1048576L)) + 1L)
+        .withColumn("priority", expr("(n_chars * 1048576) DIV u"))
+      // two consumers (the τ row + the kept 48) — materialize the
+      // 49-row take once so the corpus scans once (the x28 rule)
+      val top = scored
+        .orderBy(col("priority").desc, col("doc_id")).limit(49)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+        .localCheckpoint(true)
+      val tau = top.filter(col("rk") === 49).select(col("priority").as("tau"))
+      top.filter(col("rk") <= 48).crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("n_chars"), col("priority"), col("rk"),
+          greatest(col("n_chars"), col("tau")).as("est"))
+        .orderBy("rk")
+    })
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3266,6 +3301,20 @@ object LlmQueries {
          |SELECT b2.doc_id, n_tokens,
          |       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
          |       coalesce(text_scrubbed, '') AS text_scrubbed
-         |FROM b2 LEFT JOIN re USING (doc_id) ORDER BY b2.doc_id""".stripMargin
+         |FROM b2 LEFT JOIN re USING (doc_id) ORDER BY b2.doc_id""".stripMargin,
+
+    // x77: the same integer priorities, window rank, and τ-estimator
+    "x77_priority_sample" ->
+      s"""WITH sc AS (SELECT doc_id, n_chars,
+         |                   (n_chars * 1048576) //
+         |                   ((${dH("'prio:' || CAST(doc_id AS VARCHAR)")} % 1048576) + 1)
+         |                     AS priority
+         |            FROM documents),
+         |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+         |      FROM sc),
+         |tau AS (SELECT priority AS tau FROM r WHERE rk = 49)
+         |SELECT doc_id, n_chars, priority, CAST(rk AS BIGINT) AS rk,
+         |       CAST(greatest(n_chars, tau) AS BIGINT) AS est
+         |FROM r, tau WHERE rk <= 48 ORDER BY rk""".stripMargin
   )
 }

@@ -241,6 +241,32 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     } finally scrub.unpersist()
   }
 
+  test("x77: the tau-estimator is well-formed and lands near the true total") {
+    val sample = q("x77_priority_sample").orderBy("rk").collect()
+    assert(sample.length === 48)
+    assert(sample.map(_.getLong(3)).toSeq === (1L to 48L), "ranks dense")
+    val prios = sample.map(_.getLong(2))
+    assert(prios.zip(prios.tail).forall { case (a, b) => a >= b },
+      "priorities non-increasing along rank")
+    // est = max(w, tau): never below the doc's own weight, and every
+    // kept priority clears the threshold
+    val tau = sample.map(r => r.getLong(4) max r.getLong(1)).min
+    assert(sample.forall(r => r.getLong(4) >= r.getLong(1)))
+    assert(prios.forall(_ >= tau), "a kept priority below tau would be unsampled")
+    // the POINT of DLT: sum(est) over 48 docs estimates sum(w) over all
+    val truth = spark.read.parquet(s"$D/documents.parquet")
+      .agg(sum("n_chars")).head().getLong(0)
+    val est = sample.map(_.getLong(4)).sum
+    assert(est > truth * 7 / 10 && est < truth * 13 / 10,
+      s"estimator off: est=$est truth=$truth")
+    // the 49-row take materializes once (TakeOrderedAndProject inside
+    // the eager checkpoint); the final plan is window + broadcast τ
+    // join over those 49 rows and must never rescan the corpus
+    val plan = executedPlan(q("x77_priority_sample"))
+    assert(!plan.contains("Scan parquet"), s"corpus must not rescan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"τ join must broadcast:\n$plan")
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
