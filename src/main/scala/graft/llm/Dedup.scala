@@ -740,6 +740,59 @@ object Dedup {
     // the anti join below is existence-only, so no dedup shuffle here
     val covered = grams.join(dup, "h")
       .select(col(idCol), explode(sequence(col("s"), col("s") + (w - 1))).as("p"))
+    rewriteUncovered(base, covered, idCol)
+  }
+
+  /** Targeted DECONTAMINATION scrub — [[scrubDuplicateSpans]] with the
+    * span source swapped: every word `w`-gram that appears in ANY
+    * benchmark document (`benchPred`) is scrubbed from every
+    * NON-benchmark document; the rewritten non-benchmark corpus is
+    * returned. This is the remove-the-leak transform whose audit-only
+    * counterpart is x28's contamination score — run it before training
+    * so eval n-grams cannot be memorized from the training set.
+    *
+    * Scale: the benchmark gram set is small by definition (the x28
+    * broadcast rule), so the cover join is a broadcast semi-probe of
+    * the corpus gram stream — no shuffle of corpus grams at all;
+    * rewrite is the same bounded per-doc aggregation as
+    * [[scrubDuplicateSpans]].
+    *
+    * Caveat (shared with the published remove-the-span recipes):
+    * joining survivors re-creates adjacency, so a NEW w-gram spanning
+    * a removal site could in principle equal a benchmark gram. The
+    * spec asserts zero residual contamination on the fixture; a
+    * deployment wanting the strict guarantee inserts a boundary
+    * token at each removal site instead of plain concatenation.
+    */
+  def scrubBenchmarkSpans(docs: DataFrame, benchPred: Column,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          w: Int = 5): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    val base = docs
+      .select(col(idCol), benchPred.as("is_bench"), tokens(col(textCol)).as("t"))
+      .localCheckpoint(true)
+    val benchGrams = base.filter(col("is_bench") && size(col("t")) >= w)
+      .select(explode(transform(wordShingles(col("t"), w), g => hash60(g))).as("h"))
+      .distinct()
+    val corpusGrams = base.filter(!col("is_bench") && size(col("t")) >= w)
+      .select(col(idCol),
+        posexplode(transform(wordShingles(col("t"), w), g => hash60(g)))
+          .as(Seq("s0", "h")))
+      .select(col(idCol), (col("s0") + 1).as("s"), col("h"))
+    val covered = corpusGrams.join(broadcast(benchGrams), "h")
+      .select(col(idCol), explode(sequence(col("s"), col("s") + (w - 1))).as("p"))
+    rewriteUncovered(base.filter(!col("is_bench")).select(col(idCol), col("t")),
+      covered, idCol)
+  }
+
+  /** Shared rewrite tail of the span scrubs: drop covered token
+    * positions, reassemble each document's survivors in order, and
+    * account `(n_tokens, n_removed)` for EVERY doc in `base` — docs
+    * with all positions covered come back as the empty string.
+    */
+  private def rewriteUncovered(base: DataFrame, covered: DataFrame,
+                               idCol: String): DataFrame = {
     val toks = base
       .select(col(idCol), posexplode(col("t")).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))

@@ -1731,7 +1731,21 @@ object LlmQueries {
         .select(col("doc_id"), col("n_chars"), col("priority"), col("rk"),
           greatest(col("n_chars"), col("tau")).as("est"))
         .orderBy("rk")
-    })
+    }),
+
+    // BENCHMARK DECONTAMINATION SCRUB (Dedup.scrubBenchmarkSpans —
+    // x76's machinery with the span source swapped to x28's benchmark
+    // slice doc_id % 97 == 0): every 5-gram present in any benchmark
+    // doc is removed from every training doc, and the rewritten
+    // training corpus is the output — the remove-the-leak transform
+    // whose audit is x28's contamination score. Benchmark grams
+    // broadcast (the x28 rule), so the corpus gram stream never
+    // shuffles for the cover join.
+    "x78_decontaminate" -> ((s, d) =>
+      Dedup.scrubBenchmarkSpans(
+          Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
+          benchPred = col("doc_id") % 97 === 0)
+        .orderBy("doc_id"))
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3315,6 +3329,35 @@ object LlmQueries {
          |tau AS (SELECT priority AS tau FROM r WHERE rk = 49)
          |SELECT doc_id, n_chars, priority, CAST(rk AS BIGINT) AS rk,
          |       CAST(greatest(n_chars, tau) AS BIGINT) AS est
-         |FROM r, tau WHERE rk <= 48 ORDER BY rk""".stripMargin
+         |FROM r, tau WHERE rk <= 48 ORDER BY rk""".stripMargin,
+
+    // x78: x76's rewrite with the dup set = the benchmark slice's
+    // distinct 5-gram hashes; output = non-benchmark docs only
+    "x78_decontaminate" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g0 AS (SELECT doc_id, s,
+         |              ${dH("t[s]||' '||t[s+1]||' '||t[s+2]||' '||t[s+3]||' '||t[s+4]")} AS h
+         |       FROM (SELECT doc_id, unnest(generate_series(1, len(t)-4)) AS s, t
+         |             FROM base WHERE len(t) >= 5)),
+         |bg AS (SELECT DISTINCT h FROM g0 WHERE doc_id % 97 = 0),
+         |cg AS (SELECT doc_id, s, h FROM g0 WHERE doc_id % 97 <> 0),
+         |cp AS (SELECT doc_id, s + o AS p
+         |       FROM (SELECT doc_id, s FROM cg JOIN bg USING (h))
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o)),
+         |tb AS (SELECT doc_id, t FROM base WHERE doc_id % 97 <> 0),
+         |tp AS (SELECT doc_id, p, t[p] AS tok
+         |       FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+         |             FROM tb)),
+         |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+         |         FROM tp LEFT JOIN cp ON tp.doc_id = cp.doc_id AND tp.p = cp.p
+         |         WHERE cp.p IS NULL),
+         |re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_scrubbed,
+         |              count(*) AS n_kept
+         |       FROM kept GROUP BY 1),
+         |b2 AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tb)
+         |SELECT b2.doc_id, n_tokens,
+         |       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |       coalesce(text_scrubbed, '') AS text_scrubbed
+         |FROM b2 LEFT JOIN re USING (doc_id) ORDER BY b2.doc_id""".stripMargin
   )
 }

@@ -1064,6 +1064,13 @@ object ScaleSmoke {
       println(s"  docs: ${agg.getLong(0)}, fully scrubbed: ${agg.getLong(1)}, " +
         s"tokens removed: ${agg.getLong(2)}")
     }
+    timed("decontamination scrub") {
+      val r = Dedup.scrubBenchmarkSpans(docs, col("doc_id") % 97 === 0)
+        .localCheckpoint(true)
+      val agg = r.agg(count(lit(1)).as("n"), sum("n_removed").as("rm")).head()
+      println(s"  training docs: ${agg.getLong(0)}, tokens removed: ${agg.getLong(1)} " +
+        s"(benchmark grams broadcast — corpus grams never shuffle for the cover)")
+    }
     val base = graft.queries.Tables.embeddings(spark, sfDir)
     val emb = scaled(base, "vec_id", mult, s"$tmp/embeddings_sel")
     println(s"embeddings: ${emb.count()} ($mult x ${base.count()})")

@@ -267,6 +267,30 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("SortMergeJoin"), s"τ join must broadcast:\n$plan")
   }
 
+  test("x78: the scrubbed corpus carries zero benchmark 5-grams") {
+    val scrub = q("x78_decontaminate").cache()
+    try {
+      val docs = spark.read.parquet(s"$D/documents.parquet")
+      val nBench = docs.filter(col("doc_id") % 97 === 0).count()
+      // benchmark docs are excluded; every training doc survives as a row
+      assert(scrub.count() === docs.count() - nBench)
+      assert(scrub.filter(col("doc_id") % 97 === 0).count() === 0)
+      // the audit (x28) found contamination, so the scrub must bite
+      assert(scrub.filter(col("n_removed") > 0).count() >= 1)
+      // THE decontamination guarantee: re-shingle the rewritten text
+      // and intersect with the benchmark's 5-gram set — empty
+      val benchGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(graft.llm.TextFunctions.wordShingles(
+          graft.llm.TextFunctions.tokens(col("text")), 5)).as("g"))
+        .distinct()
+      val residual = scrub.filter(col("text_scrubbed") =!= "")
+        .select(explode(graft.llm.TextFunctions.wordShingles(
+          split(col("text_scrubbed"), " "), 5)).as("g"))
+        .join(benchGrams, "g").count()
+      assert(residual === 0, s"$residual benchmark grams survive the scrub")
+    } finally scrub.unpersist()
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
