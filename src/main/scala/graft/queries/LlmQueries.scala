@@ -91,7 +91,10 @@ object LlmQueries {
       .withColumn("shuffle_key", TF.hash60(concat_ws(":",
         lit("ep0"), col("doc_id").cast("string"), col("chunk_start").cast("string"))))
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    allBase ++ budgetMixture
+
+  private def allBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep lowest id + dup count.
     "x01_exact_dedup" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "text", "doc_id")
@@ -1748,6 +1751,69 @@ object LlmQueries {
         .orderBy("doc_id"))
   )
 
+  // TOKEN-BUDGET MIXTURE ALLOCATION (waterfilling) + budget-capped
+  // sampling — the mixture-construction step between "target weights"
+  // and an actual corpus draw (the Pile/DoReMi posture: a source too
+  // small for its target weight saturates, its shortfall
+  // redistributes proportionally over the rest): given budget
+  // B = 60 000 chars and target weights 200 000 e6 for src0–src3 /
+  // 12 500 e6 for the rest, compute the exact waterfilling
+  // allocation in PURE INTEGER arithmetic — sources sorted by
+  // saturation level T·(WSCALE DIV w) (WSCALE = 200 000 is divisible
+  // by both weight values, so the sort is the exact rational T/w
+  // order; arbitrary weights would sort by cross-multiplied rational
+  // comparison), the saturation test cross-multiplied
+  // (T·(1e6−cumW) ≤ (B−cumT)·w — no division, no rounding), and the
+  // unsaturated share floor-divided. Then APPLY it: per-source
+  // hash-ordered cumulative character sums keep each source's docs
+  // until its allocation is spent. Scale shape: the solver runs on
+  // |sources| rows (a 20-row window; broadcast back); the apply pass
+  // is one shuffle by source + per-source cumsum — at extreme
+  // per-source volume the cumsum quota would switch to x66's
+  // distribution-count threshold instead of a sort, the documented
+  // trade.
+  private def budgetMixture: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_budget_mixture" -> ((s, d) => {
+      val B = 60000L
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // |sources| rows feeding three solver consumers (window, sums,
+      // alloc) — materialize once so the corpus aggregates once
+      val stats = docs.groupBy("source").agg(sum("n_chars").as("t"))
+        .withColumn("w_e6",
+          when(expr("CAST(substring(source, 4, 10) AS BIGINT)") < 4,
+            lit(200000L)).otherwise(lit(12500L)))
+        .withColumn("k", expr("t * (200000 DIV w_e6)"))
+        .localCheckpoint(true)
+      val prev = Window.orderBy(col("k"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = stats
+        .withColumn("cum_t_prev", coalesce(sum("t").over(prev), lit(0L)))
+        .withColumn("cum_w_prev", coalesce(sum("w_e6").over(prev), lit(0L)))
+        .withColumn("saturated",
+          col("t") * (lit(1000000L) - col("cum_w_prev")) <=
+            (lit(B) - col("cum_t_prev")) * col("w_e6"))
+      val sums = flagged.agg(
+        sum(when(col("saturated"), col("t")).otherwise(0L)).as("st"),
+        sum(when(col("saturated"), col("w_e6")).otherwise(0L)).as("sw"))
+      val alloc = flagged.crossJoin(broadcast(sums))
+        .withColumn("alloc", when(col("saturated"), col("t"))
+          .otherwise(expr(s"w_e6 * ($B - st) DIV greatest(1000000 - sw, 1)")))
+        .select(col("source"), col("saturated").cast("long").as("saturated"),
+          col("alloc"))
+      val drawn = docs
+        .withColumn("draw",
+          TF.hash60(concat(lit("bud:"), col("doc_id").cast("string"))))
+        .withColumn("cum_chars", sum("n_chars").over(
+          Window.partitionBy("source").orderBy(col("draw"), col("doc_id"))))
+      drawn.join(broadcast(alloc), "source")
+        .filter(col("cum_chars") <= col("alloc"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("cum_chars"), col("alloc"), col("saturated"))
+        .orderBy("source", "cum_chars")
+    })
+  )
+
   // ---------------- DuckDB oracles ----------------
 
   /** Squared L2 between subspace `s.m` slices of `$v` and the codeword
@@ -3358,6 +3424,40 @@ object LlmQueries {
          |SELECT b2.doc_id, n_tokens,
          |       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
          |       coalesce(text_scrubbed, '') AS text_scrubbed
-         |FROM b2 LEFT JOIN re USING (doc_id) ORDER BY b2.doc_id""".stripMargin
+         |FROM b2 LEFT JOIN re USING (doc_id) ORDER BY b2.doc_id""".stripMargin,
+
+    // x79: the same exact-integer waterfilling (cross-multiplied
+    // saturation test, floor-divided shares) and hash-ordered
+    // cumulative apply
+    "x79_budget_mixture" ->
+      s"""WITH stats AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t,
+         |                      CASE WHEN CAST(substr(source, 4) AS BIGINT) < 4
+         |                           THEN 200000 ELSE 12500 END AS w_e6
+         |               FROM documents GROUP BY source),
+         |k AS (SELECT *, t * (200000 // w_e6) AS k FROM stats),
+         |c AS (SELECT *,
+         |             coalesce(sum(t) OVER (ORDER BY k, source
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_t_prev,
+         |             coalesce(sum(w_e6) OVER (ORDER BY k, source
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_w_prev
+         |      FROM k),
+         |f AS (SELECT *, (t * (1000000 - cum_w_prev) <= (60000 - cum_t_prev) * w_e6)
+         |               AS saturated FROM c),
+         |s2 AS (SELECT coalesce(sum(CASE WHEN saturated THEN t END), 0) AS st,
+         |              coalesce(sum(CASE WHEN saturated THEN w_e6 END), 0) AS sw
+         |       FROM f),
+         |a AS (SELECT source, CAST(saturated AS BIGINT) AS saturated,
+         |             CAST(CASE WHEN saturated THEN t
+         |                       ELSE w_e6 * (60000 - st) // greatest(1000000 - sw, 1)
+         |                  END AS BIGINT) AS alloc
+         |      FROM f, s2),
+         |dr AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         |              CAST(sum(n_chars) OVER (PARTITION BY source
+         |                ORDER BY ${dH("'bud:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |                AS BIGINT) AS cum_chars
+         |       FROM documents)
+         |SELECT dr.doc_id, dr.source, dr.n_chars, dr.cum_chars, a.alloc, a.saturated
+         |FROM dr JOIN a USING (source) WHERE cum_chars <= alloc
+         |ORDER BY source, cum_chars""".stripMargin
   )
 }

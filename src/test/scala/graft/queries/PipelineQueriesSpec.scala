@@ -291,6 +291,39 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     } finally scrub.unpersist()
   }
 
+  test("x79: waterfilling saturates small-capacity sources and respects the budget") {
+    val kept = q("x79_budget_mixture").cache()
+    try {
+      val allocs = kept.select("source", "alloc", "saturated").distinct().cache()
+      // the four high-weight sources can't absorb their 12k share of
+      // the 60k budget (each holds ~8k chars) — they must saturate
+      val sat = allocs.filter(col("saturated") === 1L).collect()
+      assert(sat.map(_.getString(0)).sorted.toSeq ===
+        Seq("src0", "src1", "src2", "src3"))
+      // a saturated source's allocation is its full capacity
+      val caps = spark.read.parquet(s"$D/documents.parquet")
+        .groupBy("source").agg(sum("n_chars").as("t"))
+      val bad = allocs.filter(col("saturated") === 1L)
+        .join(caps, "source").filter(col("alloc") =!= col("t")).count()
+      assert(bad === 0)
+      // total allocation spends (almost) the budget, never exceeds it
+      val total = allocs.agg(sum("alloc")).head().getLong(0)
+      assert(total <= 60000L && total > 59000L, s"allocation total $total")
+      // redistribution: unsaturated sources share the saturated
+      // shortfall equally (equal weights) and beat the naive pro-rata
+      // share of 12500*60000/1e6 = 750
+      val unsat = allocs.filter(col("saturated") === 0L)
+        .select("alloc").distinct().collect()
+      assert(unsat.length === 1, "equal weights must yield equal shares")
+      assert(unsat.head.getLong(0) > 750L, "no shortfall redistributed")
+      // the apply pass never overdraws a source
+      val over = kept.groupBy("source")
+        .agg(sum("n_chars").as("used"), max("alloc").as("a"))
+        .filter(col("used") > col("a")).count()
+      assert(over === 0)
+    } finally kept.unpersist()
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
