@@ -1811,6 +1811,38 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("cum_chars"), col("alloc"), col("saturated"))
         .orderBy("source", "cum_chars")
+    }),
+
+    // WEIGHTED FAIR INTERLEAVE — mixture-aware deterministic training
+    // ORDER (weighted fair queueing / virtual-time scheduling applied
+    // to data ordering: a 0.2-weight source appears 16× as often as a
+    // 0.0125-weight source at EVERY prefix, not just in expectation —
+    // the property a curriculum needs so early training sees the
+    // target mixture): each source's k-th doc (hash order) gets
+    // virtual time k · (10^12 DIV w_e6) — exact integers because both
+    // weight values divide 10^12 — and the global order sorts by
+    // (vt, source, k). Scale shape: per-source rank is one shuffle by
+    // source; the global order is a sort by vt, which the
+    // training-order writer performs anyway (x33) — at cluster scale
+    // that sort range-partitions on vt instead of the single-window
+    // toy form here.
+    "x80_weighted_interleave" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"))
+        .withColumn("w_e6",
+          when(expr("CAST(substring(source, 4, 10) AS BIGINT)") < 4,
+            lit(200000L)).otherwise(lit(12500L)))
+        .withColumn("draw",
+          TF.hash60(concat(lit("wrr:"), col("doc_id").cast("string"))))
+      docs
+        .withColumn("k", row_number().over(
+          Window.partitionBy("source").orderBy(col("draw"), col("doc_id")))
+          .cast("long"))
+        .withColumn("vt", expr("k * (1000000000000 DIV w_e6)"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("vt"), col("source"), col("k"))).cast("long"))
+        .select("doc_id", "source", "k", "vt", "pos")
+        .orderBy("pos")
     })
   )
 
@@ -3458,6 +3490,23 @@ object LlmQueries {
          |       FROM documents)
          |SELECT dr.doc_id, dr.source, dr.n_chars, dr.cum_chars, a.alloc, a.saturated
          |FROM dr JOIN a USING (source) WHERE cum_chars <= alloc
-         |ORDER BY source, cum_chars""".stripMargin
+         |ORDER BY source, cum_chars""".stripMargin,
+
+    // x80: the same per-source hash rank, exact virtual time, and
+    // (vt, source, k) global order
+    "x80_weighted_interleave" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |                     CASE WHEN CAST(substr(source, 4) AS BIGINT) < 4
+         |                          THEN 200000 ELSE 12500 END AS w_e6,
+         |                     ${dH("'wrr:' || CAST(doc_id AS VARCHAR)")} AS draw
+         |              FROM documents),
+         |rk AS (SELECT doc_id, source, w_e6,
+         |              CAST(row_number() OVER (PARTITION BY source
+         |                                      ORDER BY draw, doc_id) AS BIGINT) AS k
+         |       FROM base),
+         |vt AS (SELECT *, k * (1000000000000 // w_e6) AS vt FROM rk)
+         |SELECT doc_id, source, k, vt,
+         |       CAST(row_number() OVER (ORDER BY vt, source, k) AS BIGINT) AS pos
+         |FROM vt ORDER BY pos""".stripMargin
   )
 }

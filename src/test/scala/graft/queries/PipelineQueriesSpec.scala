@@ -324,6 +324,28 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     } finally kept.unpersist()
   }
 
+  test("x80: every prefix of the interleave respects the mixture") {
+    val order = q("x80_weighted_interleave").orderBy("pos").collect()
+    val docs = spark.read.parquet(s"$D/documents.parquet")
+    assert(order.length === docs.count())
+    // positions are a dense permutation
+    assert(order.map(_.getLong(4)).toSeq === (1L to order.length))
+    // the WFQ guarantee at the sharpest prefix: high-weight steps are
+    // 5e6 of virtual time, low-weight 8e7, so every position before
+    // vt 8e7 belongs to the four 0.2-weight sources — 15 docs each
+    val head = order.takeWhile(_.getLong(3) < 80000000L)
+    assert(head.length === 60, s"vt<8e7 prefix is ${head.length}")
+    val bySrc = head.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc.keySet === Set("src0", "src1", "src2", "src3"))
+    assert(bySrc.values.forall(_ === 15), bySrc.toString)
+    // and within each source the order follows its own k sequence
+    val outOfOrder = order.groupBy(_.getString(1)).values.map { rows =>
+      val ks = rows.sortBy(_.getLong(4)).map(_.getLong(2)).toSeq
+      if (ks === (1L to ks.length)) 0 else 1
+    }.sum
+    assert(outOfOrder === 0, "a source's docs must appear in its k order")
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
