@@ -20,7 +20,7 @@ import graft.operators.CmSketch
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
-  *         spike planning selection temporal   (default: all)
+  *         spike planning selection temporal ordering   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -89,7 +89,7 @@ object ScaleSmoke {
     val stages0 = args.drop(1).toSet
     val stages = if (stages0.isEmpty)
       Set("dedup", "prefix", "ivfpq", "bpe", "stream", "theta", "cm", "skew",
-        "shardstate", "spike", "planning", "selection", "temporal")
+        "shardstate", "spike", "planning", "selection", "temporal", "ordering")
     else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("scale-smoke", "32")
@@ -120,6 +120,7 @@ object ScaleSmoke {
     if (stages("planning")) planningStage(spark, sfDir, mult, tmp)
     if (stages("selection")) selectionStage(spark, sfDir, mult, tmp, docs)
     if (stages("temporal")) temporalStage(spark, sfDir, mult, tmp)
+    if (stages("ordering")) orderingStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -1086,6 +1087,123 @@ object ScaleSmoke {
         .groupBy("cluster").agg(topk(col("score"), col("id")).as("kept"))
         .select(col("cluster"), posexplode(col("kept")).as(Seq("pos", "t")))
       println(s"  kept rows: ${kept.count()} (clusters x Q, corpus-independent)")
+    }
+  }
+
+  /** x77/x79/x80's shapes — the sampling/allocation/ordering trio that
+    * turns a filtered corpus into a training draw:
+    *   - x77 priority sampling: priority is a pure projection, the
+    *     top-(k+1) take is TakeOrderedAndProject (per-partition top-49,
+    *     driver merge of 32·49 rows) — wall must be the scan, output
+    *     fixed at 48 rows, and the published max(w, τ) estimator's
+    *     48-row sum must track the true corpus total at every mult.
+    *   - x79 waterfilling: the solver runs on |sources| rows however
+    *     large the corpus (the count proves it); the apply pass is one
+    *     shuffle by source + per-source cumsum. Budget scales with
+    *     mult so the allocation problem stays non-degenerate.
+    *   - x80 WFQ interleave: virtual times need only a per-source
+    *     rank; the global order is `orderBy(vt, …)` — a RANGE-
+    *     PARTITIONED sort (no single-partition window at scale; the
+    *     registry's row_number position column is the toy form, the
+    *     writer's file order is the scale form, x33's posture). The
+    *     mixture-prefix guarantee is checked by vt-threshold counts:
+    *     below vt T every source has exactly min(⌊T/step⌋, n) docs.
+    */
+  private def orderingStage(spark: SparkSession, sfDir: String, mult: Int,
+                            tmp: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.queries.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val docs = scaled(base, "doc_id", mult, s"$tmp/documents_ord")
+    println(s"ordering docs: ${docs.count()} ($mult x ${base.count()})")
+    val totalChars = docs.agg(sum("n_chars")).head().getLong(0)
+
+    timed("x77 priority sample (scan + top-49 take)") {
+      val top = docs
+        .withColumn("u", pmod(
+          TF.hash60(concat(lit("prio:"), col("doc_id").cast("string"))),
+          lit(1048576L)) + 1L)
+        .withColumn("priority", expr("(n_chars * 1048576) DIV u"))
+        .orderBy(col("priority").desc, col("doc_id")).limit(49)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+        .localCheckpoint(true)
+      val tau = top.filter(col("rk") === 49).head().getAs[Long]("priority")
+      val est = top.filter(col("rk") <= 48)
+        .agg(sum(greatest(col("n_chars"), lit(tau)))).head().getLong(0)
+      println(f"  sample: 48 rows (k-bounded at every mult); " +
+        f"est corpus chars = $est%,d vs true $totalChars%,d " +
+        f"(ratio ${est.toDouble / totalChars}%.3f)")
+    }
+
+    timed("x79 waterfilling (solver + budget-capped apply)") {
+      val B = 60000L * mult
+      val stats = docs.groupBy("source").agg(sum("n_chars").as("t"))
+        .withColumn("w_e6",
+          when(expr("CAST(substring(source, 4, 10) AS BIGINT)") < 4,
+            lit(200000L)).otherwise(lit(12500L)))
+        .withColumn("k", expr("t * (200000 DIV w_e6)"))
+        .localCheckpoint(true)
+      println(s"  solver relation: ${stats.count()} rows (= sources, " +
+        "corpus-independent)")
+      val prev = Window.orderBy(col("k"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = stats
+        .withColumn("cum_t_prev", coalesce(sum("t").over(prev), lit(0L)))
+        .withColumn("cum_w_prev", coalesce(sum("w_e6").over(prev), lit(0L)))
+        .withColumn("saturated",
+          col("t") * (lit(1000000L) - col("cum_w_prev")) <=
+            (lit(B) - col("cum_t_prev")) * col("w_e6"))
+      val sums = flagged.agg(
+        sum(when(col("saturated"), col("t")).otherwise(0L)).as("st"),
+        sum(when(col("saturated"), col("w_e6")).otherwise(0L)).as("sw"))
+      val alloc = flagged.crossJoin(broadcast(sums))
+        .withColumn("alloc", when(col("saturated"), col("t"))
+          .otherwise(expr(s"w_e6 * ($B - st) DIV greatest(1000000 - sw, 1)")))
+        .select(col("source"), col("saturated"), col("alloc"))
+      val kept = docs
+        .withColumn("draw",
+          TF.hash60(concat(lit("bud:"), col("doc_id").cast("string"))))
+        .withColumn("cum_chars", sum("n_chars").over(
+          Window.partitionBy("source").orderBy(col("draw"), col("doc_id"))))
+        .join(broadcast(alloc), "source")
+        .filter(col("cum_chars") <= col("alloc"))
+        .localCheckpoint(true)
+      val agg = kept.agg(count(lit(1)).as("n"), sum("n_chars").as("c")).head()
+      val nSat = alloc.filter(col("saturated")).count()
+      println(f"  budget ${B}%,d chars: kept ${agg.getLong(0)}%,d docs / " +
+        f"${agg.getLong(1)}%,d chars (<= B), saturated sources: $nSat")
+    }
+
+    timed("x80 WFQ interleave (range-partitioned global sort)") {
+      val ordered = docs
+        .withColumn("w_e6",
+          when(expr("CAST(substring(source, 4, 10) AS BIGINT)") < 4,
+            lit(200000L)).otherwise(lit(12500L)))
+        .withColumn("draw",
+          TF.hash60(concat(lit("wrr:"), col("doc_id").cast("string"))))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("source").orderBy(col("draw"), col("doc_id")))
+          .cast("long"))
+        .withColumn("vt", expr("k * (1000000000000 DIV w_e6)"))
+        .orderBy(col("vt"), col("source"), col("k"))
+      ordered.write.mode("overwrite").parquet(s"$tmp/train_order")
+      // the mixture-prefix guarantee, checked on the written order:
+      // below vt = 8e9 a 0.2-weight source (step 5e6) has exactly 1600
+      // docs and a 0.0125-weight source (step 8e7) exactly 100 — 16:1
+      // at the prefix, not just in expectation
+      val t = 8000000000L
+      val mix = spark.read.parquet(s"$tmp/train_order")
+        .filter(col("vt") <= t)
+        .groupBy("w_e6").agg(
+          countDistinct("source").as("srcs"),
+          (count(lit(1)) / countDistinct("source")).as("docs_per_src"))
+        .orderBy(col("w_e6").desc).collect()
+      mix.foreach { r =>
+        println(f"  vt<=8e9 prefix: w_e6=${r.getLong(0)} -> " +
+          f"${r.getAs[Double]("docs_per_src")}%.1f docs/source " +
+          f"over ${r.getLong(1)} sources")
+      }
     }
   }
 }
