@@ -92,7 +92,7 @@ object LlmQueries {
         lit("ep0"), col("doc_id").cast("string"), col("chunk_start").cast("string"))))
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    allBase ++ budgetMixture
+    allBase ++ budgetMixture ++ fimAndEpochs
 
   private def allBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep lowest id + dup count.
@@ -1846,6 +1846,97 @@ object LlmQueries {
     })
   )
 
+  // FILL-IN-THE-MIDDLE TRANSFORM (Bavarian et al. 2022, "Efficient
+  // Training of Language Models to Fill in the Middle") — the
+  // document-level augmentation between corpus and tokenizer: for a
+  // hash-chosen half of the docs (the paper's FIM rate), pick two
+  // character cut points (the paper splits at character level before
+  // tokenization), partition text into prefix/middle/suffix, and emit
+  // the PSM reordering <PRE>prefix<SUF>suffix<MID>middle; the other
+  // half passes through verbatim. Everything — the rate draw, both
+  // cuts, the rewritten string itself — is deterministic hash
+  // arithmetic, so the transformed corpus hash-matches the oracle's
+  // independent replay. Scale shape: a pure projection (zero joins,
+  // zero shuffles, zero state) — the ideal map-only corpus transform;
+  // the one ORDER BY is the dump's presentation sort.
+  private def fimAndEpochs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x81_fim_transform" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .withColumn("fim", pmod(
+          TF.hash60(concat(lit("fim?:"), col("doc_id").cast("string"))),
+          lit(2L)) === 0L)
+        .withColumn("c1", pmod(
+          TF.hash60(concat(lit("fim1:"), col("doc_id").cast("string"))),
+          col("n_chars") + 1L))
+        .withColumn("c2", pmod(
+          TF.hash60(concat(lit("fim2:"), col("doc_id").cast("string"))),
+          col("n_chars") + 1L))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+      docs.select(
+        col("doc_id"),
+        col("fim").cast("long").as("fim"),
+        when(col("fim"), col("lo")).otherwise(lit(-1L)).as("lo"),
+        when(col("fim"), col("hi")).otherwise(lit(-1L)).as("hi"),
+        when(col("fim"), concat(
+            lit("<PRE>"), col("text").substr(lit(1), col("lo")),
+            lit("<SUF>"), col("text").substr(col("hi") + 1,
+              col("n_chars") - col("hi")),
+            lit("<MID>"), col("text").substr(col("lo") + 1,
+              col("hi") - col("lo"))))
+          .otherwise(col("text")).as("text_fim"))
+        .orderBy("doc_id")
+    }),
+
+    // EPOCH-BASED MIXTURE UP-SAMPLING — x79's complement: waterfilling
+    // TRUNCATES sources down to a budget; real pretraining mixtures
+    // also UP-SAMPLE small high-weight sources across multiple epochs
+    // (the Pile's epochs column; Llama's per-source epoch counts).
+    // Given budget B chars and target weights w, each source's target
+    // is B·w DIV 1e6 chars = n_full whole epochs (target DIV t) plus a
+    // fractional tail (target MOD t chars, drawn hash-ordered). The
+    // output is the REPETITION INDEX (doc_id, copy) — at 100 TB you
+    // materialize which copy of which doc each epoch trains on, never
+    // the duplicated text. Scale shape: the solver is a |sources|-row
+    // aggregate broadcast back; whole epochs come from
+    // explode(sequence(1, n_full)) — NARROW, no shuffle, output-linear;
+    // the tail is one shuffle by source + per-source cumsum (x79's
+    // apply pass). n_full >= 1 is filtered BEFORE the explode because
+    // Spark's sequence(1, 0) steps DOWNWARD ([1, 0]) rather than
+    // returning empty.
+    "x82_epoch_mixture" -> ((s, d) => {
+      val B = 3000000L
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val stats = docs.groupBy("source").agg(sum("n_chars").as("t"))
+        .withColumn("w_e6",
+          when(expr("CAST(substring(source, 4, 10) AS BIGINT)") < 4,
+            lit(200000L)).otherwise(lit(12500L)))
+        .withColumn("target", expr(s"($B * w_e6) DIV 1000000"))
+        .withColumn("n_full", expr("target DIV t"))
+        .withColumn("rem", expr("target % t"))
+        .localCheckpoint(true) // |sources| rows, two consumers below
+      val withStats = docs.join(
+        broadcast(stats.select("source", "n_full", "rem")), "source")
+      val full = withStats.filter(col("n_full") >= 1L)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("n_full"))).as("copy"),
+          col("n_chars"))
+      val tail = withStats
+        .withColumn("draw",
+          TF.hash60(concat(lit("ep:"), col("doc_id").cast("string"))))
+        .withColumn("cum", sum("n_chars").over(
+          Window.partitionBy("source").orderBy(col("draw"), col("doc_id"))))
+        .filter(col("cum") <= col("rem"))
+        .select(col("doc_id"), col("source"),
+          (col("n_full") + 1L).as("copy"), col("n_chars"))
+      full.unionByName(tail)
+        .select(col("doc_id"), col("source"), col("copy"), col("n_chars"))
+        .orderBy("source", "doc_id", "copy")
+    })
+  )
+
   // ---------------- DuckDB oracles ----------------
 
   /** Squared L2 between subspace `s.m` slices of `$v` and the codeword
@@ -3507,6 +3598,56 @@ object LlmQueries {
          |vt AS (SELECT *, k * (1000000000000 // w_e6) AS vt FROM rk)
          |SELECT doc_id, source, k, vt,
          |       CAST(row_number() OVER (ORDER BY vt, source, k) AS BIGINT) AS pos
-         |FROM vt ORDER BY pos""".stripMargin
+         |FROM vt ORDER BY pos""".stripMargin,
+
+    // x81: the same rate draw, the same two character cuts, the same
+    // PSM string assembly — the rewritten text itself is compared
+    "x81_fim_transform" ->
+      s"""WITH cuts AS (SELECT doc_id, text, n_chars,
+         |                     ${dH("'fim?:' || CAST(doc_id AS VARCHAR)")} % 2 = 0 AS fim,
+         |                     ${dH("'fim1:' || CAST(doc_id AS VARCHAR)")} % (n_chars + 1) AS c1,
+         |                     ${dH("'fim2:' || CAST(doc_id AS VARCHAR)")} % (n_chars + 1) AS c2
+         |              FROM documents),
+         |lh AS (SELECT doc_id, text, n_chars, fim,
+         |              least(c1, c2) AS lo, greatest(c1, c2) AS hi
+         |       FROM cuts)
+         |SELECT doc_id,
+         |       CAST(fim AS BIGINT) AS fim,
+         |       CASE WHEN fim THEN lo ELSE -1 END AS lo,
+         |       CASE WHEN fim THEN hi ELSE -1 END AS hi,
+         |       CASE WHEN fim
+         |            THEN '<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+         |              || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER),
+         |                                   CAST(n_chars - hi AS INTEGER))
+         |              || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+         |                                   CAST(hi - lo AS INTEGER))
+         |            ELSE text END AS text_fim
+         |FROM lh ORDER BY doc_id""".stripMargin,
+
+    // x82: same solver arithmetic on the per-source stats, whole
+    // epochs via unnest(range(1, n_full + 1)) (empty at n_full = 0,
+    // the engine-asymmetry the Spark side filters for), tail via the
+    // hash-ordered cumsum
+    "x82_epoch_mixture" ->
+      s"""WITH stats AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t,
+         |                      CASE WHEN CAST(substr(source, 4) AS BIGINT) < 4
+         |                           THEN 200000 ELSE 12500 END AS w_e6
+         |               FROM documents GROUP BY source),
+         |tgt AS (SELECT source, t,
+         |               ((CAST(3000000 AS BIGINT) * w_e6) // 1000000) // t AS n_full,
+         |               ((CAST(3000000 AS BIGINT) * w_e6) // 1000000) % t AS rem
+         |        FROM stats),
+         |whole AS (SELECT d.doc_id, d.source,
+         |                 CAST(unnest(range(1, tgt.n_full + 1)) AS BIGINT) AS copy,
+         |                 d.n_chars
+         |          FROM documents d JOIN tgt USING (source)),
+         |drawn AS (SELECT d.doc_id, d.source, d.n_chars, tgt.n_full, tgt.rem,
+         |                 sum(d.n_chars) OVER (PARTITION BY d.source
+         |                   ORDER BY ${dH("'ep:' || CAST(d.doc_id AS VARCHAR)")}, d.doc_id) AS cum
+         |          FROM documents d JOIN tgt USING (source)),
+         |tail AS (SELECT doc_id, source, CAST(n_full + 1 AS BIGINT) AS copy, n_chars
+         |         FROM drawn WHERE cum <= rem)
+         |SELECT * FROM whole UNION ALL SELECT * FROM tail
+         |ORDER BY source, doc_id, copy""".stripMargin
   )
 }

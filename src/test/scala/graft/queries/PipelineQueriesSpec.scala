@@ -346,6 +346,74 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     assert(outOfOrder === 0, "a source's docs must appear in its k order")
   }
 
+  test("x81: FIM segments reassemble to the original text, pass-through verbatim") {
+    val docs = spark.read.parquet(s"$D/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val joined = q("x81_fim_transform").join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    var fimCount = 0
+    joined.foreach { r =>
+      val (fim, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (out, text, n) = (r.getString(4), r.getAs[String]("text"),
+        r.getAs[Long]("n_chars"))
+      if (fim == 0L) {
+        assert(out === text, s"non-FIM doc ${r.getLong(0)} must pass through")
+        assert(lo === -1L && hi === -1L)
+      } else {
+        fimCount += 1
+        assert(0L <= lo && lo <= hi && hi <= n, s"cuts out of range: $lo/$hi/$n")
+        // PSM: <PRE>prefix<SUF>suffix<MID>middle — reassembly is exact
+        val pre = out.indexOf("<PRE>"); val suf = out.indexOf("<SUF>")
+        val mid = out.indexOf("<MID>")
+        assert(pre === 0 && suf >= 5 && mid > suf)
+        val prefix = out.substring(5, suf)
+        val suffix = out.substring(suf + 5, mid)
+        val middle = out.substring(mid + 5)
+        assert(prefix + middle + suffix === text,
+          s"doc ${r.getLong(0)}: segments must reassemble")
+        assert(prefix.length === lo && middle.length === hi - lo)
+      }
+    }
+    // the hash rate draw should sit near the paper's 50% FIM rate
+    assert(fimCount > joined.length / 3 && fimCount < 2 * joined.length / 3,
+      s"FIM rate drifted: $fimCount of ${joined.length}")
+  }
+
+  test("x82: every doc appears n_full or n_full+1 times; spend is within one doc of target") {
+    val out = q("x82_epoch_mixture").cache()
+    try {
+      val docs = spark.read.parquet(s"$D/documents.parquet")
+      val stats = docs.groupBy("source")
+        .agg(sum("n_chars").cast("long").as("t"), max("n_chars").as("maxDoc"))
+        .withColumn("w_e6",
+          when(expr("CAST(substring(source, 4, 10) AS BIGINT)") < 4,
+            lit(200000L)).otherwise(lit(12500L)))
+        .withColumn("target", expr("(3000000 * w_e6) DIV 1000000"))
+        .withColumn("n_full", expr("target DIV t"))
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("target"), r.getAs[Long]("n_full"),
+            r.getAs[Long]("maxDoc"))).toMap
+      // per-doc copy counts are dense 1..c with c in {n_full, n_full+1}
+      val perDoc = out.groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("c"), max("copy").as("maxCopy")).collect()
+      perDoc.foreach { r =>
+        val nf = stats(r.getString(0))._2
+        assert(r.getLong(2) === r.getLong(3), "copies must be dense from 1")
+        assert(r.getLong(2) === nf || r.getLong(2) === nf + 1,
+          s"${r.getString(0)}/${r.getLong(1)}: ${r.getLong(2)} copies vs n_full=$nf")
+      }
+      // per-source spend: never over target, within one max doc under
+      out.groupBy("source").agg(sum("n_chars").as("spent")).collect()
+        .foreach { r =>
+          val (target, _, maxDoc) = stats(r.getString(0))
+          val spent = r.getLong(1)
+          assert(spent <= target, s"${r.getString(0)} overspent: $spent > $target")
+          assert(spent > target - maxDoc,
+            s"${r.getString(0)} underspent: $spent vs target $target (maxDoc $maxDoc)")
+        }
+    } finally out.unpersist()
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
