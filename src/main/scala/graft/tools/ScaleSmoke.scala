@@ -120,7 +120,7 @@ object ScaleSmoke {
     if (stages("planning")) planningStage(spark, sfDir, mult, tmp)
     if (stages("selection")) selectionStage(spark, sfDir, mult, tmp, docs)
     if (stages("temporal")) temporalStage(spark, sfDir, mult, tmp)
-    if (stages("ordering")) orderingStage(spark, sfDir, mult, tmp)
+    if (stages("ordering")) orderingStage(spark, sfDir, mult, tmp, docs)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -1110,7 +1110,7 @@ object ScaleSmoke {
     *     below vt T every source has exactly min(⌊T/step⌋, n) docs.
     */
   private def orderingStage(spark: SparkSession, sfDir: String, mult: Int,
-                            tmp: String): Unit = {
+                            tmp: String, textDocs: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.queries.Tables.documents(spark, sfDir)
       .select("doc_id", "source", "n_chars")
@@ -1204,6 +1204,67 @@ object ScaleSmoke {
           f"${r.getAs[Double]("docs_per_src")}%.1f docs/source " +
           f"over ${r.getLong(1)} sources")
       }
+    }
+
+    timed("x81 FIM transform (map-only rewrite)") {
+      val n = col("n_chars")
+      val rewritten = textDocs
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("fim", pmod(
+          TF.hash60(concat(lit("fim?:"), col("doc_id").cast("string"))),
+          lit(2L)) === 0L)
+        .withColumn("c1", pmod(
+          TF.hash60(concat(lit("fim1:"), col("doc_id").cast("string"))), n + 1L))
+        .withColumn("c2", pmod(
+          TF.hash60(concat(lit("fim2:"), col("doc_id").cast("string"))), n + 1L))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+        .select(col("doc_id"), col("fim"),
+          when(col("fim"), concat(
+              lit("<PRE>"), col("text").substr(lit(1), col("lo")),
+              lit("<SUF>"), col("text").substr(col("hi") + 1, n - col("hi")),
+              lit("<MID>"), col("text").substr(col("lo") + 1,
+                col("hi") - col("lo"))))
+            .otherwise(col("text")).as("text_fim"))
+      rewritten.write.mode("overwrite").parquet(s"$tmp/fim_out")
+      val agg = spark.read.parquet(s"$tmp/fim_out")
+        .agg(count(lit(1)).as("n"),
+          sum(col("fim").cast("long")).as("nf")).head()
+      println(f"  rewrote ${agg.getLong(0)}%,d docs, FIM applied to " +
+        f"${agg.getLong(1)}%,d (${100.0 * agg.getLong(1) / agg.getLong(0)}%.1f%% " +
+        "- the hash rate draw; zero joins, zero shuffles)")
+    }
+
+    timed("x82 epoch up-sampling (narrow explode + tail cumsum)") {
+      val B = 3000000L * mult
+      val stats = docs.groupBy("source").agg(sum("n_chars").as("t"))
+        .withColumn("w_e6",
+          when(expr("CAST(substring(source, 4, 10) AS BIGINT)") < 4,
+            lit(200000L)).otherwise(lit(12500L)))
+        .withColumn("target", expr(s"($B * w_e6) DIV 1000000"))
+        .withColumn("n_full", expr("target DIV t"))
+        .withColumn("rem", expr("target % t"))
+        .localCheckpoint(true)
+      println(s"  solver relation: ${stats.count()} rows (= sources)")
+      val withStats = docs.join(
+        broadcast(stats.select("source", "n_full", "rem")), "source")
+      val full = withStats.filter(col("n_full") >= 1L)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("n_full"))).as("copy"), col("n_chars"))
+      val tail = withStats
+        .withColumn("draw",
+          TF.hash60(concat(lit("ep:"), col("doc_id").cast("string"))))
+        .withColumn("cum", sum("n_chars").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col("draw"), col("doc_id"))))
+        .filter(col("cum") <= col("rem"))
+        .select(col("doc_id"), col("source"),
+          (col("n_full") + 1L).as("copy"), col("n_chars"))
+      val out = full.unionByName(tail).localCheckpoint(true)
+      val agg = out.agg(count(lit(1)).as("n"), sum("n_chars").as("c")).head()
+      println(f"  repetition index: ${agg.getLong(0)}%,d rows / " +
+        f"${agg.getLong(1)}%,d chars vs budget $B%,d " +
+        "(index only - duplicated text never materialized)")
     }
   }
 }
