@@ -55,6 +55,10 @@ object ZoneMap {
     * append-only maintenance never rewrites an existing row and the
     * maintained map equals what a from-scratch [[build]] would
     * produce over the same files (st25 puts that under the oracle).
+    * At-least-once callers (foreachBatch replay after recovery) may
+    * append the same file's row twice; [[prunedFiles]] dedupes paths
+    * and [[compactStats]] folds the duplicates away, so a replay
+    * never changes any probe answer (ZoneMapSpec pins this).
     */
   def appendStats(spark: SparkSession, files: Seq[String], dims: Seq[String],
                   zmPath: String): Unit =
@@ -74,6 +78,7 @@ object ZoneMap {
     */
   def compactStats(spark: SparkSession, zmPath: String): Unit =
     spark.read.parquet(zmPath).localCheckpoint(true)
+      .dropDuplicates("file") // replayed micro-batch appends fold away
       .repartition(1).write.mode("overwrite").parquet(zmPath)
 
   /** The current data part-files of a directory (commit metadata
@@ -101,7 +106,14 @@ object ZoneMap {
     val keep = box.map(r =>
         col(s"max_${r.column}") >= r.lo && col(s"min_${r.column}") <= r.hi)
       .reduce(_ && _)
-    zm.filter(keep).select("file").collect().map(_.getString(0)).toSeq
+    // distinct: foreachBatch maintenance is at-least-once, so a batch
+    // replayed after recovery may have appended a file's stats row
+    // twice — a duplicate PATH here would read that file twice and
+    // duplicate answer rows. Stats rows are per-file facts, so the
+    // duplicates are identical and deduping the path list restores
+    // exactly-once reads whatever the append history was.
+    zm.filter(keep).select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
   }
 
   /** Total file count in the map (for skip-ratio reporting). */

@@ -80,6 +80,31 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(incr) == beforeRows, "compaction changed the map's rows")
   }
 
+  test("a replayed append never changes a probe answer") {
+    // foreachBatch maintenance is at-least-once: after recovery a
+    // batch can re-append the same files' stats rows. The read path
+    // must not open a file twice for it, and compaction must fold
+    // the duplicates away.
+    val root = graft.core.Scratch.dir("zonemap_replay")
+    val table = s"$root/t"
+    val zm = s"$root/zm"
+    val dims = Seq("l_partkey", "l_suppkey")
+    spark.read.parquet(s"$D/lineitem.parquet").select(dims.map(col): _*)
+      .coalesce(3).write.parquet(table)
+    val files = ZoneMap.dataFiles(spark, table)
+    ZoneMap.appendStats(spark, files, dims, zm)
+    val box = Seq(Range("l_partkey", 1, 50))
+    val once = ZoneMap.readPruned(spark, table, zm, box).count()
+    assert(once > 0)
+    ZoneMap.appendStats(spark, files, dims, zm) // the replay
+    assert(ZoneMap.readPruned(spark, table, zm, box).count() === once,
+      "duplicate stats rows must not duplicate answer rows")
+    ZoneMap.compactStats(spark, zm)
+    assert(spark.read.parquet(zm).count() === files.size,
+      "compaction must fold replayed rows to one per file")
+    assert(ZoneMap.readPruned(spark, table, zm, box).count() === once)
+  }
+
   test("a box outside every zone short-circuits to empty") {
     val (table, zm) = layout
     val none = Seq(Range("l_partkey", -100, -1))
