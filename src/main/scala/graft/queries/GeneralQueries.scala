@@ -1594,6 +1594,35 @@ object GeneralQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ZONE-MAP SKIPPING AT PLANNING TIME — q69's statistics consulted
+    // INSIDE the scan node (graft.sources.ZoneMapFileIndex): the table
+    // mounts as one HadoopFsRelation whose FileIndex filters its own
+    // file listing against the persisted map when FileSourceScanExec
+    // hands it the scan's data filters — the Delta/Iceberg data-skipping
+    // posture, vs q69's driver-side path list. The plan is a single
+    // ordinary parquet scan with PushedFilters intact, so Catalyst/AQE
+    // treat it like any relation; ZoneMapPlanningSpec pins the skipped
+    // numFiles metric, pushdown, and answer equality.
+    "q70_zonemap_planned_scan" -> ((s, d) => {
+      import graft.operators.{ZOrder, ZoneMap}
+      val root = graft.core.Scratch.dir("graft_zonemap_plan")
+      val table = s"$root/li_z"
+      val zm = s"$root/li_zm"
+      ZOrder.writeZOrdered(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"),
+        table, Seq("l_partkey", "l_suppkey"), bits = 11, files = 16)
+      ZoneMap.build(s, table, Seq("l_partkey", "l_suppkey"), zm)
+      graft.sources.ZoneMapFileIndex
+        .read(s, table, zm, Set("l_partkey", "l_suppkey"))
+        .filter(col("l_partkey").between(50, 300) &&
+          col("l_suppkey").between(2, 30))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(asInt(col("l_quantity"), 0)).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // COUNT-MIN FROM PURE SQL — q60's join-size estimator via the
     // extension-registered cm_bucket scalar: depth arrives as a
     // COLUMN (SQL explodes its own 0..3 range), the sketches are
@@ -2422,6 +2451,15 @@ object GeneralQueries {
         |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey BETWEEN 10 AND 400 AND l_suppkey BETWEEN 1 AND 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q70: skipping is a performance act — the oracle is the plain
+    // full-scan aggregate over the same box
+    "q70_zonemap_planned_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 300 AND l_suppkey BETWEEN 2 AND 30
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // q63: shard = value % 4 is a pure value function, so grouping by

@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+
+/** Planning-time zone-map file skipping — the [[graft.operators.ZoneMap]]
+  * statistics consulted INSIDE the scan node's own file listing, the way
+  * Delta/Iceberg data skipping works, instead of the driver-side path
+  * list `ZoneMap.readPruned` hands to a fresh reader:
+  *
+  *   - the table mounts as ONE `HadoopFsRelation` whose `FileIndex` is
+  *     this class; the plan shows a single ordinary parquet scan with
+  *     the predicate pushed (`PushedFilters`), and Catalyst/AQE see a
+  *     normal relation they can reorder joins around or broadcast;
+  *   - `FileSourceScanExec` passes the scan's `dataFilters` to
+  *     [[listFiles]] when it materializes its partitions; range bounds
+  *     on mapped dimensions are intersected against the zone map and
+  *     non-intersecting files drop out of the scan — visible in the
+  *     scan's own `numFiles` metric (ZoneMapPlanningSpec pins it);
+  *   - skipping stays a PERFORMANCE act: a file is only dropped when
+  *     its stats row proves no row can satisfy a bound, unknown files
+  *     (no stats row yet — e.g. landed since the map was maintained)
+  *     and unbounded predicates are always scanned, and the exact
+  *     predicate still runs on every surviving row.
+  *
+  * Bounds extraction is deliberately conservative: only integral
+  * equality/range comparisons on mapped dimensions contribute (casts
+  * between integral widths are looked through); `>`/`<` relax to their
+  * inclusive forms (a superset — never wrong, occasionally one file
+  * too many); everything else is ignored. The zone map itself is
+  * files × dims rows (KBs per 100k files, the same driver-side scale
+  * every lake-format scan planner holds) and loads once per index
+  * instance.
+  *
+  * Scale shape: at 100 TB over a z-ordered table this turns "open
+  * every file" into "open the files whose range intersects the box"
+  * without leaving the native scan path — partition pruning handles
+  * directories, the zone map handles files inside them, and both
+  * decisions happen before a single task launches.
+  */
+final class ZoneMapFileIndex(spark: SparkSession, tablePath: String,
+                             zmPath: String, dims: Set[String])
+    extends FileIndex {
+
+  private val base =
+    new InMemoryFileIndex(spark, Seq(new Path(tablePath)), Map.empty, None)
+
+  /** path-part → dim → (min, max); None stats = all-null file. */
+  private val zones: Map[String, Map[String, Option[(Long, Long)]]] = {
+    val df = spark.read.parquet(zmPath)
+    val cols = df.columns
+    df.collect().map { r =>
+      val file = new Path(r.getAs[String]("file")).toUri.getPath
+      val byDim = dims.iterator.flatMap { d =>
+        val (mi, ma) = (cols.indexOf(s"min_$d"), cols.indexOf(s"max_$d"))
+        if (mi < 0 || ma < 0) None
+        else if (r.isNullAt(mi) || r.isNullAt(ma)) Some(d -> None)
+        else Some(d -> Some((r.getLong(mi), r.getLong(ma))))
+      }.toMap
+      file -> byDim
+    }.toMap
+  }
+
+  override def rootPaths: Seq[Path] = base.rootPaths
+  override def partitionSchema: StructType = base.partitionSchema
+  override def sizeInBytes: Long = base.sizeInBytes
+  override def inputFiles: Array[String] = base.inputFiles
+  override def refresh(): Unit = base.refresh()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = ZoneMapFileIndex.extractBounds(dataFilters, dims)
+    val listed = base.listFiles(partitionFilters, dataFilters)
+    if (bounds.isEmpty) listed
+    else listed.map { pd =>
+      pd.copy(files = pd.files.filter(f =>
+        survives(f.getPath.toUri.getPath, bounds)))
+    }
+  }
+
+  private def survives(path: String, bounds: Map[String, (Long, Long)]): Boolean =
+    zones.get(path) match {
+      case None => true // no stats row: never prune what we can't prove
+      case Some(z) => bounds.forall { case (d, (lo, hi)) =>
+        z.get(d) match {
+          case None => true             // dim absent from the map
+          case Some(None) => false      // all-null file: no row can match
+          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        }
+      }
+    }
+}
+
+object ZoneMapFileIndex {
+
+  /** Mount `tablePath` as a DataFrame whose scan consults the zone map
+    * at `zmPath` during file listing. The relation is a plain parquet
+    * `HadoopFsRelation` in every other respect — filters push, columns
+    * prune, joins plan normally.
+    */
+  def read(spark: SparkSession, tablePath: String, zmPath: String,
+           dims: Set[String]): DataFrame = {
+    val schema = spark.read.parquet(tablePath).schema
+    val rel = HadoopFsRelation(
+      new ZoneMapFileIndex(spark, tablePath, zmPath, dims),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+
+  /** Per-dimension intersected [lo, hi] bounds from the scan's
+    * conjunctive data filters. Conservative: unsupported shapes
+    * contribute nothing; `>`/`<` relax to inclusive.
+    */
+  private[sources] def extractBounds(filters: Seq[Expression],
+                                     dims: Set[String]): Map[String, (Long, Long)] = {
+    val one = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def dimOf(e: Expression): Option[String] = e match {
+      case a: Attribute if dims(a.name) => Some(a.name)
+      case Cast(a: Attribute, ByteType | ShortType | IntegerType | LongType, _, _)
+          if dims(a.name) => Some(a.name)
+      case _ => None
+    }
+    def litVal(l: Literal): Option[Long] = (l.value, l.dataType) match {
+      case (null, _) => None
+      case (v: java.lang.Number, ByteType | ShortType | IntegerType | LongType) =>
+        Some(v.longValue())
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, l: Literal) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, v, v))
+      case EqualTo(l: Literal, a) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, v, v))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, v, Long.MaxValue))
+      case GreaterThan(a, l: Literal) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, v, Long.MaxValue))
+      case LessThanOrEqual(a, l: Literal) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, Long.MinValue, v))
+      case LessThan(a, l: Literal) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, Long.MinValue, v))
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, Long.MinValue, v))
+      case GreaterThan(l: Literal, a) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, Long.MinValue, v))
+      case LessThanOrEqual(l: Literal, a) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, v, Long.MaxValue))
+      case LessThan(l: Literal, a) =>
+        for (d <- dimOf(a); v <- litVal(l)) one += ((d, v, Long.MaxValue))
+      case _ => ()
+    }
+    filters.foreach(walk)
+    one.groupBy(_._1).map { case (d, bs) =>
+      d -> (bs.map(_._2).max, bs.map(_._3).min)
+    }
+  }
+}
