@@ -71,15 +71,27 @@ final class ZoneMapFileIndex(spark: SparkSession, tablePath: String,
   override def inputFiles: Array[String] = base.inputFiles
   override def refresh(): Unit = base.refresh()
 
+  /** (surviving, listed) file counts of the most recent [[listFiles]]
+    * call — the observability hook ZoneMapPlanningSpec and the scale
+    * smoke read, since AQE clones scan nodes and their metric
+    * accumulators are not reliably reachable from the caller's plan.
+    */
+  @volatile private var lastSkipCounts: Option[(Int, Int)] = None
+  def lastListing: Option[(Int, Int)] = lastSkipCounts
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = ZoneMapFileIndex.extractBounds(dataFilters, dims)
     val listed = base.listFiles(partitionFilters, dataFilters)
-    if (bounds.isEmpty) listed
-    else listed.map { pd =>
-      pd.copy(files = pd.files.filter(f =>
-        survives(f.getPath.toUri.getPath, bounds)))
-    }
+    val pruned =
+      if (bounds.isEmpty) listed
+      else listed.map { pd =>
+        pd.copy(files = pd.files.filter(f =>
+          survives(f.getPath.toUri.getPath, bounds)))
+      }
+    lastSkipCounts = Some((pruned.map(_.files.size).sum,
+      listed.map(_.files.size).sum))
+    pruned
   }
 
   private def survives(path: String, bounds: Map[String, (Long, Long)]): Boolean =
@@ -103,16 +115,24 @@ object ZoneMapFileIndex {
     * prune, joins plan normally.
     */
   def read(spark: SparkSession, tablePath: String, zmPath: String,
-           dims: Set[String]): DataFrame = {
+           dims: Set[String]): DataFrame =
+    readWithIndex(spark, tablePath, zmPath, dims)._1
+
+  /** [[read]] plus the index instance, for callers that want the
+    * [[ZoneMapFileIndex.lastListing]] skip counts after running.
+    */
+  def readWithIndex(spark: SparkSession, tablePath: String, zmPath: String,
+                    dims: Set[String]): (DataFrame, ZoneMapFileIndex) = {
     val schema = spark.read.parquet(tablePath).schema
+    val index = new ZoneMapFileIndex(spark, tablePath, zmPath, dims)
     val rel = HadoopFsRelation(
-      new ZoneMapFileIndex(spark, tablePath, zmPath, dims),
+      index,
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(rel)
+    (spark.baseRelationToDataFrame(rel), index)
   }
 
   /** Per-dimension intersected [lo, hi] bounds from the scan's

@@ -930,6 +930,25 @@ object ScaleSmoke {
     println(f"  zone map: opened $kept of $total files " +
       f"(${100.0 * kept / total}%.1f%%), answers equal ($ckFull); " +
       f"full $tFull%.2f s vs pruned $tPruned%.2f s")
+
+    // the same probe through the PLANNING-TIME index: one ordinary
+    // scan node whose own numFiles metric shows the skip
+    val (ckPlanned, tPlanned) = timed("box query, planning-time FileIndex") {
+      val (df, idx) = graft.sources.ZoneMapFileIndex
+        .readWithIndex(spark, zTable, zmPath, Set("uz", "vz"))
+      val r = df
+        .filter(col("uz").between(64, 191) && col("vz").between(0, 511))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("s"))
+        .head()
+      val (surv, listed) = idx.lastListing.getOrElse((-1, -1))
+      println(s"  planned scan opened $surv of $listed files " +
+        "(skip inside the scan node's own listing)")
+      (r.getLong(0), r.getLong(1))
+    }
+    require(ckFull == ckPlanned,
+      s"planning-time skipping changed the answer: $ckFull vs $ckPlanned")
+    println(f"  planning-time path wall $tPlanned%.2f s (answers equal)")
   }
 
   /** st26's streaming temporal as-of join at mult copies. Claims

@@ -80,6 +80,17 @@ class ZoneMapPlanningSpec extends AnyFunSuite with SparkTestSession {
     assert(scanned === total, "unmapped predicate must not skip anything")
   }
 
+  test("skip counts stay visible through an AQE-wrapped aggregate") {
+    // AQE clones scan nodes, so the caller's plan object can't reach
+    // the executed metrics; the index's own listing hook can.
+    val (table, zm) = layout
+    val (df, idx) = ZoneMapFileIndex.readWithIndex(spark, table, zm, dims.toSet)
+    df.filter(col("l_partkey").between(10, 40) && col("l_suppkey") <= 5)
+      .agg(count(lit(1))).head()
+    val (surv, listed) = idx.lastListing.getOrElse(fail("listFiles never ran"))
+    assert(surv > 0 && surv < listed, s"no skip recorded: $surv of $listed")
+  }
+
   test("extractBounds intersects conjuncts and relaxes strict bounds") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     val a = Symbol("l_partkey").long
