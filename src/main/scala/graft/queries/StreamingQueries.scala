@@ -1315,6 +1315,63 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"), col("evt_sec"),
           col("ord_sec"), col("o_orderkey"))
         .orderBy("event_id")
+    }),
+
+    // Stream-stream FULL OUTER join — st06/st15's third direction,
+    // completing every join direction Structured Streaming supports
+    // in the registry. Both sides carry watermarks and the interval
+    // condition bounds both buffers; unmatched LEFT rows flush when
+    // the watermark passes their one-hour match horizon, unmatched
+    // RIGHT rows when it passes their own event time — so the far-
+    // future sentinels (negative ids, filtered below; they can't
+    // match each other because the interval is strict) close both
+    // sides' horizons and the memory sink holds exactly the batch
+    // full-outer answer. At scale: the same two keyed buffers as the
+    // inner join, state bounded by watermark delay + interval on
+    // each side, null emission driven entirely by watermark passage.
+    "st27_stream_stream_full_outer" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Tables.tsSec.as("sec"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val (evens, odds) = ev.partition(_._1 % 2 == 0)
+      val tmax = ev.map(_._3).max
+      val sentinelL = (-2L, -1L, tmax + 100L * 3600L)
+      val sentinelR = (-3L, -1L, tmax + 100L * 3600L)
+
+      val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val l = inL.toDF().toDF("l_event", "l_user", "l_sec")
+          .withColumn("l_ts", timestamp_seconds(col("l_sec")))
+          .withWatermark("l_ts", "10 seconds")
+        val r = inR.toDF().toDF("r_event", "r_user", "r_sec")
+          .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+          .withWatermark("r_ts", "10 seconds")
+        val q = l.join(r,
+            col("l_user") === col("r_user") &&
+              col("r_ts") > col("l_ts") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+            "full_outer")
+          .select("l_event", "l_user", "l_sec", "r_event", "r_user", "r_sec")
+          .writeStream.format("memory").queryName("st27_matches")
+          .outputMode("append").start()
+        try {
+          inL.addData(evens); inR.addData(odds)
+          q.processAllAvailable()
+          inL.addData(sentinelL); inR.addData(sentinelR)
+          q.processAllAvailable()
+          inL.addData(sentinelL); inR.addData(sentinelR)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      s.table("st27_matches")
+        .filter((col("l_event").isNull || col("l_event") >= 0) &&
+          (col("r_event").isNull || col("r_event") >= 0))
+        .orderBy("l_event", "r_event")
     })
   )
 
@@ -1617,6 +1674,20 @@ object StreamingQueries {
         |      FROM orders GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.evt_sec >= r.ord_sec
         |ORDER BY event_id""".stripMargin,
+
+    // st27: once both horizons are closed, the streamed full outer is
+    // the batch full outer — unmatched rows on EITHER side null-fill
+    "st27_stream_stream_full_outer" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events)
+        |SELECT a.event_id AS l_event, a.user_id AS l_user, a.sec AS l_sec,
+        |       b.event_id AS r_event, b.user_id AS r_user, b.sec AS r_sec
+        |FROM (SELECT * FROM e WHERE event_id % 2 = 0) a
+        |FULL JOIN (SELECT * FROM e WHERE event_id % 2 = 1) b
+        |  ON a.user_id = b.user_id
+        | AND b.sec > a.sec AND b.sec <= a.sec + 3600
+        |ORDER BY l_event, r_event""".stripMargin,
 
     // st25: zone-map pruning is layout-only and the maintained map is
     // a per-file fact table — the pruned box probe over the streamed

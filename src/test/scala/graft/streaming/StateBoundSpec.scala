@@ -78,4 +78,57 @@ class StateBoundSpec extends AnyFunSuite with SparkTestSession {
     assert(stateRows.max < expected / 2,
       s"state ${stateRows.max} should stay well under total windows $expected")
   }
+
+  test("full-outer join buffers drain once both horizons close") {
+    // st27's shape: both sides buffer until the watermark passes the
+    // match horizon (left) / the row's own time (right). After the
+    // sentinel rounds close every horizon, state must DRAIN to the
+    // sentinels themselves — watermark eviction, not accumulation, is
+    // what lets the join run forever.
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val ev = graft.queries.Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), graft.queries.Tables.tsSec.as("sec"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val (evens, odds) = ev.partition(_._1 % 2 == 0)
+    val far = ev.map(_._3).max + 100L * 3600L
+
+    val inL = MemoryStream[(Long, Long, Long)]
+    val inR = MemoryStream[(Long, Long, Long)]
+    val l = inL.toDF().toDF("l_event", "l_user", "l_sec")
+      .withColumn("l_ts", timestamp_seconds(col("l_sec")))
+      .withWatermark("l_ts", "10 seconds")
+    val r = inR.toDF().toDF("r_event", "r_user", "r_sec")
+      .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+      .withWatermark("r_ts", "10 seconds")
+    val q = l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .writeStream.format("memory").queryName("fo_drain")
+      .outputMode("append").start()
+    val states =
+      try {
+        inL.addData(evens); inR.addData(odds)
+        q.processAllAvailable()
+        inL.addData((-2L, -1L, far)); inR.addData((-3L, -1L, far))
+        q.processAllAvailable()
+        inL.addData((-2L, -1L, far)); inR.addData((-3L, -1L, far))
+        q.processAllAvailable()
+        q.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
+          .map(_.numRowsTotal)
+      } finally q.stop()
+
+    assert(states.nonEmpty)
+    val (peak, last) = (states.max, states.last)
+    assert(peak >= ev.size,
+      s"peak state $peak should have buffered both sides (${ev.size} rows)")
+    assert(last <= 8,
+      s"state must drain to the sentinel rows after the horizons close, got $last " +
+        s"(history: ${states.mkString(",")})")
+  }
 }
