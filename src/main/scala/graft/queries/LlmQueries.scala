@@ -1934,6 +1934,59 @@ object LlmQueries {
       full.unionByName(tail)
         .select(col("doc_id"), col("source"), col("copy"), col("n_chars"))
         .orderBy("source", "doc_id", "copy")
+    }),
+
+    // GOPHER QUALITY RULES (Rae et al. 2021 §A1.1, the heuristics
+    // RefinedWeb/FineWeb inherit) — the published document-quality
+    // composite as ONE integer-rational projection: word count in
+    // [50, 100k], mean word length in [3, 10] (cross-multiplied —
+    // 3n ≤ chars ≤ 10n, no division), ≥80% of words contain an
+    // alphabetic character, ≤30% of words end in an ellipsis, and at
+    // least 2 of 8 designated function words present (the published
+    // rule uses English's the/be/to/of/and/that/have/with; this
+    // corpus is synthetic SQL-ish prose with no English function
+    // words, so the set is its 8 most common tokens — the rule's
+    // structure, presence-of-common-vocabulary, unchanged). Each rule is its
+    // own flag column (the audit view) plus the conjunction `pass`
+    // (the filter): a quality fleet wants to know WHY a doc fails,
+    // not just that it failed. Scale shape: one scan, zero joins/
+    // shuffles — the canonical map-only corpus filter; every
+    // comparison is exact integer arithmetic so all six flags and the
+    // five counters hash cross-engine.
+    "x83_gopher_rules" -> ((s, d) => {
+      val stops = Seq("scan", "column", "window", "order",
+        "sort", "part", "agg", "value")
+      Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+        .withColumn("wl", transform(col("w"), x => lower(x)))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("word_chars",
+          aggregate(col("w"), lit(0L), (a, x) => a + length(x)))
+        .withColumn("alpha_words",
+          size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long"))
+        .withColumn("ellipsis_words",
+          size(filter(col("w"), x => x.endsWith("..."))).cast("long"))
+        .withColumn("stop_hits",
+          stops.map(t => array_contains(col("wl"), t).cast("long"))
+            .reduce(_ + _))
+        .withColumn("r_word_count",
+          (col("n_words") >= 50L && col("n_words") <= 100000L).cast("long"))
+        .withColumn("r_mean_word_len",
+          (col("word_chars") >= col("n_words") * 3L &&
+            col("word_chars") <= col("n_words") * 10L).cast("long"))
+        .withColumn("r_alpha_ratio",
+          (col("alpha_words") * 10L >= col("n_words") * 8L).cast("long"))
+        .withColumn("r_ellipsis",
+          (col("ellipsis_words") * 10L <= col("n_words") * 3L).cast("long"))
+        .withColumn("r_stopwords", (col("stop_hits") >= 2L).cast("long"))
+        .withColumn("pass",
+          (col("r_word_count") * col("r_mean_word_len") *
+            col("r_alpha_ratio") * col("r_ellipsis") *
+            col("r_stopwords")).cast("long"))
+        .select("doc_id", "n_words", "word_chars", "alpha_words",
+          "ellipsis_words", "stop_hits", "r_word_count", "r_mean_word_len",
+          "r_alpha_ratio", "r_ellipsis", "r_stopwords", "pass")
+        .orderBy("doc_id")
     })
   )
 
@@ -3648,6 +3701,41 @@ object LlmQueries {
          |tail AS (SELECT doc_id, source, CAST(n_full + 1 AS BIGINT) AS copy, n_chars
          |         FROM drawn WHERE cum <= rem)
          |SELECT * FROM whole UNION ALL SELECT * FROM tail
-         |ORDER BY source, doc_id, copy""".stripMargin
+         |ORDER BY source, doc_id, copy""".stripMargin,
+
+    // x83: the same split, counters, and cross-multiplied rules —
+    // every flag is exact integer arithmetic in both engines
+    "x83_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |                  list_transform(string_split(text, ' '), x -> lower(x)) AS wl
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |             CAST(len(w) AS BIGINT) AS n_words,
+        |             CAST(list_reduce(list_prepend(0, list_transform(w, x -> len(x))),
+        |                              (a, b) -> a + b) AS BIGINT) AS word_chars,
+        |             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |             CAST(len(list_filter(w, x -> x LIKE '%...')) AS BIGINT) AS ellipsis_words,
+        |             CAST((CASE WHEN list_contains(wl, 'scan') THEN 1 ELSE 0 END)
+        |                + (CASE WHEN list_contains(wl, 'column') THEN 1 ELSE 0 END)
+        |                + (CASE WHEN list_contains(wl, 'window') THEN 1 ELSE 0 END)
+        |                + (CASE WHEN list_contains(wl, 'order') THEN 1 ELSE 0 END)
+        |                + (CASE WHEN list_contains(wl, 'sort') THEN 1 ELSE 0 END)
+        |                + (CASE WHEN list_contains(wl, 'part') THEN 1 ELSE 0 END)
+        |                + (CASE WHEN list_contains(wl, 'agg') THEN 1 ELSE 0 END)
+        |                + (CASE WHEN list_contains(wl, 'value') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |      FROM w),
+        |f AS (SELECT *,
+        |             CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+        |             CAST(CASE WHEN word_chars >= n_words * 3 AND word_chars <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+        |             CAST(CASE WHEN alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_ratio,
+        |             CAST(CASE WHEN ellipsis_words * 10 <= n_words * 3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+        |             CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords
+        |      FROM m)
+        |SELECT doc_id, n_words, word_chars, alpha_words, ellipsis_words,
+        |       stop_hits, r_word_count, r_mean_word_len, r_alpha_ratio,
+        |       r_ellipsis, r_stopwords,
+        |       CAST(r_word_count * r_mean_word_len * r_alpha_ratio
+        |            * r_ellipsis * r_stopwords AS BIGINT) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -414,6 +414,26 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     } finally out.unpersist()
   }
 
+  test("x83: map-only plan, counters tie out, flags non-degenerate") {
+    val df = q("x83_gopher_rules").cache()
+    try {
+      val plan = executedPlan(df)
+      assert(!plan.contains("Join"), s"quality rules must not join:\n$plan")
+      val bad = df.filter(
+        col("alpha_words") > col("n_words") ||
+          col("ellipsis_words") > col("n_words") ||
+          col("stop_hits") > 8L || col("stop_hits") < 0L ||
+          col("pass") =!= col("r_word_count") * col("r_mean_word_len") *
+            col("r_alpha_ratio") * col("r_ellipsis") * col("r_stopwords"))
+        .count()
+      assert(bad === 0)
+      // the composite must actually discriminate on this corpus
+      val passes = df.filter(col("pass") === 1L).count()
+      assert(passes > 0 && passes < df.count(),
+        s"degenerate pass rate: $passes of ${df.count()}")
+    } finally df.unpersist()
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
