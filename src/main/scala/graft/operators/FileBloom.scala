@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSqlShims
+
+/** File-level BLOOM FILTER index for point probes on UNCLUSTERED
+  * high-cardinality columns — the fourth member of the file-skipping
+  * family and the one [[ZoneMap]] cannot cover: min/max statistics
+  * only pay when the layout clusters the column (z-order, sort), but
+  * a 100 TB lake's natural keys (doc_id, user_id, event_id) are
+  * usually scattered, so every file's [min,max] spans the whole
+  * domain and the zone map prunes nothing. A per-file Bloom filter
+  * (Bloom 1970) answers the question min/max can't: "might THIS file
+  * contain THIS key?" — the same design as Delta's bloom filter
+  * index and Parquet's column-level bloom filters, built here from
+  * nothing but public builtins.
+  *
+  * Consistency by construction, not by reimplementation: bit
+  * positions come from Kirsch–Mitzenmacher double hashing
+  * (pos_j = h1 + j·h2 mod m, "Less hashing, same performance",
+  * ESA 2006) where h1/h2 are the `xxhash64` BUILTIN over the value —
+  * the build side evaluates the expression per row under codegen,
+  * and the probe side evaluates the SAME Catalyst expression over
+  * the key literal on the driver ([[positionsOf]]), so a hash
+  * mismatch between build and probe is structurally impossible
+  * (FileBloomSpec pins equality anyway).
+  *
+  * Scale shape: the build is ONE scan — explode the k positions,
+  * two-level hash aggregation with map-side combine (shuffle ∝
+  * files × live words, bounded by files × m/64 longs), never a
+  * sort. The index is files × (m/64 + 3) longs — 1 KB/file at
+  * m=8192, MBs per 100k files, the same driver-side scale every
+  * lake-format scan planner holds. A probe reads the tiny index,
+  * tests the key's k bits per file with codegen'd element_at/bit
+  * arithmetic, collects only SURVIVING file names, and hands them to
+  * one multi-path parquet read with the exact predicate re-applied —
+  * pruning is a performance act, never a correctness one (a bloom
+  * "maybe" can be a false positive; a "no" is never wrong). Stats
+  * rows are per-file facts built deterministically, so at-least-once
+  * maintenance replays append identical rows and [[compactStats]] /
+  * path-dedup fold them away, exactly like [[ZoneMap]].
+  */
+object FileBloom {
+
+  /** Salt distinguishing h2's stream from h1's (any fixed odd-ish
+    * constant works; golden-ratio bits by convention).
+    */
+  private val Salt = 0x9E3779B97F4A7C15L
+
+  private def h1(v: Column): Column = xxhash64(v)
+  private def h2(v: Column): Column = xxhash64(v, lit(Salt))
+
+  /** The k bit positions of a value, as a Column — the build side's
+    * per-row expression (codegen'd builtins end to end). Both hashes
+    * reduce mod m BEFORE the linear combination, so the arithmetic
+    * stays within [0, k·m) and never trips ANSI overflow —
+    * (a + j·b) mod m ≡ ((a mod m) + j·(b mod m)) mod m.
+    */
+  private def positionsCol(v: Column, m: Int, k: Int): Column = {
+    val (a, b) = (pmod(h1(v), lit(m.toLong)), pmod(h2(v), lit(m.toLong)))
+    transform(sequence(lit(0), lit(k - 1)),
+      j => pmod(a + j.cast("long") * b, lit(m.toLong)).cast("int"))
+  }
+
+  /** The k bit positions of a KEY LITERAL, evaluated on the driver
+    * through the SAME Catalyst expression class the build side's
+    * builtin resolves to (`XxHash64`, seed 42) — the probe never
+    * reimplements the hash, and FileBloomSpec pins driver/plan
+    * equality per key type. The key must be a literal (`lit`).
+    */
+  def positionsOf(key: Column, m: Int, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val e = GraftSqlShims.toExpression(key)
+    require(e.isInstanceOf[Literal], s"bloom probe key must be a literal, got $e")
+    val a0 = XxHash64(Seq(e), 42L).eval().asInstanceOf[Long]
+    val b0 = XxHash64(Seq(e, Literal(Salt)), 42L).eval().asInstanceOf[Long]
+    val (a, b) = (java.lang.Math.floorMod(a0, m.toLong),
+      java.lang.Math.floorMod(b0, m.toLong))
+    (0 until k).map(j =>
+      java.lang.Math.floorMod(a + j.toLong * b, m.toLong).toInt)
+  }
+
+  private def statsOf(df: DataFrame, column: String, m: Int, k: Int): DataFrame = {
+    require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nWords = m / 64
+    df.select(input_file_name().as("file"),
+        explode(positionsCol(col(column), m, k)).as("p"))
+      .select(col("file"), (col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, p % 64)").as("b"))
+      .groupBy("file", "w").agg(expr("bit_or(b)").as("bits"))
+      .groupBy("file").agg(
+        map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
+      .select(col("file"), lit(m).as("m"), lit(k).as("k"),
+        transform(sequence(lit(0), lit(nWords - 1)),
+          w => coalesce(element_at(col("wm"), w), lit(0L))).as("words"))
+      .repartition(1)
+  }
+
+  /** One-scan build of the per-file Bloom index for `column`,
+    * persisted at `bloomPath`: a row per data file with the m-bit
+    * filter packed as m/64 longs (plus m and k, so probes are
+    * self-describing).
+    */
+  def build(spark: SparkSession, tablePath: String, column: String,
+            bloomPath: String, m: Int = 8192, k: Int = 4): Unit =
+    statsOf(spark.read.parquet(tablePath), column, m, k)
+      .write.mode("overwrite").parquet(bloomPath)
+
+  /** Incremental maintenance — scan ONLY `files` (a micro-batch's
+    * just-landed part-files) and APPEND their filter rows. Filters
+    * are per-file facts built deterministically, so an at-least-once
+    * replay appends an identical row that [[prunedFiles]]' path-dedup
+    * and [[compactStats]] fold away without changing any probe.
+    */
+  def appendStats(spark: SparkSession, files: Seq[String], column: String,
+                  bloomPath: String, m: Int = 8192, k: Int = 4): Unit =
+    if (files.nonEmpty)
+      statsOf(spark.read.parquet(files: _*), column, m, k)
+        .write.mode("append").parquet(bloomPath)
+
+  /** Fold accumulated per-batch stats files into ONE file — the
+    * lifecycle verb every append-maintained index needs (files =
+    * micro-batches forever otherwise). Pure rewrite: replayed
+    * duplicates are identical rows, so dropDuplicates on the file
+    * path keeps the same filters.
+    */
+  def compactStats(spark: SparkSession, bloomPath: String): Unit =
+    spark.read.parquet(bloomPath).localCheckpoint(true)
+      .dropDuplicates("file")
+      .repartition(1).write.mode("overwrite").parquet(bloomPath)
+
+  private def readIndex(spark: SparkSession, bloomPath: String): (DataFrame, Int, Int) = {
+    val bm = spark.read.parquet(bloomPath)
+    val mk = bm.select("m", "k").distinct().collect()
+    require(mk.length == 1,
+      s"bloom index at $bloomPath mixes (m,k) configurations: ${mk.mkString(",")}")
+    (bm, mk(0).getInt(0), mk(0).getInt(1))
+  }
+
+  /** The membership test for one key against the packed words column
+    * — k codegen'd element_at/AND comparisons, no UDF.
+    */
+  private def mightContain(positions: Seq[Int]): Column =
+    positions.map(p =>
+        element_at(col("words"), p / 64 + 1)
+          .bitwiseAND(lit(1L << (p % 64))) =!= lit(0L))
+      .reduce(_ && _)
+
+  /** Files that MIGHT contain at least one of `keys` (literals) — the
+    * candidate set a point-probe scan must open. Driver-sized:
+    * bounded by the file count, after pruning by keys × FPP.
+    */
+  def prunedFiles(spark: SparkSession, bloomPath: String,
+                  keys: Seq[Column]): Seq[String] = {
+    val (bm, m, k) = readIndex(spark, bloomPath)
+    val any = keys.map(key => mightContain(positionsOf(key, m, k)))
+      .reduce(_ || _)
+    // distinct: at-least-once maintenance may have appended a file's
+    // (identical) row twice; a duplicate path would read it twice.
+    bm.filter(any).select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Total file count in the index (for skip-ratio reporting). */
+  def fileCount(spark: SparkSession, bloomPath: String): Long =
+    spark.read.parquet(bloomPath).select("file").distinct().count()
+
+  /** Read only the files the bloom index cannot rule out, with the
+    * exact IN predicate applied on top (bloom "maybe" is not "yes").
+    * An empty candidate set short-circuits to an empty frame with the
+    * table's schema.
+    */
+  def readPruned(spark: SparkSession, tablePath: String, bloomPath: String,
+                 column: String, keys: Seq[Column]): DataFrame = {
+    // hash(int 7) != hash(long 7): a key literal of the wrong type
+    // would silently prune EVERY file (the bloom holds the column's
+    // own type), so the mismatch must fail loudly here instead
+    val colType = spark.read.parquet(tablePath).schema(column).dataType
+    keys.foreach { key =>
+      val e = GraftSqlShims.toExpression(key)
+      require(e.dataType == colType,
+        s"bloom probe key $e has type ${e.dataType}, but column '$column' " +
+          s"is $colType — hashes would not match; cast the key literal")
+    }
+    val files = prunedFiles(spark, bloomPath, keys)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(tablePath).schema)
+    else spark.read.parquet(files: _*)
+      .filter(keys.map(col(column) === _).reduce(_ || _))
+  }
+}

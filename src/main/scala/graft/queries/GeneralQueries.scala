@@ -1647,6 +1647,54 @@ object GeneralQueries {
                   JOIN v_orders ON l_orderkey = o_orderkey
         ORDER BY d
       """)
+    }),
+
+    // PER-FILE BLOOM INDEX PROBE (operators/FileBloom) — the fourth
+    // file-skipping member and the one the zone map can't serve: a
+    // point/IN probe on an UNCLUSTERED key, where every file's
+    // [min,max] spans the whole domain and min/max stats prune
+    // nothing. Lifecycle under the oracle: scatter documents across a
+    // multi-file layout keyed by text hash (worst case for ranges),
+    // build the per-file bloom on doc_id in one scan, probe an
+    // IN-list through prunedFiles → multi-path read → exact
+    // predicate. Pruning must be invisible in the ANSWER (the oracle
+    // runs the same IN on the original table); the files-actually-
+    // skipped and no-false-negative assertions live in FileBloomSpec.
+    "q71_bloom_pruned_scan" -> ((s, d) => {
+      import graft.operators.FileBloom
+      val root = graft.core.Scratch.dir("graft_bloom")
+      val (table, bm) = (s"$root/docs", s"$root/docs_bloom")
+      Tables.documents(s, d)
+        .repartition(16, col("text"))
+        .write.mode("overwrite").parquet(table)
+      FileBloom.build(s, table, "doc_id", bm, m = 8192, k = 4)
+      FileBloom.readPruned(s, table, bm, "doc_id",
+          Seq(lit(7L), lit(233L), lit(481L))) // doc_id is int64: key literals must carry the column's own type
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // BLOOM SKIPPING AT PLANNING TIME — q71's filters consulted
+    // INSIDE the scan node (graft.sources.BloomFileIndex): the table
+    // mounts as one HadoopFsRelation whose FileIndex tests the scan's
+    // own equality/IN data filters against the per-file blooms and
+    // drops files that provably hold no probed key — the point-probe
+    // twin of q70's zone-map planning path, PushedFilters intact,
+    // skip visible in the scan's numFiles metric (BloomPlanningSpec
+    // pins skipping, pushdown, conservatism for late files, and
+    // cast-narrowing of analyzer-widened literals).
+    "q72_bloom_planned_scan" -> ((s, d) => {
+      import graft.operators.FileBloom
+      val root = graft.core.Scratch.dir("graft_bloom_plan")
+      val (table, bm) = (s"$root/docs", s"$root/docs_bloom")
+      Tables.documents(s, d)
+        .repartition(16, col("text"))
+        .write.mode("overwrite").parquet(table)
+      FileBloom.build(s, table, "doc_id", bm, m = 8192, k = 4)
+      graft.sources.BloomFileIndex.read(s, table, bm, "doc_id")
+        .filter(col("doc_id").isin(7, 233, 481))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -2461,6 +2509,17 @@ object GeneralQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 50 AND 300 AND l_suppkey BETWEEN 2 AND 30
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q71/q72: bloom pruning is layout-only — the IN probe over the
+    // pruned scattered copy must equal the same IN on the original
+    // table, whether the skip happens in the driver path list (q71)
+    // or inside the scan node's own file listing (q72)
+    "q71_bloom_pruned_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 233, 481) ORDER BY doc_id""".stripMargin,
+    "q72_bloom_planned_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 233, 481) ORDER BY doc_id""".stripMargin,
 
     // q63: shard = value % 4 is a pure value function, so grouping by
     // it reproduces the disjoint per-shard distinct slices exactly
