@@ -84,17 +84,15 @@ object FileBloom {
   private def statsOf(df: DataFrame, column: String, m: Int, k: Int): DataFrame = {
     require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
     require(k >= 1, s"k must be >= 1, got $k")
-    val nWords = m / 64
+    // positions from codegen'd builtins in the projection; the dense
+    // bitset assembly in a typed aggregate (see BloomBitsAggregator's
+    // scaladoc for why declarative assembly is O(m²) per file) —
+    // partial aggregation ships one m/8-byte buffer per (task, file)
+    val bloomBits = udaf(new graft.functions.BloomBitsAggregator(m))
     df.select(input_file_name().as("file"),
-        explode(positionsCol(col(column), m, k)).as("p"))
-      .select(col("file"), (col("p") / 64).cast("int").as("w"),
-        expr("shiftleft(1L, p % 64)").as("b"))
-      .groupBy("file", "w").agg(expr("bit_or(b)").as("bits"))
-      .groupBy("file").agg(
-        map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
-      .select(col("file"), lit(m).as("m"), lit(k).as("k"),
-        transform(sequence(lit(0), lit(nWords - 1)),
-          w => coalesce(element_at(col("wm"), w), lit(0L))).as("words"))
+        positionsCol(col(column), m, k).as("ps"))
+      .groupBy("file").agg(bloomBits(col("ps")).as("words"))
+      .select(col("file"), lit(m).as("m"), lit(k).as("k"), col("words"))
       .repartition(1)
   }
 

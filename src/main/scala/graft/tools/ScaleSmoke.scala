@@ -20,7 +20,8 @@ import graft.operators.CmSketch
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
-  *         spike planning selection temporal ordering   (default: all)
+  *         spike planning selection temporal ordering bloom
+  *         (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -121,6 +122,7 @@ object ScaleSmoke {
     if (stages("selection")) selectionStage(spark, sfDir, mult, tmp, docs)
     if (stages("temporal")) temporalStage(spark, sfDir, mult, tmp)
     if (stages("ordering")) orderingStage(spark, sfDir, mult, tmp, docs)
+    if (stages("bloom")) bloomStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -1285,5 +1287,93 @@ object ScaleSmoke {
         f"${agg.getLong(1)}%,d chars vs budget $B%,d " +
         "(index only - duplicated text never materialized)")
     }
+  }
+
+  /** q71/q72's per-file bloom index at mult copies. Claims measured:
+    * the build is ONE scan (wall ∝ corpus), the index stays
+    * driver-holdable (files × m/8 bytes — reported), a point/IN probe
+    * opens ~keys(+FPP) files instead of all of them through BOTH the
+    * driver path list and the planning-time FileIndex, answers
+    * checksum-equal to the full scan, and the zone map on the same
+    * UNCLUSTERED layout prunes NOTHING (the case split that justifies
+    * carrying both index kinds).
+    */
+  private def bloomStage(spark: SparkSession, sfDir: String, mult: Int,
+                         tmp: String): Unit = {
+    import graft.operators.{FileBloom, ZoneMap}
+    import graft.queries.Tables
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val stride = ev.agg(max("event_id")).head().getLong(0) + 1L
+    val table = s"$tmp/bloom_events"
+    val files = 4 * mult
+    timed(s"unclustered layout ($files files)") {
+      (0 until mult).map(c => ev.withColumn("event_id",
+          col("event_id") + lit(c * stride)))
+        .reduce(_ union _)
+        .repartition(files, col("value")) // ids scattered across every file
+        .write.mode("overwrite").parquet(table)
+    }
+    val total = spark.read.parquet(table).count()
+    val perFile = total / files
+
+    val (m, k) = (262144, 4) // 32 KB/file; ~10 bits/key at 25k rows/file
+    val bmPath = s"$tmp/bloom_idx"
+    timed("bloom index build (one scan)") {
+      FileBloom.build(spark, table, "event_id", bmPath, m, k)
+    }
+    val idxBytes = ZoneMap.dataFiles(spark, bmPath).map(f =>
+      new java.io.File(new java.net.URI(
+        if (f.startsWith("file:")) f else s"file://$f").getPath).length).sum
+    println(f"  corpus $total%,d rows, $perFile%,d rows/file; index " +
+      f"${idxBytes / 1024}%,d KB for $files files (${m / 8} B/file raw)")
+
+    // three present keys (one per copy region) + one absent
+    val keys = Seq(lit(17L), lit(stride + 4242L),
+      lit((mult - 1) * stride + 99L), lit(mult * stride + 123456789L))
+    val keyVals = Seq(17L, stride + 4242L, (mult - 1) * stride + 99L,
+      mult * stride + 123456789L)
+
+    def csum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("s")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (ckFull, tFull) = timed("IN probe, full scan") {
+      csum(spark.read.parquet(table)
+        .filter(col("event_id").isin(keyVals: _*)))
+    }
+    val opened = FileBloom.prunedFiles(spark, bmPath, keys).size
+    val (ckPruned, tPruned) = timed("IN probe, bloom-pruned read") {
+      csum(FileBloom.readPruned(spark, table, bmPath, "event_id", keys))
+    }
+    require(ckFull == ckPruned,
+      s"bloom pruning changed the answer: $ckFull vs $ckPruned")
+    println(f"  bloom opened $opened of $files files " +
+      f"(${100.0 * opened / files}%.1f%%), answers equal ($ckFull); " +
+      f"full $tFull%.2f s vs pruned $tPruned%.2f s")
+
+    val (ckPlanned, tPlanned) = timed("IN probe, planning-time FileIndex") {
+      val (df, idx) = graft.sources.BloomFileIndex
+        .readWithIndex(spark, table, bmPath, "event_id")
+      val r = csum(df.filter(col("event_id").isin(keyVals: _*)))
+      val (surv, listed) = idx.lastListing.getOrElse((-1, -1))
+      println(s"  planned scan opened $surv of $listed files " +
+        "(skip inside the scan node's own listing)")
+      r
+    }
+    require(ckFull == ckPlanned,
+      s"planning-time bloom skipping changed the answer: $ckFull vs $ckPlanned")
+    println(f"  planning-time path wall $tPlanned%.2f s (answers equal)")
+
+    // the zone map CANNOT serve this probe: on a scattered layout
+    // every file's [min,max] spans the domain, so nothing prunes
+    val zmPath = s"$tmp/bloom_zm"
+    ZoneMap.build(spark, table, Seq("event_id"), zmPath)
+    val zmKept = ZoneMap.prunedFiles(spark, zmPath,
+      Seq(ZoneMap.Range("event_id", keyVals(1), keyVals(1)))).size
+    println(s"  zone map on the same layout keeps $zmKept of $files files " +
+      "for a mid-domain key (min/max spans the domain: no pruning)")
   }
 }
