@@ -1372,6 +1372,63 @@ object StreamingQueries {
         .filter((col("l_event").isNull || col("l_event") >= 0) &&
           (col("r_event").isNull || col("r_event") >= 0))
         .orderBy("l_event", "r_event")
+    }),
+
+    // STREAMING BLOOM-INDEX MAINTENANCE — the point-probe index's
+    // maintenance loop, completing the persisted-index streaming
+    // QUARTET (fingerprints st04, sketches st23, zone maps st25,
+    // blooms here): each micro-batch lands its documents as
+    // part-files, diffs the table listing to find exactly what it
+    // landed, and appends ONLY those files' bloom rows
+    // (FileBloom.appendStats) — the base table is never rescanned,
+    // maintenance cost is the batch, not the table. Bloom rows are
+    // per-file facts built deterministically, so the maintained index
+    // equals a from-scratch build over the same files (FileBloomSpec
+    // pins replay-safety), compactStats runs mid-stream like st25's
+    // nightly pass, and the pruned IN probe over the streamed table
+    // must reproduce q71's oracle answer exactly.
+    "st28_streaming_bloom" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.{FileBloom, ZoneMap}
+      val root = graft.core.Scratch.dir("graft_bloom_stream")
+      val table = s"$root/t"
+      val bm = s"$root/bm"
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .as[(Long, String, String, String, Long)].collect().toSeq
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String, Long)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val before = ZoneMap.dataFiles(s, table).toSet
+            batch.repartition(2, col("text")) // unclustered landing
+              .write.mode("append").parquet(table)
+            val landed = ZoneMap.dataFiles(s, table).filterNot(before)
+            FileBloom.appendStats(s, landed, "doc_id", bm, m = 8192, k = 4)
+            ()
+          }
+          .start()
+        try {
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          in.addData(a); q.processAllAvailable()
+          in.addData(b); q.processAllAvailable()
+          // the nightly pass while the stream is quiescent; the third
+          // batch appends AFTER compaction, so the probe reads the
+          // compacted ∪ appended index
+          FileBloom.compactStats(s, bm)
+          in.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      FileBloom.readPruned(s, table, bm, "doc_id",
+          Seq(lit(7L), lit(233L), lit(481L)))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -1698,6 +1755,13 @@ object StreamingQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 10 AND 400 AND l_suppkey BETWEEN 1 AND 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // st28: bloom pruning is layout-only and the maintained index is
+    // a per-file fact table — the pruned IN probe over the streamed
+    // table is q71's plain IN select
+    "st28_streaming_bloom" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 233, 481) ORDER BY doc_id""".stripMargin,
 
     // draining the whole directory once = the plain batch aggregate
     "st11_file_stream_agg" ->
