@@ -1695,6 +1695,45 @@ object GeneralQueries {
         .filter(col("doc_id").isin(7, 233, 481))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // DYNAMIC PARTITION PRUNING — the star-join skipping Spark itself
+    // provides and the canonical 100 TB fact-table read path: the
+    // fact lands hive-partitioned by ship month (the layout every
+    // date-partitioned lake table has), the month dimension carries
+    // the month→quarter mapping, and a quarter filter on the DIM side
+    // prunes fact PARTITIONS at runtime — Catalyst plants a
+    // DynamicPruningExpression (the broadcast's keys re-used as an IN
+    // subquery) into the fact scan's partition filters, so ~3/4 of
+    // the directories are never listed into tasks even though no
+    // static predicate mentions the partition column. DppSpec pins
+    // the plan shape (dynamicpruningexpression present, files read <
+    // total) — this row pins the ANSWER: joining through the pruned
+    // layout equals the plain quarter filter on the original table.
+    "q73_dpp_star_join" -> ((s, d) => {
+      val root = graft.core.Scratch.dir("graft_dpp")
+      val table = s"$root/li_by_month"
+      Tables.lineitem(s, d)
+        .withColumn("ship_month",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(table)
+      // the month dim: a real warehouse's date dimension, reduced to
+      // the two columns the join needs and MATERIALIZED — if quarter
+      // stayed an expression over ship_month, constraint propagation
+      // would rewrite the dim filter into a STATIC partition predicate
+      // on the fact and the demo would never exercise the runtime
+      // path; as stored data, only the DPP subquery can prune
+      val dimPath = s"$root/month_dim"
+      s.read.parquet(table).select("ship_month").distinct()
+        .withColumn("quarter", ((col("ship_month") % 100 - 1) / 3 + 1).cast("int"))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      val monthDim = s.read.parquet(dimPath)
+      s.read.parquet(table)
+        .join(broadcast(monthDim.filter(col("quarter") === 2)), Seq("ship_month"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(asInt(col("l_quantity"), 0)).as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2520,6 +2559,16 @@ object GeneralQueries {
     "q72_bloom_planned_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (7, 233, 481) ORDER BY doc_id""".stripMargin,
+
+    // q73: dynamic partition pruning is a performance act — joining
+    // the month-partitioned copy through the quarter-filtered dim
+    // must equal the plain quarter predicate on the original table
+    "q73_dpp_star_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE quarter(l_shipdate) = 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // q63: shard = value % 4 is a pure value function, so grouping by
     // it reproduces the disjoint per-shard distinct slices exactly
