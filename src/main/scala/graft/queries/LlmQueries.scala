@@ -1987,7 +1987,30 @@ object LlmQueries {
           "ellipsis_words", "stop_hits", "r_word_count", "r_mean_word_len",
           "r_alpha_ratio", "r_ellipsis", "r_stopwords", "pass")
         .orderBy("doc_id")
-    })
+    }),
+
+    // GOPHER REPETITION RULES (Rae et al. 2021 §A1.1, Table A1 —
+    // x83's other half): per document, the fraction of characters in
+    // the MOST FREQUENT word n-gram for n=2..4 and the fraction of
+    // characters covered by ANY duplicated word n-gram (count ≥ 2,
+    // overlapping occurrences counted once — a position-set union,
+    // not a sum) for n=5..10, each against its published threshold
+    // (0.20/0.18/0.16 and 0.15 down to 0.10) as a flag plus the
+    // conjunctive pass. Character weight = token characters
+    // (separators excluded) so every fraction is exact integer
+    // arithmetic. Scale shape: ONE corpus scan feeds a single
+    // 9-way windowed explode (rows ∝ 9·tokens, no joins to build
+    // grams); counts are one hash agg keyed (doc, n, gram) with
+    // map-side combine; the top-gram pick is a (doc, n)-partitioned
+    // row_number over the fixed-size count relation; coverage
+    // re-explodes ONLY duplicated grams' positions, distincts the
+    // covered index set, and joins it to the token-length relation —
+    // every shuffle keys on doc-local grams, nothing quadratic, no
+    // driver state.
+    "x84_gopher_repetition" -> ((s, d) =>
+      graft.llm.Repetition.gopherRepetition(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+          .select("doc_id", "text")))
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3736,6 +3759,76 @@ object LlmQueries {
         |       r_ellipsis, r_stopwords,
         |       CAST(r_word_count * r_mean_word_len * r_alpha_ratio
         |            * r_ellipsis * r_stopwords AS BIGINT) AS pass
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // x84: the same window/count/coverage pipeline — top-gram chars
+    // are count × gram token chars; duplicate coverage is a DISTINCT
+    // position-set union re-weighted by token length; every fraction
+    // is exact integer arithmetic in both engines
+    "x84_gopher_repetition" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |                  len(string_split(text, ' ')) AS nw,
+        |                  CAST(list_reduce(list_prepend(0,
+        |                         list_transform(string_split(text, ' '), x -> len(x))),
+        |                       (a, c) -> a + c) AS BIGINT) AS wc
+        |           FROM documents),
+        |g AS (SELECT doc_id, n, wc, pos, array_to_string(w[pos+1:pos+n], ' ') AS g
+        |      FROM (SELECT doc_id, w, wc, n, unnest(range(0, nw - n + 1)) AS pos
+        |            FROM (SELECT doc_id, w, nw, wc,
+        |                         unnest([2,3,4,5,6,7,8,9,10]) AS n FROM b)
+        |            WHERE nw >= n)),
+        |c AS (SELECT doc_id, n, wc, g, count(*) AS cnt, list(pos) AS ps
+        |      FROM g GROUP BY 1, 2, 3, 4),
+        |top AS (SELECT doc_id, n,
+        |               CAST(cnt * (len(g) - (n - 1)) * 1000000 // wc AS BIGINT) AS frac
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |                                           ORDER BY cnt DESC, g) AS rk
+        |              FROM c WHERE n <= 4)
+        |        WHERE rk = 1),
+        |ci AS (SELECT DISTINCT doc_id, n, idx
+        |       FROM (SELECT doc_id, n, unnest(range(p, p + n)) AS idx
+        |             FROM (SELECT doc_id, n, unnest(ps) AS p FROM c
+        |                   WHERE n >= 5 AND cnt >= 2))),
+        |cov AS (SELECT doc_id, n,
+        |               CAST(sum(len(b.w[idx + 1])) * 1000000 // max(b.wc) AS BIGINT) AS frac
+        |        FROM ci JOIN b USING (doc_id) GROUP BY 1, 2),
+        |tops AS (SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n = 2 THEN frac END), 0) AS BIGINT) AS top2_e6,
+        |    CAST(coalesce(max(CASE WHEN n = 3 THEN frac END), 0) AS BIGINT) AS top3_e6,
+        |    CAST(coalesce(max(CASE WHEN n = 4 THEN frac END), 0) AS BIGINT) AS top4_e6
+        |  FROM top GROUP BY 1),
+        |covs AS (SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n = 5 THEN frac END), 0) AS BIGINT) AS dup5_e6,
+        |    CAST(coalesce(max(CASE WHEN n = 6 THEN frac END), 0) AS BIGINT) AS dup6_e6,
+        |    CAST(coalesce(max(CASE WHEN n = 7 THEN frac END), 0) AS BIGINT) AS dup7_e6,
+        |    CAST(coalesce(max(CASE WHEN n = 8 THEN frac END), 0) AS BIGINT) AS dup8_e6,
+        |    CAST(coalesce(max(CASE WHEN n = 9 THEN frac END), 0) AS BIGINT) AS dup9_e6,
+        |    CAST(coalesce(max(CASE WHEN n = 10 THEN frac END), 0) AS BIGINT) AS dup10_e6
+        |  FROM cov GROUP BY 1),
+        |f AS (SELECT b.doc_id,
+        |             CAST(coalesce(top2_e6, 0) AS BIGINT) AS top2_e6,
+        |             CAST(coalesce(top3_e6, 0) AS BIGINT) AS top3_e6,
+        |             CAST(coalesce(top4_e6, 0) AS BIGINT) AS top4_e6,
+        |             CAST(coalesce(dup5_e6, 0) AS BIGINT) AS dup5_e6,
+        |             CAST(coalesce(dup6_e6, 0) AS BIGINT) AS dup6_e6,
+        |             CAST(coalesce(dup7_e6, 0) AS BIGINT) AS dup7_e6,
+        |             CAST(coalesce(dup8_e6, 0) AS BIGINT) AS dup8_e6,
+        |             CAST(coalesce(dup9_e6, 0) AS BIGINT) AS dup9_e6,
+        |             CAST(coalesce(dup10_e6, 0) AS BIGINT) AS dup10_e6
+        |      FROM b LEFT JOIN tops USING (doc_id) LEFT JOIN covs USING (doc_id)),
+        |fl AS (SELECT *,
+        |    CAST(CASE WHEN top2_e6 <= 200000 THEN 1 ELSE 0 END AS BIGINT) AS r_top2,
+        |    CAST(CASE WHEN top3_e6 <= 180000 THEN 1 ELSE 0 END AS BIGINT) AS r_top3,
+        |    CAST(CASE WHEN top4_e6 <= 160000 THEN 1 ELSE 0 END AS BIGINT) AS r_top4,
+        |    CAST(CASE WHEN dup5_e6 <= 150000 THEN 1 ELSE 0 END AS BIGINT) AS r_dup5,
+        |    CAST(CASE WHEN dup6_e6 <= 140000 THEN 1 ELSE 0 END AS BIGINT) AS r_dup6,
+        |    CAST(CASE WHEN dup7_e6 <= 130000 THEN 1 ELSE 0 END AS BIGINT) AS r_dup7,
+        |    CAST(CASE WHEN dup8_e6 <= 120000 THEN 1 ELSE 0 END AS BIGINT) AS r_dup8,
+        |    CAST(CASE WHEN dup9_e6 <= 110000 THEN 1 ELSE 0 END AS BIGINT) AS r_dup9,
+        |    CAST(CASE WHEN dup10_e6 <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_dup10
+        |  FROM f)
+        |SELECT *, CAST(r_top2 * r_top3 * r_top4 * r_dup5 * r_dup6 * r_dup7
+        |               * r_dup8 * r_dup9 * r_dup10 AS BIGINT) AS pass
+        |FROM fl ORDER BY doc_id""".stripMargin
   )
 }

@@ -20,7 +20,7 @@ import graft.operators.CmSketch
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
-  *         spike planning selection temporal ordering bloom
+  *         spike planning selection temporal ordering bloom dpp
   *         (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
@@ -123,6 +123,7 @@ object ScaleSmoke {
     if (stages("temporal")) temporalStage(spark, sfDir, mult, tmp)
     if (stages("ordering")) orderingStage(spark, sfDir, mult, tmp, docs)
     if (stages("bloom")) bloomStage(spark, sfDir, mult, tmp)
+    if (stages("dpp")) dppStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -1375,5 +1376,80 @@ object ScaleSmoke {
       Seq(ZoneMap.Range("event_id", keyVals(1), keyVals(1)))).size
     println(s"  zone map on the same layout keeps $zmKept of $files files " +
       "for a mid-domain key (min/max spans the domain: no pruning)")
+  }
+
+  /** q73's dynamic partition pruning at mult copies. Claims measured:
+    * the quarter-filtered dim prunes the month-partitioned fact to
+    * ~1/4 of its files AT RUNTIME (no static predicate mentions the
+    * partition column — quarter is dim data), the wall tracks the
+    * pruned quarter rather than the table, and turning DPP off makes
+    * the same plan read every file — the controlled contrast that
+    * attributes the win to the mechanism.
+    */
+  private def dppStage(spark: SparkSession, sfDir: String, mult: Int,
+                       tmp: String): Unit = {
+    import graft.queries.Tables
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_shipdate"))
+    val stride = li.agg(max("l_orderkey")).head().getLong(0) + 1L
+    val table = s"$tmp/dpp_fact"
+    timed("month-partitioned fact write") {
+      (0 until mult).map(c => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(c * stride)))
+        .reduce(_ union _)
+        .withColumn("ship_month",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+        .repartition(col("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(table)
+    }
+    val dimPath = s"$tmp/dpp_dim"
+    spark.read.parquet(table).select("ship_month").distinct()
+      .withColumn("quarter", ((col("ship_month") % 100 - 1) / 3 + 1).cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val totalFiles = spark.read.parquet(table).inputFiles.length
+
+    def quarterAgg(): (Long, Long) = {
+      val r = spark.read.parquet(table)
+        .join(broadcast(spark.read.parquet(dimPath)
+          .filter(col("quarter") === 2)), Seq("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (ckOff, tOff) = timed("quarter join, DPP off") {
+      withConf(spark,
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+        quarterAgg()
+      }
+    }
+    val (ckOn, tOn) = timed("quarter join, DPP on") { quarterAgg() }
+    require(ckOff == ckOn, s"DPP changed the answer: $ckOff vs $ckOn")
+    // files actually read: rerun the DPP plan and read the fact scan's
+    // own numFiles metric through the AQE wrappers
+    val df = spark.read.parquet(table)
+      .join(broadcast(spark.read.parquet(dimPath)
+        .filter(col("quarter") === 2)), Seq("ship_month"))
+      .agg(count(lit(1)))
+    df.collect() // head() would execute a separate limit plan, leaving
+    // THIS plan's scan metrics untouched
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty).head
+    val factRead = factScan.metrics("numFiles").value
+    val bytesRead = factScan.metrics("filesSize").value
+    val bytesTotal = factScan.metrics("staticFilesSize").value
+    println(f"  answers equal ($ckOn); DPP read $factRead of $totalFiles " +
+      f"files = ${bytesRead / 1048576}%,d of ${bytesTotal / 1048576}%,d MB " +
+      f"(${100.0 * factRead / totalFiles}%.1f%%); walls: " +
+      f"off $tOff%.2f s vs on $tOn%.2f s")
   }
 }
