@@ -1734,6 +1734,45 @@ object GeneralQueries {
         .agg(count(lit(1)).as("n"),
           sum(asInt(col("l_quantity"), 0)).as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // BUCKET-SORTED ZERO-SHUFFLE ZERO-SORT JOIN — the co-located
+    // fact-fact merge join with BOTH heavy phases gone: bucketBy
+    // pre-hash-distributes (no exchange — BucketingSpec's original
+    // claim) and one-file-per-bucket + sortBy lets the scan CLAIM its
+    // on-disk order so SortExec disappears too (the legacy
+    // bucketedTableScan.outputOrdering opt-in Spark requires, scoped
+    // to this query and run eagerly inside the scope; BucketingSpec
+    // pins the no-Sort plan). At 100 TB this is the whole
+    // shuffle+sort phase of the dominant join removed by layout.
+    "q74_bucket_sorted_join" -> ((s, d) => {
+      val root = graft.core.Scratch.dir("graft_bktsort")
+      def writeBucketed(df: DataFrame, name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        df.repartition(8, col("l_orderkey")) // one file per bucket
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/$name").saveAsTable(name)
+      }
+      writeBucketed(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag"), "g74_li")
+      writeBucketed(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "g74_ord")
+      val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        s.table("g74_li").hint("merge")
+          .join(s.table("g74_ord"), Seq("l_orderkey"))
+          .groupBy("l_returnflag", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(asInt(col("l_quantity"), 0)).as("sum_qty"))
+          .localCheckpoint(true) // plan must compile inside the conf scope
+          .orderBy("l_returnflag", "o_orderpriority")
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     })
   )
 
@@ -2569,6 +2608,14 @@ object GeneralQueries {
         |FROM lineitem
         |WHERE quarter(l_shipdate) = 2
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q74: bucketing + sorted scan are layout-only — the co-located
+    // merge join's aggregate must equal the plain join's
+    "q74_bucket_sorted_join" ->
+      """SELECT l_returnflag, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q63: shard = value % 4 is a pure value function, so grouping by
     // it reproduces the disjoint per-shard distinct slices exactly
