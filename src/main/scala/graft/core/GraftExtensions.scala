@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharGramHashes, MinHashSig, MinHashSigText, ParseIpv4, ShingleGen, VecDot, WinnowFps}
+import graft.functions.{CharGramHashes, MinHashSig, MinHashSigText, ParseIpv4, ShingleGen, ShingleGenRange, VecDot, WinnowFps}
 
 /** Engine extensions installed through the public
   * `SparkSessionExtensions` hook (usable via
@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleGen.fromArgs(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_gen_range"),
+      new ExpressionInfo(classOf[ShingleGenRange].getName, "shingle_gen_range"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleGenRange.fromArgs(args)))
     // the sketch-algebra SQL surface (kmv_*/dd_*/cm_bucket/hash63) —
     // VERDICT r8 ask #4: the mergeable-summary family reachable from
     // pure SQL, not just the Scala API

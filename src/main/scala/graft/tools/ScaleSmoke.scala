@@ -21,7 +21,7 @@ import graft.operators.CmSketch
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
   *         spike planning selection temporal ordering bloom dpp
-  *         (default: all)
+  *         quality   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -124,6 +124,7 @@ object ScaleSmoke {
     if (stages("ordering")) orderingStage(spark, sfDir, mult, tmp, docs)
     if (stages("bloom")) bloomStage(spark, sfDir, mult, tmp)
     if (stages("dpp")) dppStage(spark, sfDir, mult, tmp)
+    if (stages("quality")) qualityStage(docs)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -1451,5 +1452,54 @@ object ScaleSmoke {
       f"files = ${bytesRead / 1048576}%,d of ${bytesTotal / 1048576}%,d MB " +
       f"(${100.0 * factRead / totalFiles}%.1f%%); walls: " +
       f"off $tOff%.2f s vs on $tOn%.2f s")
+  }
+
+  /** x83/x84's quality rules at mult copies. Claims measured: the
+    * map-only composite (x83) and the 9-way windowed-explode
+    * repetition suite (x84) stay linear in the corpus — the explode
+    * is rows ∝ 9·tokens and every shuffle keys doc-local grams, so
+    * nothing quadratic hides behind a toy fixture — and the pass
+    * counts scale exactly with the copy factor (the rules are
+    * per-doc, so copies decide identically).
+    */
+  private def qualityStage(docs: DataFrame): Unit = {
+    def x83Count(): Long = {
+      val base = docs
+        .select(col("doc_id"), graft.llm.TextFunctions.tokens(col("text")).as("w"))
+        .withColumn("wl", transform(col("w"), x => lower(x)))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("word_chars",
+          aggregate(col("w"), lit(0L), (a, x) => a + length(x)))
+        .withColumn("alpha_words",
+          size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long"))
+        .withColumn("stop_hits",
+          Seq("scan", "column", "window", "order", "sort", "part",
+            "agg", "value")
+            .map(t => array_contains(col("wl"), t).cast("long"))
+            .reduce(_ + _))
+        .filter(col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("word_chars") >= col("n_words") * 3L &&
+          col("word_chars") <= col("n_words") * 10L &&
+          col("alpha_words") * 10L >= col("n_words") * 8L &&
+          col("stop_hits") >= 2L)
+      base.count()
+    }
+    val (nPass83, t83cold) = timed("x83 composite (cold)") { x83Count() }
+    val (_, t83) = timed("x83 composite (steady)") { x83Count() }
+    // two timed runs: the 9-way explode's interpreted lambdas carry
+    // several seconds of one-time JIT on their first execution (the
+    // same first-run effect the bench's min-of-2 handles) — the
+    // steady-state number is the scaling claim
+    val (nPass84, t84cold) = timed("x84 repetition (cold)") {
+      graft.llm.Repetition.gopherRepetition(docs)
+        .filter(col("pass") === 1L).count()
+    }
+    val (_, t84) = timed("x84 repetition (steady)") {
+      graft.llm.Repetition.gopherRepetition(docs)
+        .filter(col("pass") === 1L).count()
+    }
+    println(f"  pass counts: composite $nPass83%,d, repetition $nPass84%,d " +
+      f"(per-doc rules: both scale exactly with the copy factor); steady " +
+      f"walls x83 $t83%.2f s ($t83cold%.2f cold), x84 $t84%.2f s ($t84cold%.2f cold)")
   }
 }

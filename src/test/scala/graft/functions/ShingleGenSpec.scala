@@ -63,6 +63,32 @@ class ShingleGenSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("shingle_gen_range(2,4) = union of shingle_gen per width, pos intact") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 100L).map { i =>
+      val len = rnd.nextInt(12)
+      (i, (0 until len).map(_ => "abc x "(rnd.nextInt(6))).mkString)
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sgr_docs")
+
+    val viaRange = spark.sql(
+      """SELECT doc_id, t.n, t.pos, t.shingle
+        |FROM sgr_docs LATERAL VIEW shingle_gen_range(text, 2, 4) t AS n, pos, shingle""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSeq.sorted
+
+    val viaPerWidth = (2 to 4).flatMap { w =>
+      spark.sql(
+        s"""SELECT doc_id, $w AS n, t.pos, t.shingle
+           |FROM sgr_docs LATERAL VIEW shingle_gen(text, $w) t AS pos, shingle""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    }.sorted
+
+    assert(viaRange.nonEmpty)
+    assert(viaRange === viaPerWidth)
+  }
+
   test("width must be a literal; strings only") {
     val s = spark; import s.implicits._
     Seq((1L, "a b")).toDF("doc_id", "text").createOrReplaceTempView("sg_docs2")
