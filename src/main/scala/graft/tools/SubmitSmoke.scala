@@ -56,11 +56,19 @@ object SubmitSmoke {
     // in-scope execution must broadcast driver-built stats to
     // separate executor JVMs; q69's zone-map probe reads a
     // driver-pruned multi-path file list on executor JVMs
+    // q70/q72 mount custom FileIndex relations (zone-map and bloom
+    // planning-time skipping) whose pruned listings feed executor-side
+    // scans; q73's DynamicPruningExpression subquery-broadcast must
+    // round-trip separate JVMs; q74's one-file-per-bucket sorted scan
+    // claims its on-disk order under the deploy path; x84 resolves
+    // the shingle_gen_range generator through BOTH extension paths
     for (name <- Seq("q01_tpch_q1", "q02_nation_revenue",
         "x04_token_stats", "x02_minhash_lsh", "q55_sketch_partial_merge",
         "q59_theta_partial_merge", "q61_sql_sketch_algebra",
         "q64_sql_ddsketch", "q68_sketch_broadcast_join",
-        "q69_zonemap_pruned_scan")) {
+        "q69_zonemap_pruned_scan", "q70_zonemap_planned_scan",
+        "q72_bloom_planned_scan", "q73_dpp_star_join",
+        "q74_bucket_sorted_join", "x84_gopher_repetition")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
