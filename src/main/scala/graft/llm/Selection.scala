@@ -44,11 +44,14 @@ object Selection {
                         buckets: Int = 4096,
                         textCol: String = "text"): Array[Long] = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // the native shingle_gen generator instead of the composed
+    // explode(wordShingles(...)) — same grams (ShingleGenSpec pins
+    // parity), one tokenize per row, no interpreted per-gram lambdas
     val rows = docs
       .select(targetPred.as("is_t"),
-        TF.wordShingles(TF.tokens(col(textCol)), 2).as("sh"))
-      .select(col("is_t"), explode(col("sh")).as("gram"))
-      .select(col("is_t"), pmod(TF.hash60(col("gram")), lit(buckets.toLong)).as("b"))
+        expr(s"shingle_gen($textCol, 2)"))
+      .select(col("is_t"),
+        pmod(TF.hash60(col("shingle")), lit(buckets.toLong)).as("b"))
       .groupBy("b")
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
         sum(when(!col("is_t"), 1L).otherwise(0L)).as("rc"))
