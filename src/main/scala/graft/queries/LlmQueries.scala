@@ -2010,7 +2010,46 @@ object LlmQueries {
     "x84_gopher_repetition" -> ((s, d) =>
       graft.llm.Repetition.gopherRepetition(
         Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
-          .select("doc_id", "text")))
+          .select("doc_id", "text"))),
+
+    // CCNET-STYLE PERPLEXITY SPLIT (Wenzek et al. 2020's head/middle/
+    // tail): score every doc with the corpus bigram LM (x61's
+    // integer-rational arithmetic, gram stream via the native
+    // shingle_gen generator) and cut each SOURCE into fluency
+    // tertiles — tier 0 = the third most fluent under the corpus LM
+    // (CCNet keeps "head", trains on head+middle, drops tail). Rank
+    // tie-break is (mean_p desc, doc_id), so the split is
+    // deterministic and the oracle replays it verbatim. Docs below
+    // two tokens have no bigrams and are unscorable — excluded, as
+    // CCNet drops undecidable docs. Scale shape: LM counts are two
+    // hash aggs broadcast back over the gram stream (vocabulary-
+    // sized); the tertile cut is ONE per-source ranked window — the
+    // same range-partitioned sort the training-order writer performs
+    // anyway (x33/x80's posture), and the only data-sized exchange
+    // after scoring.
+    "x85_perplexity_split" -> ((s, d) => {
+      val bi = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"), expr("shingle_gen(text, 2)"))
+        .select(col("doc_id"), col("source"), col("shingle").as("bg"),
+          substring_index(col("shingle"), " ", 1).as("w1"))
+        .localCheckpoint(true) // three consumers: c2, c1, the scoring join
+      val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val scored = bi.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+        .select(col("doc_id"), col("source"),
+          expr("(c2 * 1000000) DIV c1").as("p_e6"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nb"), sum("p_e6").as("ps"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(ps DIV nb AS BIGINT)").as("mean_p_e6"))
+      val counts = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+      scored.join(broadcast(counts), "source")
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("mean_p_e6").desc, col("doc_id"))).cast("long"))
+        .withColumn("tier", expr("CAST((3 * (rk - 1)) DIV n_src AS BIGINT)"))
+        .select("doc_id", "source", "mean_p_e6", "tier")
+        .orderBy("doc_id")
+    })
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3829,6 +3868,32 @@ object LlmQueries {
         |  FROM f)
         |SELECT *, CAST(r_top2 * r_top3 * r_top4 * r_dup5 * r_dup6 * r_dup7
         |               * r_dup8 * r_dup9 * r_dup10 AS BIGINT) AS pass
-        |FROM fl ORDER BY doc_id""".stripMargin
+        |FROM fl ORDER BY doc_id""".stripMargin,
+
+    // x85: x61's bigram-LM arithmetic verbatim, then the per-source
+    // deterministic tertile cut — rank over (mean_p desc, doc_id)
+    "x85_perplexity_split" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |b AS (SELECT doc_id, source,
+        |             unnest(list_transform(generate_series(1, len(tk) - 1),
+        |               i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        |      FROM t WHERE len(tk) >= 2),
+        |bb AS (SELECT doc_id, source, bg, string_split(bg, ' ')[1] AS w1 FROM b),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bb GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
+        |p AS (SELECT doc_id, source, (c2 * 1000000) // c1 AS p_e6
+        |      FROM bb JOIN c2 USING (bg) JOIN c1 USING (w1)),
+        |m AS (SELECT doc_id, source,
+        |             CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_p_e6
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY mean_p_e6 DESC, doc_id) AS rk,
+        |             count(*) OVER (PARTITION BY source) AS n_src
+        |      FROM m)
+        |SELECT doc_id, source, mean_p_e6,
+        |       CAST((3 * (rk - 1)) // n_src AS BIGINT) AS tier
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

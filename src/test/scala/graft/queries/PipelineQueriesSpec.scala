@@ -434,6 +434,28 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
     } finally df.unpersist()
   }
 
+  test("x85: tertiles are balanced per source and ordered by fluency") {
+    val df = q("x85_perplexity_split").cache()
+    try {
+      // within every source, tier sizes differ by at most 1 (the
+      // DIV-cut guarantee) and every scored doc has a tier in 0..2
+      val sizes = df.groupBy("source", "tier").count()
+        .groupBy("source")
+        .agg(max("count").as("mx"), min("count").as("mn"),
+          countDistinct("tier").as("nt"))
+        .filter(col("mx") - col("mn") > 1 || col("nt") =!= 3)
+        .count()
+      assert(sizes === 0, "unbalanced or missing tertiles")
+      // tier 0 (head) is the most fluent: its minimum LM score is >=
+      // tier 2's maximum within every source
+      val inverted = df.groupBy("source").agg(
+          min(when(col("tier") === 0, col("mean_p_e6"))).as("head_min"),
+          max(when(col("tier") === 2, col("mean_p_e6"))).as("tail_max"))
+        .filter(col("head_min") < col("tail_max")).count()
+      assert(inverted === 0, "head tier scored below tail tier")
+    } finally df.unpersist()
+  }
+
   test("x74: assignment fuses into the scan — no join, no ranking window") {
     val plan = executedPlan(q("x74_cluster_balanced_sample"))
     // the collected-literal coarse quantizer means NO join of any kind:
