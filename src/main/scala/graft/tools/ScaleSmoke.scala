@@ -1501,5 +1501,42 @@ object ScaleSmoke {
     println(f"  pass counts: composite $nPass83%,d, repetition $nPass84%,d " +
       f"(per-doc rules: both scale exactly with the copy factor); steady " +
       f"walls x83 $t83%.2f s ($t83cold%.2f cold), x84 $t84%.2f s ($t84cold%.2f cold)")
+
+    // x85's shape at scale: LM counts broadcast (vocabulary-sized),
+    // then ONE per-source ranked window — the only data-sized
+    // exchange after scoring; tier balance is the split's invariant
+    def x85Split(): (Long, Long) = {
+      val spark = docs.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val bi = docs
+        .withColumn("source", (col("doc_id") % 20).cast("string"))
+        .select(col("doc_id"), col("source"), expr("shingle_gen(text, 2)"))
+        .select(col("doc_id"), col("source"), col("shingle").as("bg"),
+          substring_index(col("shingle"), " ", 1).as("w1"))
+        .localCheckpoint(true)
+      val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val scored = bi.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+        .select(col("doc_id"), col("source"),
+          expr("(c2 * 1000000) DIV c1").as("p_e6"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nb"), sum("p_e6").as("ps"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(ps DIV nb AS BIGINT)").as("mean_p_e6"))
+      val counts = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val split = scored.join(broadcast(counts), "source")
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("mean_p_e6").desc, col("doc_id"))).cast("long"))
+        .withColumn("tier", expr("CAST((3 * (rk - 1)) DIV n_src AS BIGINT)"))
+        .localCheckpoint(true)
+      val skew = split.groupBy("source", "tier").count()
+        .groupBy("source").agg((max("count") - min("count")).as("d"))
+        .agg(max("d")).head().getLong(0)
+      (split.count(), skew)
+    }
+    val ((n85, skew85), t85cold) = timed("x85 perplexity split (cold)") { x85Split() }
+    val (_, t85) = timed("x85 perplexity split (steady)") { x85Split() }
+    println(f"  x85: $n85%,d docs split, max per-source tier imbalance " +
+      f"$skew85 (must be <= 1); steady $t85%.2f s ($t85cold%.2f cold)")
   }
 }
