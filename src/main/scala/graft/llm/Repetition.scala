@@ -81,7 +81,13 @@ object Repetition {
       .select(col("doc_id"), col("n"), col("top.cnt").as("cnt"),
         col("top.gchars").as("gchars"))
       .join(wcs, Seq("doc_id"))
-      .withColumn("frac", expr("CAST(cnt * gchars * 1000000 DIV wc AS BIGINT)"))
+      // greatest(wc, 1): a doc of ONLY separators tokenizes to >= 2
+      // empty tokens (split keeps empties by design), so grams exist
+      // while wc = 0 — the raw DIV would be a divide-by-zero (NULL in
+      // legacy mode, an error under ANSI). Such a gram's chars are the
+      // separators only (gchars = 0), so the guarded fraction is the
+      // honest 0 on both engines (ADVICE r10).
+      .withColumn("frac", expr("CAST(cnt * gchars * 1000000 DIV greatest(wc, 1L) AS BIGINT)"))
       .groupBy("doc_id").agg(
         coalesce(max(when(col("n") === 2, col("frac"))), lit(0L)).as("top2_e6"),
         TopThresholdsE6.keys.toSeq.sorted.drop(1).map(n =>
@@ -99,7 +105,9 @@ object Repetition {
       .join(toks, Seq("doc_id", "idx"))
       .groupBy("doc_id", "n").agg(sum("tl").as("cchars"))
       .join(wcs, Seq("doc_id"))
-      .withColumn("frac", expr("CAST(cchars * 1000000 DIV wc AS BIGINT)"))
+      // greatest: same zero-token-chars guard as the top-gram branch
+      // (cchars sums token lengths, so it is 0 whenever wc is)
+      .withColumn("frac", expr("CAST(cchars * 1000000 DIV greatest(wc, 1L) AS BIGINT)"))
       .groupBy("doc_id").agg(
         coalesce(max(when(col("n") === 5, col("frac"))), lit(0L)).as("dup5_e6"),
         DupThresholdsE6.keys.toSeq.sorted.drop(1).map(n =>

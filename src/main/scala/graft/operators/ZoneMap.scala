@@ -116,9 +116,13 @@ object ZoneMap {
       .collect().map(_.getString(0)).toSeq
   }
 
-  /** Total file count in the map (for skip-ratio reporting). */
+  /** Total file count in the map (for skip-ratio reporting).
+    * Distinct paths, not raw rows: at-least-once maintenance may have
+    * appended a file's (identical) stats row twice, and a duplicate
+    * would inflate the skip-ratio denominator (ADVICE r10).
+    */
   def fileCount(spark: SparkSession, zmPath: String): Long =
-    spark.read.parquet(zmPath).count()
+    spark.read.parquet(zmPath).select("file").distinct().count()
 
   /** The exact box predicate — re-applied after pruning because zone
     * intersection is necessary, not sufficient.

@@ -91,7 +91,12 @@ object SketchBroadcastRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
     path.flatMap { p =>
-      val bounds = preds.flatMap(boundOf(p, _))
+      // exprId check (ADVICE r10): the predicate's attribute must be
+      // the LEAF RELATION's own output, not merely name-equal — strip
+      // rewrote predicates through Project alias maps, so an alias of
+      // a different expression to the registered name either resolved
+      // to a non-attribute (no bound) or to the true underlying column
+      val bounds = preds.flatMap(boundOf(p, _, leaf.outputSet))
       if (bounds.isEmpty) None
       else {
         val (rows, st) = bounds.minBy(_._1)
@@ -106,17 +111,28 @@ object SketchBroadcastRule extends Rule[LogicalPlan] with PredicateHelper {
                     preds: List[Expression]): (LogicalPlan, List[Expression]) =
     p match {
       case Filter(c, child) => strip(child, splitConjunctivePredicates(c) ++: preds)
-      case Project(_, child) => strip(child, preds)
+      case proj @ Project(_, child) =>
+        // resolve aliases so a predicate on a RENAMED column reaches
+        // the leaf as the true underlying expression (ADVICE r10: a
+        // Project aliasing a DIFFERENT expression to the registered
+        // name must not borrow that column's distribution — after
+        // substitution such a predicate is no longer a bare attribute
+        // and boundOf yields no bound)
+        val aliases = getAliasMap(proj)
+        strip(child, preds.map(replaceAlias(_, aliases)))
       case other => (other, preds)
     }
 
   /** The row bound one predicate yields against `path`'s registered
-    * stats, with the registration it came from.
+    * stats, with the registration it came from. `leafOutput` is the
+    * leaf relation's output set: only an attribute the RELATION
+    * itself produces may borrow its registered distribution.
     */
-  private def boundOf(path: String,
-                      pred: Expression): Option[(Long, SketchStats.ColumnStats)] = {
+  private def boundOf(path: String, pred: Expression,
+                      leafOutput: org.apache.spark.sql.catalyst.expressions.AttributeSet): Option[(Long, SketchStats.ColumnStats)] = {
     def est(a: AttributeReference, lits: Seq[Literal]): Option[(Long, SketchStats.ColumnStats)] =
       for {
+        _ <- if (leafOutput.contains(a)) Some(()) else None
         st <- SketchStats.lookup(path, a.name)
         values <- traverse(lits.map(litString))
         rows <- SketchStats.estimateRows(path, a.name, values)

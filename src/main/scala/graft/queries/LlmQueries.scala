@@ -3819,7 +3819,8 @@ object LlmQueries {
         |c AS (SELECT doc_id, n, wc, g, count(*) AS cnt, list(pos) AS ps
         |      FROM g GROUP BY 1, 2, 3, 4),
         |top AS (SELECT doc_id, n,
-        |               CAST(cnt * (len(g) - (n - 1)) * 1000000 // wc AS BIGINT) AS frac
+        |               -- greatest: separator-only docs have grams but wc = 0
+        |               CAST(cnt * (len(g) - (n - 1)) * 1000000 // greatest(wc, 1) AS BIGINT) AS frac
         |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
         |                                           ORDER BY cnt DESC, g) AS rk
         |              FROM c WHERE n <= 4)
@@ -3829,7 +3830,7 @@ object LlmQueries {
         |             FROM (SELECT doc_id, n, unnest(ps) AS p FROM c
         |                   WHERE n >= 5 AND cnt >= 2))),
         |cov AS (SELECT doc_id, n,
-        |               CAST(sum(len(b.w[idx + 1])) * 1000000 // max(b.wc) AS BIGINT) AS frac
+        |               CAST(sum(len(b.w[idx + 1])) * 1000000 // greatest(max(b.wc), 1) AS BIGINT) AS frac
         |        FROM ci JOIN b USING (doc_id) GROUP BY 1, 2),
         |tops AS (SELECT doc_id,
         |    CAST(coalesce(max(CASE WHEN n = 2 THEN frac END), 0) AS BIGINT) AS top2_e6,

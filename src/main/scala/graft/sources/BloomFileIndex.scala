@@ -131,11 +131,25 @@ object BloomFileIndex {
     val sets = scala.collection.mutable.ArrayBuffer.empty[Seq[Literal]]
 
     // the indexed attribute, possibly under an analyzer-inserted
-    // integral widening cast; returns the attribute's own type
+    // integral WIDENING cast; returns the attribute's own type. A
+    // narrowing cast (cast(longCol AS INT) = 5) is NOT transparent:
+    // under non-ANSI semantics it matches column values by modular
+    // arithmetic, so narrowing the literal back and hashing it would
+    // wrongly prune the file holding x = 2^32 + 5 — the lossless
+    // check in `narrowed` guards the LITERAL, this guards the COLUMN
+    // (ADVICE r10).
+    def intWidth(dt: DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 4
+      case LongType => 8
+      case _ => 0 // non-integral: never transparent under a cast
+    }
     def attrType(e: Expression): Option[DataType] = e match {
       case a: Attribute if a.name == column => Some(a.dataType)
-      case Cast(a: Attribute, ByteType | ShortType | IntegerType | LongType, _, _)
-          if a.name == column => Some(a.dataType)
+      case Cast(a: Attribute, t @ (ByteType | ShortType | IntegerType | LongType), _, _)
+          if a.name == column && intWidth(a.dataType) > 0 &&
+            intWidth(t) >= intWidth(a.dataType) => Some(a.dataType)
       case _ => None
     }
 

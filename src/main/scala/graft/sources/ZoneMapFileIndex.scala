@@ -142,10 +142,24 @@ object ZoneMapFileIndex {
   private[sources] def extractBounds(filters: Seq[Expression],
                                      dims: Set[String]): Map[String, (Long, Long)] = {
     val one = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    // only WIDENING casts are transparent (the shape the analyzer
+    // inserts to reconcile literal types): a user-written NARROWING
+    // cast (cast(longCol AS INT) = 5) matches values by modular
+    // arithmetic under non-ANSI semantics, so testing the column's
+    // raw min/max against the literal would wrongly prune a file
+    // whose only matching rows wrap (x = 2^32 + 5) — ADVICE r10.
+    def intWidth(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 4
+      case LongType => 8
+      case _ => 0 // non-integral: never transparent under a cast
+    }
     def dimOf(e: Expression): Option[String] = e match {
       case a: Attribute if dims(a.name) => Some(a.name)
-      case Cast(a: Attribute, ByteType | ShortType | IntegerType | LongType, _, _)
-          if dims(a.name) => Some(a.name)
+      case Cast(a: Attribute, t @ (ByteType | ShortType | IntegerType | LongType), _, _)
+          if dims(a.name) && intWidth(a.dataType) > 0 &&
+            intWidth(t) >= intWidth(a.dataType) => Some(a.name)
       case _ => None
     }
     def litVal(l: Literal): Option[Long] = (l.value, l.dataType) match {

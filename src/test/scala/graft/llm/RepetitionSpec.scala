@@ -68,4 +68,16 @@ class RepetitionSpec extends AnyFunSuite with SparkTestSession {
     (5 to 10).foreach(n => assert(r.getAs[Long](s"dup$n" + "_e6") === 0L))
     assert(r.getAs[Long]("top2_e6") > 0L)
   }
+
+  test("a separator-only doc has zero token chars and zero fractions") {
+    // six spaces split to 7 EMPTY tokens (split keeps empties by
+    // design): grams exist in BOTH branches — the top 2-gram is a
+    // lone separator, and the empty 5-gram duplicates (cnt = 3) into
+    // the coverage join — while wc = 0, so an unguarded  x DIV wc
+    // divides by zero (ADVICE r10). The guarded fractions read the
+    // honest 0: the grams hold no token characters at all.
+    val r = run(1L -> "      ", 2L -> "real words here")(1L)
+    assert(r.getAs[Long]("top2_e6") === 0L)
+    (5 to 10).foreach(n => assert(r.getAs[Long](s"dup$n" + "_e6") === 0L))
+  }
 }

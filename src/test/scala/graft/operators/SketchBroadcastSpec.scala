@@ -110,4 +110,47 @@ class SketchBroadcastSpec extends AnyFunSuite with SparkTestSession {
     val (plan, _) = planAndRows()
     assert(plan.contains("SortMergeJoin"))
   }
+
+  test("an alias SHADOWING the registered name borrows no bound") {
+    // a Project that names a DIFFERENT column o_orderpriority: the CM
+    // bound describes the true priority column's distribution, so
+    // applying it to the status values would justify a broadcast with
+    // someone else's evidence (ADVICE r10). After alias resolution the
+    // predicate reaches the leaf as a status predicate — unregistered,
+    // no bound, the join must stay sort-merge.
+    try {
+      buildAndRegister()
+      val status = orders.select("o_orderstatus").head().getString(0)
+      val (plan, _) = SketchStats.withStaticBroadcastOff(spark) {
+        val dim = orders
+          .select(col("o_orderkey"), col("o_orderstatus").as("o_orderpriority"))
+          .filter(col("o_orderpriority") === status)
+        val df = lineitem.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        df.collect()
+        (df.queryExecution.executedPlan.toString, ())
+      }
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a shadowing alias must not borrow the registered bound; got:\n$plan")
+    } finally SketchStats.clear()
+  }
+
+  test("a plain RENAME of the registered column still carries its bound") {
+    // alias resolution is not just a veto: a predicate on an honest
+    // rename resolves to the true attribute and keeps its evidence
+    try {
+      buildAndRegister()
+      val (plan, _) = SketchStats.withStaticBroadcastOff(spark) {
+        val dim = orders
+          .select(col("o_orderkey"), col("o_orderpriority").as("prio"))
+          .filter(col("prio") === "1-URGENT")
+        val df = lineitem.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        df.collect()
+        (df.queryExecution.executedPlan.toString, ())
+      }
+      assert(plan.contains("BroadcastHashJoin"),
+        s"a rename must keep the registered bound; got:\n$plan")
+    } finally SketchStats.clear()
+  }
 }

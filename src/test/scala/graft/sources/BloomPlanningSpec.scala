@@ -127,4 +127,22 @@ class BloomPlanningSpec extends AnyFunSuite with SparkTestSession {
     assert(BloomFileIndex.extractKeySets(
       Seq(EqualTo(Symbol("other").int, Literal(5))), "id").isEmpty)
   }
+
+  test("a NARROWING cast on the column is never looked through") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    // user-written cast(longCol AS INT) = 5 matches column values by
+    // MODULAR arithmetic under non-ANSI semantics (x = 2^32 + 5 also
+    // satisfies it), so hashing int 5 against the long column's bloom
+    // would wrongly prune the file holding the wrapped value — the
+    // conjunct must contribute nothing (ADVICE r10)
+    val long = Symbol("id").long
+    assert(BloomFileIndex.extractKeySets(
+      Seq(EqualTo(Cast(long, IntegerType), Literal(5))), "id").isEmpty)
+    // a cast on a non-integral column is equally opaque
+    val str = Symbol("id").string
+    assert(BloomFileIndex.extractKeySets(
+      Seq(EqualTo(Cast(str, IntegerType), Literal(5))), "id").isEmpty)
+  }
 }

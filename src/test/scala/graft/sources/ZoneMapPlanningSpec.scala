@@ -100,4 +100,26 @@ class ZoneMapPlanningSpec extends AnyFunSuite with SparkTestSession {
     assert(bounds === Map("l_partkey" -> (12L, 40L)))
     assert(ZoneMapFileIndex.extractBounds(Seq(a.isNotNull), Set("l_partkey")).isEmpty)
   }
+
+  test("a NARROWING cast on the dim is never looked through") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Literal}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // cast(longCol AS INT) = 5 matches by MODULAR arithmetic under
+    // non-ANSI semantics (x = 2^32 + 5 also satisfies it), so testing
+    // the column's raw long min/max against 5 would wrongly prune the
+    // file holding the wrapped value — no bound (ADVICE r10)
+    val long = Symbol("l_partkey").long
+    assert(ZoneMapFileIndex.extractBounds(
+      Seq(EqualTo(Cast(long, IntegerType), Literal(5))), Set("l_partkey")).isEmpty)
+    // widening casts (the analyzer's own shape) still contribute
+    val int = Symbol("l_partkey").int
+    assert(ZoneMapFileIndex.extractBounds(
+      Seq(EqualTo(Cast(int, LongType), Literal(5L))), Set("l_partkey")) ===
+      Map("l_partkey" -> (5L, 5L)))
+    // a cast on a non-integral column is equally opaque
+    val str = Symbol("l_partkey").string
+    assert(ZoneMapFileIndex.extractBounds(
+      Seq(EqualTo(Cast(str, IntegerType), Literal(5))), Set("l_partkey")).isEmpty)
+  }
 }
