@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE lifecycle every persisted index in this engine speaks —
+  * create / append / compact / probe(content) / staleness-check
+  * (VERDICT r10 ask #6). Four index families grew these verbs
+  * independently ([[graft.llm.DedupIndex]] fingerprints,
+  * [[SketchIndex]] monthly KMV sketches, [[ZoneMap]] min/max stats,
+  * [[FileBloom]] per-file filters), and the gaps that slipped in —
+  * st23's missing compaction in round 9, the rewrite-staleness hole
+  * in round 10 — were each a verb one family had and another lacked.
+  * The trait makes the contract structural: a new index kind
+  * implements five verbs or does not compile, and ONE shared spec
+  * (PersistedIndexSpec) exercises every implementation through the
+  * same create → append → compact → probe → rewrite-detection story.
+  *
+  * The underlying objects keep their full, index-specific APIs (and
+  * their own specs, unchanged); the adapters below delegate — no
+  * behavior change, hashes identical.
+  */
+trait PersistedIndex {
+
+  /** (Re)build the index from the base table. */
+  def create(spark: SparkSession): Unit
+
+  /** Fold just-landed base files in — the streaming-maintenance verb
+    * (a foreachBatch loop passes the files its batch landed).
+    */
+  def append(spark: SparkSession, files: Seq[String]): Unit
+
+  /** Fold accumulated increments into the read-optimized layout.
+    * Append-only maintenance accumulates files = micro-batches; this
+    * restores the compact layout without changing any probe answer.
+    */
+  def compact(spark: SparkSession): Unit
+
+  /** The index's current content — the relation probes read. Schema
+    * is index-specific; the contract is that it reflects every
+    * create/append so far, whatever the compaction history.
+    */
+  def content(spark: SparkSession): DataFrame
+
+  /** The staleness check: recorded base files whose live (length,
+    * mtime) fingerprint no longer matches what the index described —
+    * rewritten in place or deleted. The skipping indexes additionally
+    * demote such files to "always scan" inside their own probe paths;
+    * for contribution indexes (sketches, fingerprints) this signal is
+    * what tells maintenance to re-derive those files' contributions.
+    */
+  def staleFiles(spark: SparkSession): Seq[String]
+}
+
+/** Base-file provenance for CONTRIBUTION indexes (sketches, dedup
+  * fingerprints), whose stats rows are keyed by month or document —
+  * not by file — so the (length, mtime) fingerprint cannot ride the
+  * stats rows the way [[ZoneMap]]/[[FileBloom]] carry it. A tiny
+  * sidecar parquet records each consumed base file's fingerprint at
+  * create/append time; [[Provenance.staleFiles]] diffs it against the
+  * live listing. Driver-sized: one row per base file ever consumed,
+  * the same scale as the listing every scan planner holds.
+  */
+object Provenance {
+
+  /** Append the files' current fingerprints to the sidecar. */
+  def record(spark: SparkSession, provPath: String,
+             files: Seq[String]): Unit =
+    if (files.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rows = files.map { f =>
+        val p = new Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        (p.toString, st.getLen, st.getModificationTime)
+      }
+      spark.createDataFrame(rows).toDF("file", "flen", "fmtime")
+        .coalesce(1).write.mode("append").parquet(provPath)
+    }
+
+  /** Recorded files whose live fingerprint no longer matches any
+    * recorded version — rewritten in place or deleted.
+    */
+  def staleFiles(spark: SparkSession, tablePath: String,
+                 provPath: String): Seq[String] =
+    IndexStat.staleOf(
+      spark.read.parquet(provPath).select("file", "flen", "fmtime").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+      IndexStat.liveStatus(spark, tablePath))
+
+  /** Fold the sidecar's accumulated per-append files into one. */
+  def compact(spark: SparkSession, provPath: String): Unit =
+    spark.read.parquet(provPath).localCheckpoint(true)
+      .dropDuplicates("file", "flen", "fmtime")
+      .repartition(1).write.mode("overwrite").parquet(provPath)
+}
+
+/** [[ZoneMap]] as a [[PersistedIndex]]. */
+final case class ZoneMapIndex(tablePath: String, dims: Seq[String],
+                              zmPath: String) extends PersistedIndex {
+  override def create(spark: SparkSession): Unit =
+    ZoneMap.build(spark, tablePath, dims, zmPath)
+  override def append(spark: SparkSession, files: Seq[String]): Unit =
+    ZoneMap.appendStats(spark, files, dims, zmPath)
+  override def compact(spark: SparkSession): Unit =
+    ZoneMap.compactStats(spark, zmPath)
+  override def content(spark: SparkSession): DataFrame =
+    spark.read.parquet(zmPath)
+  override def staleFiles(spark: SparkSession): Seq[String] =
+    ZoneMap.staleFiles(spark, tablePath, zmPath)
+}
+
+/** [[FileBloom]] as a [[PersistedIndex]]. */
+final case class BloomIndex(tablePath: String, column: String,
+                            bloomPath: String, m: Int = 8192, k: Int = 4)
+    extends PersistedIndex {
+  override def create(spark: SparkSession): Unit =
+    FileBloom.build(spark, tablePath, column, bloomPath, m, k)
+  override def append(spark: SparkSession, files: Seq[String]): Unit =
+    FileBloom.appendStats(spark, files, column, bloomPath, m, k)
+  override def compact(spark: SparkSession): Unit =
+    FileBloom.compactStats(spark, bloomPath)
+  override def content(spark: SparkSession): DataFrame =
+    spark.read.parquet(bloomPath)
+  override def staleFiles(spark: SparkSession): Seq[String] =
+    FileBloom.staleFiles(spark, tablePath, bloomPath)
+}
+
+/** [[SketchIndex]] (monthly KMV sketches) as a [[PersistedIndex]].
+  * Sketch rows are keyed by MONTH, not file, so staleness rides the
+  * [[Provenance]] sidecar at `<dir>_prov`; a stale file means "this
+  * file's keys are folded into sketches that no longer describe it —
+  * rebuild the affected months".
+  */
+final case class MonthlySketchIndex(tablePath: String, monthCol: String,
+                                    keyCol: String, dir: String, k: Int)
+    extends PersistedIndex {
+  private def provPath = dir + "_prov"
+  override def create(spark: SparkSession): Unit = {
+    SketchIndex.writeMonthly(
+      spark.read.parquet(tablePath), monthCol, keyCol, dir, k)
+    Provenance.record(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
+  }
+  override def append(spark: SparkSession, files: Seq[String]): Unit =
+    if (files.nonEmpty) {
+      SketchIndex.appendStaged(
+        spark.read.parquet(files: _*), monthCol, keyCol, dir, k)
+      Provenance.record(spark, provPath, files)
+    }
+  override def compact(spark: SparkSession): Unit = {
+    SketchIndex.compact(spark, dir, k, monthCol)
+    Provenance.compact(spark, provPath)
+  }
+  override def content(spark: SparkSession): DataFrame =
+    SketchIndex.read(spark, dir, monthCol)
+  override def staleFiles(spark: SparkSession): Seq[String] =
+    Provenance.staleFiles(spark, tablePath, provPath)
+}
+
+/** [[graft.llm.DedupIndex]] (bucketed minhash fingerprints) as a
+  * [[PersistedIndex]]. Fingerprint rows are keyed by document, so
+  * staleness rides the [[Provenance]] sidecar; compaction rewrites
+  * into a new GENERATION table (file tables cannot rewrite in place)
+  * and flips the adapter's probe to it — the snapshot-swap discipline
+  * DedupIndex.compact documents, driven through the shared verb.
+  */
+final case class MinhashDedupIndex(tablePath: String, textCol: String,
+                                   idCol: String, table: String,
+                                   path: String, buckets: Int = 8)
+    extends PersistedIndex {
+  private def provPath = path + "_prov"
+  @volatile private var generation = 0
+  private def currentTable: String =
+    if (generation == 0) table else s"${table}_g$generation"
+  override def create(spark: SparkSession): Unit = {
+    graft.llm.DedupIndex.create(
+      spark.read.parquet(tablePath), textCol, idCol, table, path, buckets)
+    generation = 0
+    Provenance.record(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
+  }
+  override def append(spark: SparkSession, files: Seq[String]): Unit =
+    if (files.nonEmpty) {
+      graft.llm.DedupIndex.append(
+        spark, spark.read.parquet(files: _*), textCol, idCol, currentTable)
+      Provenance.record(spark, provPath, files)
+    }
+  override def compact(spark: SparkSession): Unit = {
+    val next = generation + 1
+    // tombstone-free compaction: fold the accumulated per-append
+    // files into a fresh bucketed layout. The empty tombstone frame
+    // borrows the live table's own id column, so its type always
+    // matches whatever idCol is.
+    graft.llm.DedupIndex.compact(spark, currentTable,
+      s"${table}_g$next", s"${path}_g$next",
+      tombstones = spark.table(currentTable).select(col(idCol)).limit(0),
+      idCol)
+    generation = next
+    Provenance.compact(spark, provPath)
+  }
+  override def content(spark: SparkSession): DataFrame =
+    spark.table(currentTable)
+  override def staleFiles(spark: SparkSession): Seq[String] =
+    Provenance.staleFiles(spark, tablePath, provPath)
+}

@@ -49,19 +49,27 @@ final class ZoneMapFileIndex(spark: SparkSession, tablePath: String,
   private val base =
     new InMemoryFileIndex(spark, Seq(new Path(tablePath)), Map.empty, None)
 
-  /** path-part → dim → (min, max); None stats = all-null file. */
-  private val zones: Map[String, Map[String, Option[(Long, Long)]]] = {
+  /** (path-part, (length, mtime)) → dim → (min, max); None stats =
+    * all-null file. The key carries the described file's fingerprint:
+    * a stats row is trusted only against the file as it exists in the
+    * LIVE listing — a file rewritten in place under the same name no
+    * longer matches any key and demotes to "unknown → always scan"
+    * (VERDICT r10 ask #2). Rows written across rewrites coexist under
+    * distinct fingerprints; at most one can match the live file.
+    */
+  private val zones: Map[(String, (Long, Long)), Map[String, Option[(Long, Long)]]] = {
     val df = spark.read.parquet(zmPath)
     val cols = df.columns
     df.collect().map { r =>
       val file = new Path(r.getAs[String]("file")).toUri.getPath
+      val fp = (r.getAs[Long]("flen"), r.getAs[Long]("fmtime"))
       val byDim = dims.iterator.flatMap { d =>
         val (mi, ma) = (cols.indexOf(s"min_$d"), cols.indexOf(s"max_$d"))
         if (mi < 0 || ma < 0) None
         else if (r.isNullAt(mi) || r.isNullAt(ma)) Some(d -> None)
         else Some(d -> Some((r.getLong(mi), r.getLong(ma))))
       }.toMap
-      file -> byDim
+      (file, fp) -> byDim
     }.toMap
   }
 
@@ -87,16 +95,18 @@ final class ZoneMapFileIndex(spark: SparkSession, tablePath: String,
       if (bounds.isEmpty) listed
       else listed.map { pd =>
         pd.copy(files = pd.files.filter(f =>
-          survives(f.getPath.toUri.getPath, bounds)))
+          survives(f.getPath.toUri.getPath,
+            (f.getLen, f.getModificationTime), bounds)))
       }
     lastSkipCounts = Some((pruned.map(_.files.size).sum,
       listed.map(_.files.size).sum))
     pruned
   }
 
-  private def survives(path: String, bounds: Map[String, (Long, Long)]): Boolean =
-    zones.get(path) match {
-      case None => true // no stats row: never prune what we can't prove
+  private def survives(path: String, fingerprint: (Long, Long),
+                       bounds: Map[String, (Long, Long)]): Boolean =
+    zones.get((path, fingerprint)) match {
+      case None => true // no FRESH stats row (unknown or rewritten): scan
       case Some(z) => bounds.forall { case (d, (lo, hi)) =>
         z.get(d) match {
           case None => true             // dim absent from the map

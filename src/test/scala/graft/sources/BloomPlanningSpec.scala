@@ -128,6 +128,20 @@ class BloomPlanningSpec extends AnyFunSuite with SparkTestSession {
       Seq(EqualTo(Symbol("other").int, Literal(5))), "id").isEmpty)
   }
 
+  test("only (file, flen, fmtime) rows cross the driver boundary") {
+    // the probe is a Spark job over the index parquet; what the
+    // FileIndex collects is its output — names and two longs, never
+    // the per-file bitsets (VERDICT r10 ask #1: 100k files × 32 KB
+    // filters must not become 3.2 GB of driver residency)
+    val (_, bm) = layout
+    val pos = Seq(Seq(FileBloom.positionsOf(lit(1234), 8192, 4)))
+    val job = BloomFileIndex.pruneJob(spark, bm, pos)
+    assert(job.columns.toSeq === Seq("file", "flen", "fmtime"))
+    assert(!job.schema.fields.exists(_.dataType.typeName.contains("array")),
+      s"bitset column leaked into the driver collect: ${job.schema}")
+    assert(job.count() < 16, "the probe key's own file must not be prunable")
+  }
+
   test("a NARROWING cast on the column is never looked through") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Literal}
