@@ -36,7 +36,11 @@ object Bench {
     * fast path then REPORTED that draw. Pinning re-draws until Iters
     * samples exist, so the reported min is a plan cost, not a burst.
     */
-  private val PinnedIters = Set("x26_simhash_neardup")
+  private val PinnedIters = Set("x26_simhash_neardup",
+    // x71 regressed 0.50→0.77 in r10's single-sample branch — the same
+    // straddle-the-gate shape as x26 (VERDICT r10 ask #4): re-draw to
+    // Iters samples so the reported min is a plan cost, not one burst
+    "x71_source_overlap_sketch")
   private val BudgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
 
   /** Queries above this first-run cost get a contention check: a fixed

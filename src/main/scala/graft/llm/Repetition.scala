@@ -60,8 +60,21 @@ object Repetition {
     val grams = docs
       .select(col("doc_id"), expr("shingle_gen_range(text, 2, 10)"))
       .toDF("doc_id", "n", "pos", "g")
-    val counted = grams.groupBy("doc_id", "n", "g")
+    // the count agg keys on xxhash64(g), NOT the gram string (VERDICT
+    // r10 ask #3): widths 5..10 are the longest grams and most of the
+    // stream's string bytes, and downstream they need only counts and
+    // positions — so their strings never enter the aggregation state
+    // or the shuffle. Only the n<=4 top-gram branch needs the string
+    // (deterministic tie-break + char count); it rides as a min()
+    // payload, null for n>=5. Collision bound: grouping includes
+    // doc_id, so a collision needs two distinct grams of the same
+    // width IN ONE DOC at the same 64-bit hash — ~g_d²/2^65 per doc,
+    // ~4e-12 at g_d = 10^4 grams/doc, ~4e-3 expected collisions
+    // corpus-wide at 10^9 docs.
+    val counted = grams
+      .groupBy(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("cnt"),
+        min(when(col("n") <= 4, col("g"))).as("g"),
         // positions feed ONLY the n>=5 coverage branch; collect_list
         // skips nulls, so the top-gram n's carry empty buffers
         collect_list(when(col("n") >= 5, col("pos"))).as("ps"))
