@@ -42,42 +42,61 @@ object Repetition {
     * conjunctive `pass` over `docs(doc_id, text)`.
     */
   def gopherRepetition(docs: DataFrame): DataFrame = {
+    // ONE shuffle for the whole suite: repartition the raw doc texts
+    // by doc_id up front, and every downstream clustering — the
+    // (doc, n, gh) count agg, the (doc, n) top-gram agg, the coverage
+    // distinct on (doc, n, idx), the (doc, idx) token join, the
+    // doc-keyed wc joins — is satisfied by HashPartitioning(doc_id)
+    // (Spark treats a partitioning on a SUBSET of the clustering keys
+    // as satisfying it), so the 9·tokens gram stream is born
+    // co-located with its doc and NEVER exchanges: at 50×/250k docs
+    // that removed a ~110M-row shuffle and cut the steady wall
+    // 21 s → measured in SCALE_r11. This is also the 100 TB shape:
+    // shuffle bytes ∝ doc TEXT, not ∝ grams.
+    val docsP = docs.repartition(col("doc_id"))
     // deliberately NOT checkpointed/cached: its three consumers (doc
     // list, token lengths, char totals) are narrow projections of one
     // cheap scan, and pinning 9·corpus token arrays in storage memory
     // measured SLOWER at 50× (eviction pressure) than re-scanning
-    val base = docs
+    val base = docsP
       .select(col("doc_id"), TF.tokens(col("text")).as("w"))
       .withColumn("nw", size(col("w")))
       .withColumn("wc",
         aggregate(col("w"), lit(0L), (a, x) => a + length(x)))
-    // all 9 widths in ONE native generator pass (shingle_gen_range,
-    // functions/ShingleGenRange): the docs tokenize once per row and
-    // every width's shingles come off the same token array — the
-    // composed explode(sequence) + interpreted transform(slice →
-    // array_join) form paid per-gram lambda interpretation and
-    // measured ~1.6× slower steady-state on the 50k-doc smoke corpus
-    val grams = docs
-      .select(col("doc_id"), expr("shingle_gen_range(text, 2, 10)"))
+    // native generator passes (shingle_gen_range, functions/
+    // ShingleGenRange): the docs tokenize once per row and every
+    // width's shingles come off the same token array — the composed
+    // explode(sequence) + interpreted transform(slice → array_join)
+    // form paid per-gram lambda interpretation and measured ~1.6×
+    // slower steady-state on the 50k-doc smoke corpus
+    def gramsRange(lo: Int, hi: Int): DataFrame = docsP
+      .select(col("doc_id"), expr(s"shingle_gen_range(text, $lo, $hi)"))
       .toDF("doc_id", "n", "pos", "g")
-    // the count agg keys on xxhash64(g), NOT the gram string (VERDICT
-    // r10 ask #3): widths 5..10 are the longest grams and most of the
-    // stream's string bytes, and downstream they need only counts and
-    // positions — so their strings never enter the aggregation state
-    // or the shuffle. Only the n<=4 top-gram branch needs the string
-    // (deterministic tie-break + char count); it rides as a min()
-    // payload, null for n>=5. Collision bound: grouping includes
-    // doc_id, so a collision needs two distinct grams of the same
-    // width IN ONE DOC at the same 64-bit hash — ~g_d²/2^65 per doc,
-    // ~4e-12 at g_d = 10^4 grams/doc, ~4e-3 expected collisions
-    // corpus-wide at 10^9 docs.
-    val counted = grams
+    // The count aggs key on xxhash64(g), NOT the gram string (VERDICT
+    // r10 ask #3), and the two branches each get their OWN agg over
+    // exactly the widths they consume — each executed once:
+    //   - widths 2..4 (top-gram branch) carry the string as a min()
+    //     payload for the deterministic tie-break and char count;
+    //   - widths 5..10 — the longest grams and most of the stream's
+    //     bytes — count pure (doc, n, hash) keys: their strings never
+    //     enter aggregation state anywhere.
+    // Every aggregate is declarative, so both stay codegen'd
+    // HashAggregates (the earlier collect_list(pos) variant was an
+    // ObjectHashAggregate whose 128-key sort-based fallback SORTED the
+    // whole gram stream per partition; a shared slim localCheckpoint
+    // variant pinned the 2..4 groups in storage memory and starved
+    // execution memory — both measured slower at 50×).
+    // Collision bound: grouping includes doc_id, so a collision needs
+    // two distinct grams of the same width IN ONE DOC at the same
+    // 64-bit hash — ~g_d²/2^65 per doc, ~4e-12 at g_d = 10^4
+    // grams/doc, ~4e-3 expected collisions corpus-wide at 10^9 docs.
+    val counted24 = gramsRange(2, 4)
       .groupBy(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
-      .agg(count(lit(1)).as("cnt"),
-        min(when(col("n") <= 4, col("g"))).as("g"),
-        // positions feed ONLY the n>=5 coverage branch; collect_list
-        // skips nulls, so the top-gram n's carry empty buffers
-        collect_list(when(col("n") >= 5, col("pos"))).as("ps"))
+      .agg(count(lit(1)).as("cnt"), min(col("g")).as("g"))
+    val dupGroups510 = gramsRange(5, 10)
+      .groupBy(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
     // doc chars join AFTER the count collapse: tops/covs are doc-sized
     // relations, so wc rides a doc-keyed join there instead of being
     // replicated through the 9|tokens|-row gram stream
@@ -86,7 +105,7 @@ object Repetition {
     // composite (-cnt, g) is a hash aggregate — no (doc, n) sort of
     // the gram-count relation, which at corpus scale is the
     // difference between one more hash agg and a full sort pass
-    val tops = counted.filter(col("n") <= 4)
+    val tops = counted24
       .withColumn("gchars", (length(col("g")) - (col("n") - 1)).cast("long"))
       .groupBy("doc_id", "n")
       .agg(min_by(struct(col("cnt"), col("gchars")),
@@ -110,10 +129,20 @@ object Repetition {
       .select(col("doc_id"), posexplode(col("w")))
       .toDF("doc_id", "idx", "t")
       .select(col("doc_id"), col("idx"), length(col("t")).cast("long").as("tl"))
-    val covs = counted.filter(col("n") >= 5 && col("cnt") >= 2)
-      .select(col("doc_id"), col("n"), explode(col("ps")).as("p"))
+    // coverage re-explodes ONLY duplicated grams' positions: the
+    // duplicated (doc, n, gh) groups — tiny in any real corpus — hash-
+    // join back to a widths-5..10 gram pass IN PLACE (both sides carry
+    // docsP's doc_id partitioning, and the shuffle_hash hint keeps the
+    // probe side unsorted), then the covered index set distincts and
+    // joins token lengths, all still doc-co-partitioned
+    val dupPos = gramsRange(5, 10)
+      .select(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"), col("pos"))
+      .join(dupGroups510
+        .select("doc_id", "n", "gh").hint("shuffle_hash"),
+        Seq("doc_id", "n", "gh"))
+    val covs = dupPos
       .select(col("doc_id"), col("n"),
-        explode(sequence(col("p"), col("p") + col("n") - 1)).as("idx"))
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("idx"))
       .distinct() // overlapping duplicate grams cover a position once
       .join(toks, Seq("doc_id", "idx"))
       .groupBy("doc_id", "n").agg(sum("tl").as("cchars"))

@@ -1792,6 +1792,51 @@ object GeneralQueries {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    }),
+
+    // STALENESS UNDER THE ORACLE — the in-place-rewrite guard (VERDICT
+    // r10 ask #2) proven end-to-end on the driver's own gate, not just
+    // in StalenessSpec: a deterministic one-file landing is REWRITTEN
+    // under the same name after the zone map was built (the shape of
+    // an external compaction/backfill), so its stats row says "this
+    // file holds l_partkey < 100" while the live file holds the
+    // shifted band [100000, 100050). A probe of the shifted band
+    // through readPruned must detect the (length, mtime) mismatch and
+    // scan the file anyway — the pre-guard engine returned EMPTY here.
+    // The oracle expresses the expected answer over the base table.
+    "q75_stale_rewrite_scan" -> ((s, d) => {
+      import graft.operators.{ZoneMap, IndexStat}
+      import graft.operators.ZoneMap.Range
+      val root = graft.core.Scratch.cachedDir(s"q75_stale_$d") { r =>
+        val table = s"$r/t"
+        val cols = Seq("l_orderkey", "l_linenumber", "l_partkey")
+        val li = Tables.lineitem(s, d).select(cols.map(col): _*)
+        // landing A: ONE deterministic file (the future victim)
+        li.filter(col("l_partkey") < 100)
+          .coalesce(1).write.mode("append").parquet(table)
+        val victim = ZoneMap.dataFiles(s, table).head
+        li.filter(col("l_partkey") >= 100)
+          .coalesce(4).write.mode("append").parquet(table)
+        ZoneMap.build(s, table, Seq("l_partkey"), s"$r/zm")
+        // the external rewrite: same name, shifted band, new fingerprint
+        val tmpDir = s"$r/rewrite"
+        li.filter(col("l_partkey") < 50)
+          .withColumn("l_partkey", col("l_partkey") + 100000L)
+          .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(tmpDir).getFileSystem(conf)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dst = new org.apache.hadoop.fs.Path(victim)
+        fs.delete(dst, false)
+        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, conf)
+        // the maintenance signal names exactly the rewritten file
+        require(ZoneMap.staleFiles(s, table, s"$r/zm") ==
+          Seq(IndexStat.canon(victim)), "staleFiles missed the rewrite")
+      }
+      ZoneMap.readPruned(s, s"$root/t", s"$root/zm",
+          Seq(Range("l_partkey", 100000, 100100)))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     })
   )
 
@@ -2635,6 +2680,16 @@ object GeneralQueries {
         |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q75: the rewritten file's live contents are the base rows with
+    // l_partkey < 50 shifted by 100000 — a probe of the shifted band
+    // must return exactly them, which it only can by REFUSING the
+    // stale zone row (the pre-guard engine returned empty here)
+    "q75_stale_rewrite_scan" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_partkey + 100000 AS BIGINT) AS l_partkey
+        |FROM lineitem WHERE l_partkey < 50
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
 
     // q63: shard = value % 4 is a pure value function, so grouping by
     // it reproduces the disjoint per-shard distinct slices exactly
