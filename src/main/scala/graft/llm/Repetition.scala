@@ -42,17 +42,18 @@ object Repetition {
     * conjunctive `pass` over `docs(doc_id, text)`.
     */
   def gopherRepetition(docs: DataFrame): DataFrame = {
-    // ONE shuffle for the whole suite: repartition the raw doc texts
-    // by doc_id up front, and every downstream clustering — the
-    // (doc, n, gh) count agg, the (doc, n) top-gram agg, the coverage
-    // distinct on (doc, n, idx), the (doc, idx) token join, the
-    // doc-keyed wc joins — is satisfied by HashPartitioning(doc_id)
-    // (Spark treats a partitioning on a SUBSET of the clustering keys
-    // as satisfying it), so the 9·tokens gram stream is born
-    // co-located with its doc and NEVER exchanges: at 50×/250k docs
-    // that removed a ~110M-row shuffle and cut the steady wall
-    // 21 s → measured in SCALE_r11. This is also the 100 TB shape:
-    // shuffle bytes ∝ doc TEXT, not ∝ grams.
+    // Repartition the raw doc TEXTS by doc_id up front: an
+    // AGGREGATION's ClusteredDistribution is satisfied by a
+    // partitioning on a SUBSET of its grouping keys, so both width-
+    // sliced (doc, n, gh) count aggs and the (doc, n) top-gram agg
+    // run with NO exchange — the gram stream is born co-located with
+    // its doc and its aggregation state never shuffles. (Joins are
+    // stricter: requireAllClusterKeysForCoPartition defaults true, so
+    // the coverage join/distinct below still exchange — but those
+    // rows are compact (doc, n, hash, pos) tuples from the DUPLICATED
+    // slice, never gram strings.) 100 TB shape: shuffled bytes are
+    // doc text plus hash tuples, not 9·tokens gram strings; 50× wall
+    // 25.5 → 14.6 s measured in SCALE_r11.
     val docsP = docs.repartition(col("doc_id"))
     // deliberately NOT checkpointed/cached: its three consumers (doc
     // list, token lengths, char totals) are narrow projections of one
@@ -80,12 +81,16 @@ object Repetition {
     //   - widths 5..10 — the longest grams and most of the stream's
     //     bytes — count pure (doc, n, hash) keys: their strings never
     //     enter aggregation state anywhere.
-    // Every aggregate is declarative, so both stay codegen'd
-    // HashAggregates (the earlier collect_list(pos) variant was an
-    // ObjectHashAggregate whose 128-key sort-based fallback SORTED the
-    // whole gram stream per partition; a shared slim localCheckpoint
+    // Every aggregate is declarative: the 5..10 agg is a codegen'd
+    // HashAggregate (fixed-width count buffer); the 2..4 agg's min(g)
+    // string buffer plans as a SortAggregate, which measured FASTER
+    // (10.4 s vs 14.3 s isolated at 50×) than keying the agg on the
+    // gram string to keep a HashAggregate — short-gram sorting beats
+    // long-string hashing. The earlier collect_list(pos) variant was
+    // an ObjectHashAggregate whose 128-key sort-based fallback SORTED
+    // the whole 9-width gram stream; a shared slim localCheckpoint
     // variant pinned the 2..4 groups in storage memory and starved
-    // execution memory — both measured slower at 50×).
+    // execution memory — both measured slower at 50×.
     // Collision bound: grouping includes doc_id, so a collision needs
     // two distinct grams of the same width IN ONE DOC at the same
     // 64-bit hash — ~g_d²/2^65 per doc, ~4e-12 at g_d = 10^4
@@ -130,11 +135,12 @@ object Repetition {
       .toDF("doc_id", "idx", "t")
       .select(col("doc_id"), col("idx"), length(col("t")).cast("long").as("tl"))
     // coverage re-explodes ONLY duplicated grams' positions: the
-    // duplicated (doc, n, gh) groups — tiny in any real corpus — hash-
-    // join back to a widths-5..10 gram pass IN PLACE (both sides carry
-    // docsP's doc_id partitioning, and the shuffle_hash hint keeps the
-    // probe side unsorted), then the covered index set distincts and
-    // joins token lengths, all still doc-co-partitioned
+    // duplicated (doc, n, gh) groups — tiny in any real corpus —
+    // hash-join back to a widths-5..10 gram pass. The join's exchange
+    // carries compact (doc, n, hash, pos) tuples (the strings never
+    // shuffle), and the shuffle_hash hint keeps the probe side
+    // UNSORTED — an SMJ here would sort the whole 5..10 gram stream
+    // to meet a tiny build side.
     val dupPos = gramsRange(5, 10)
       .select(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"), col("pos"))
       .join(dupGroups510

@@ -65,20 +65,41 @@ final class BloomFileIndex(spark: SparkSession, tablePath: String,
   /** Per-filter-set cache of the PRUNABLE map: canonical path →
     * fingerprints of the index rows proving absence. AQE re-lists the
     * same scan several times while re-planning; the probe job runs
-    * once per distinct position-set. Bounded by (distinct filter sets
-    * per index instance) × (prunable file names) — names and two
-    * longs, never bitsets.
+    * once per distinct position-set. Entries are file names and two
+    * longs — never bitsets — and the cache is BOUNDED: a long-lived
+    * index instance probed with ever-changing literals (a lookup
+    * service) must not accumulate one prunable list per key ever
+    * seen, so insertion past [[BloomFileIndex.PruneCacheMax]] evicts
+    * in insertion order (the access pattern is "same filter set
+    * re-listed a few times in quick succession by one query", which
+    * FIFO serves as well as LRU without a lock on reads).
     */
   private val pruneCache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[Seq[Seq[Int]]], Map[String, Set[(Long, Long)]]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Seq[Seq[Seq[Int]]], Map[String, Set[(Long, Long)]]]() {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Seq[Seq[Seq[Int]]], Map[String, Set[(Long, Long)]]]): Boolean =
+          size() > BloomFileIndex.PruneCacheMax
+      })
 
-  private def prunable(posSets: Seq[Seq[Seq[Int]]]): Map[String, Set[(Long, Long)]] =
-    pruneCache.computeIfAbsent(posSets, ps =>
-      BloomFileIndex.pruneJob(spark, bloomPath, ps).collect()
+  private[sources] def pruneCacheSize: Int = pruneCache.size()
+
+  // the probe job runs OUTSIDE any lock (a Spark job must never run
+  // under a monitor other threads contend); a concurrent duplicate
+  // computation of the same filter set is idempotent and harmless
+  private def prunable(posSets: Seq[Seq[Seq[Int]]]): Map[String, Set[(Long, Long)]] = {
+    val hit = pruneCache.get(posSets)
+    if (hit != null) hit
+    else {
+      val m = BloomFileIndex.pruneJob(spark, bloomPath, posSets).collect()
         .groupBy(r => new Path(r.getString(0)).toUri.getPath)
         .map { case (p, rs) =>
           p -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet
-        })
+        }
+      pruneCache.put(posSets, m)
+      m
+    }
+  }
 
   override def rootPaths: Seq[Path] = base.rootPaths
   override def partitionSchema: StructType = base.partitionSchema
@@ -121,6 +142,13 @@ final class BloomFileIndex(spark: SparkSession, tablePath: String,
 }
 
 object BloomFileIndex {
+
+  /** Max distinct filter sets whose prunable lists one index instance
+    * retains (FIFO eviction past this). Each entry is bounded by the
+    * prunable file-name list, so the cache ceiling is
+    * PruneCacheMax × files × ~100 B.
+    */
+  private[sources] val PruneCacheMax = 64
 
   /** The executor-side probe: one Spark job over the index parquet
     * evaluating the SAME membership test the driver probe path folds

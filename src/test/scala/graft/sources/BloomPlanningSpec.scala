@@ -142,6 +142,22 @@ class BloomPlanningSpec extends AnyFunSuite with SparkTestSession {
     assert(job.count() < 16, "the probe key's own file must not be prunable")
   }
 
+  test("the prune cache is bounded under ever-changing probe keys") {
+    // a long-lived index instance serving a lookup workload sees a
+    // new literal per query; the per-filter-set cache must evict, not
+    // accumulate one prunable list per key ever probed
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    val (table, bm) = layout
+    val (_, idx) = BloomFileIndex.readWithIndex(spark, table, bm, "id")
+    val a = Symbol("id").int
+    (0 until BloomFileIndex.PruneCacheMax + 8).foreach { k =>
+      idx.listFiles(Nil, Seq(EqualTo(a, Literal(k))))
+    }
+    assert(idx.pruneCacheSize <= BloomFileIndex.PruneCacheMax,
+      s"prune cache grew past its bound: ${idx.pruneCacheSize}")
+  }
+
   test("a NARROWING cast on the column is never looked through") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Literal}
