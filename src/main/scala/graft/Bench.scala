@@ -40,7 +40,13 @@ object Bench {
     // x71 regressed 0.50→0.77 in r10's single-sample branch — the same
     // straddle-the-gate shape as x26 (VERDICT r10 ask #4): re-draw to
     // Iters samples so the reported min is a plan cost, not one burst
-    "x71_source_overlap_sketch")
+    "x71_source_overlap_sketch",
+    // the r11 idle run's three >1.4× movers (st17 1.3→1.9, r05
+    // 0.42→0.98, x85 0.57→1.07) are the same midband-straddler shape
+    // with UNCHANGED plans (PlanAudit clean) — pin them so the
+    // reported min draws from Iters samples, not two
+    "st17_streaming_cdc_merge", "r05_spike_pipeline_mat",
+    "x85_perplexity_split")
   private val BudgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
 
   /** Queries above this first-run cost get a contention check: a fixed

@@ -190,11 +190,18 @@ final case class MinhashDedupIndex(tablePath: String, textCol: String,
     // files into a fresh bucketed layout. The empty tombstone frame
     // borrows the live table's own id column, so its type always
     // matches whatever idCol is.
-    graft.llm.DedupIndex.compact(spark, currentTable,
+    val prev = currentTable
+    graft.llm.DedupIndex.compact(spark, prev,
       s"${table}_g$next", s"${path}_g$next",
-      tombstones = spark.table(currentTable).select(col(idCol)).limit(0),
+      tombstones = spark.table(prev).select(col(idCol)).limit(0),
       idCol)
     generation = next
+    // retire the superseded generation's CATALOG entry so generations
+    // don't accumulate; the external table's files stay on disk until
+    // the deployment's own retention pass, so an in-flight reader of
+    // the old snapshot is never broken mid-query (the watch-list
+    // provider's snapshot-swap discipline)
+    spark.sql(s"DROP TABLE IF EXISTS $prev")
     Provenance.compact(spark, provPath)
   }
   override def content(spark: SparkSession): DataFrame =
