@@ -30,19 +30,35 @@ object IndexStat {
   def canon(path: String): String = new Path(path).toUri.getPath
 
   /** The live data part-files of a directory with their (length,
-    * mtime) fingerprints; commit metadata excluded. Driver-sized:
-    * bounded by the file count, the same listing every scan planner
-    * holds.
+    * mtime) fingerprints; commit metadata excluded. RECURSIVE, so a
+    * hive-partitioned layout's nested part-files are the listing too
+    * — stats rows come from `input_file_name()`, which sees nested
+    * files, and a non-recursive listing would wrongly report every
+    * recorded file of a partitioned table as deleted (a wrong
+    * maintenance SIGNAL; probe answers were never at risk — unknown
+    * files always scan). Driver-sized: bounded by the file count, the
+    * same listing every scan planner holds.
     */
   def liveStatus(spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).collect {
-      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".") =>
-        (st.getPath.toString, st.getLen, st.getModificationTime)
-    }.toSeq
+    else {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        // commit metadata and hidden files are not data; neither is
+        // anything under a hidden/metadata DIRECTORY (_delta_log-like)
+        val parts = st.getPath.toUri.getPath
+          .stripPrefix(p.toUri.getPath).split('/')
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+            !parts.exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+      out.result()
+    }
   }
 
   /** Recorded files whose fingerprint no longer matches the live

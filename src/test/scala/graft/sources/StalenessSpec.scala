@@ -154,6 +154,27 @@ class StalenessSpec extends AnyFunSuite with SparkTestSession {
     assert(FileBloom.staleFiles(s, table, bm).isEmpty)
   }
 
+  test("a hive-partitioned layout's nested files are live, not 'deleted'") {
+    // stats rows come from input_file_name(), which sees nested
+    // part-files; the live listing must be RECURSIVE or every
+    // recorded file of a partitioned table reads as deleted — a wrong
+    // maintenance signal (answers were never at risk: unknown files
+    // always scan)
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("staleness_part")
+    val table = s"$root/t"
+    (0 until 400).map(x => (x.toLong, x % 4)).toDF("x", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(table)
+    ZoneMap.build(s, table, Seq("x"), s"$root/zm")
+    assert(ZoneMap.staleFiles(s, table, s"$root/zm").isEmpty,
+      "recursive listing must see nested part-files as live")
+    assert(ZoneMap.readPruned(s, table, s"$root/zm",
+      Seq(Range("x", 10, 20))).count() === 11)
+    // commit markers and hidden dirs stay excluded
+    assert(IndexStat.liveStatus(s, table)
+      .forall { case (p, _, _) => !p.contains("/_") && !p.contains("/.") })
+  }
+
   test("staleOf reports deleted recorded files and exact matches nothing else") {
     val rec = Seq(("file:/a", 10L, 1L), ("file:/a", 20L, 2L), ("file:/b", 5L, 9L))
     val live = Seq(("file:/a", 20L, 2L)) // a matches its second version; b gone
