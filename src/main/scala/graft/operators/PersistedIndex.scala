@@ -67,6 +67,20 @@ object Provenance {
   /** Append the files' current fingerprints to the sidecar. */
   def record(spark: SparkSession, provPath: String,
              files: Seq[String]): Unit =
+    write(spark, provPath, files, org.apache.spark.sql.SaveMode.Append)
+
+  /** Replace the sidecar with the files' fingerprints — the CREATE
+    * verb's form: a rebuilt index describes only its new base, and
+    * appending would leave the OLD base's rows reporting phantom
+    * staleness forever.
+    */
+  def reset(spark: SparkSession, provPath: String,
+            files: Seq[String]): Unit =
+    write(spark, provPath, files, org.apache.spark.sql.SaveMode.Overwrite)
+
+  private def write(spark: SparkSession, provPath: String,
+                    files: Seq[String],
+                    mode: org.apache.spark.sql.SaveMode): Unit =
     if (files.nonEmpty) {
       val conf = spark.sparkContext.hadoopConfiguration
       val rows = files.map { f =>
@@ -75,7 +89,7 @@ object Provenance {
         (p.toString, st.getLen, st.getModificationTime)
       }
       spark.createDataFrame(rows).toDF("file", "flen", "fmtime")
-        .coalesce(1).write.mode("append").parquet(provPath)
+        .coalesce(1).write.mode(mode).parquet(provPath)
     }
 
   /** Recorded files whose live fingerprint no longer matches any
@@ -139,7 +153,7 @@ final case class MonthlySketchIndex(tablePath: String, monthCol: String,
   override def create(spark: SparkSession): Unit = {
     SketchIndex.writeMonthly(
       spark.read.parquet(tablePath), monthCol, keyCol, dir, k)
-    Provenance.record(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
+    Provenance.reset(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
   }
   override def append(spark: SparkSession, files: Seq[String]): Unit =
     if (files.nonEmpty) {
@@ -176,7 +190,7 @@ final case class MinhashDedupIndex(tablePath: String, textCol: String,
     graft.llm.DedupIndex.create(
       spark.read.parquet(tablePath), textCol, idCol, table, path, buckets)
     generation = 0
-    Provenance.record(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
+    Provenance.reset(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
   }
   override def append(spark: SparkSession, files: Seq[String]): Unit =
     if (files.nonEmpty) {

@@ -105,7 +105,14 @@ final class BloomFileIndex(spark: SparkSession, tablePath: String,
   override def partitionSchema: StructType = base.partitionSchema
   override def sizeInBytes: Long = base.sizeInBytes
   override def inputFiles: Array[String] = base.inputFiles
-  override def refresh(): Unit = base.refresh()
+  override def refresh(): Unit = {
+    base.refresh()
+    // refresh = "metadata changed": drop cached prunable lists so the
+    // next listing re-probes a possibly-maintained index (stale cache
+    // entries were only ever a missed-pruning, never a wrong answer —
+    // a fresh fingerprint can't match an old failing set)
+    pruneCache.clear()
+  }
 
   /** (surviving, listed) counts of the most recent [[listFiles]] call
     * — the observability hook the spec and scale smoke read (AQE

@@ -156,5 +156,19 @@ class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
           "staleness check missed the in-place rewrite")
       }
     }
+
+    // re-CREATE describes the new base and clears the signal: the
+    // skipping indexes rebuild their stats rows, and the contribution
+    // indexes RESET their provenance sidecar — an appended sidecar
+    // would report the old base's fingerprints as phantom staleness
+    // forever
+    fams.foreach { case (name, idx, probe) =>
+      withClue(s"[$name] ") {
+        idx.create(s)
+        assert(idx.staleFiles(s).isEmpty,
+          "re-create left phantom staleness behind")
+        assert(probe(s, idx).nonEmpty)
+      }
+    }
   }
 }
