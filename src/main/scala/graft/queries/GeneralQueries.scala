@@ -1837,6 +1837,35 @@ object GeneralQueries {
       ZoneMap.readPruned(s, s"$root/t", s"$root/zm",
           Seq(Range("l_partkey", 100000, 100100)))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    // STACKED PLANNING-TIME INDEXES (sources/IndexAdvisor) — the scan-
+    // planner move that ties the skipping family together: the table
+    // mounts ONCE with its zone map AND its bloom index chained inside
+    // a single FileIndex, so a mixed predicate (range on the CLUSTERED
+    // dims + IN on an UNCLUSTERED key) opens only the INTERSECTION of
+    // what each index allows — one ordinary parquet scan, PushedFilters
+    // intact. ComposedSkippingSpec pins intersection < either index
+    // alone and conservatism; this row pins the ANSWER: the composed
+    // scan equals the plain filter on the original table.
+    "q76_composed_skipping" -> ((s, d) => {
+      import graft.operators.{FileBloom, ZOrder, ZoneMap}
+      val root = graft.core.Scratch.cachedDir(s"q76_advisor_$d") { r =>
+        ZOrder.writeZOrdered(
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+            "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"),
+          s"$r/li", Seq("l_partkey", "l_suppkey"), bits = 11, files = 16)
+        ZoneMap.build(s, s"$r/li", Seq("l_partkey", "l_suppkey"), s"$r/zm")
+        FileBloom.build(s, s"$r/li", "l_orderkey", s"$r/bm", m = 8192, k = 4)
+      }
+      graft.sources.IndexAdvisor.read(s, s"$root/li",
+          graft.sources.IndexAdvisor.Indexes(
+            zoneMap = Some((s"$root/zm", Set("l_partkey", "l_suppkey"))),
+            bloom = Some((s"$root/bm", "l_orderkey"))))
+        .filter(col("l_partkey").between(50, 1500) &&
+          col("l_orderkey").isin(7L, 388L, 1123L))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -2690,6 +2719,15 @@ object GeneralQueries {
         |       CAST(l_partkey + 100000 AS BIGINT) AS l_partkey
         |FROM lineitem WHERE l_partkey < 50
         |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+
+    // q76: stacked skipping is layout-only — the composed zone+bloom
+    // scan's answer must equal the plain mixed predicate
+    "q76_composed_skipping" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 1500
+        |  AND l_orderkey IN (7, 388, 1123)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // q63: shard = value % 4 is a pure value function, so grouping by
     // it reproduces the disjoint per-shard distinct slices exactly

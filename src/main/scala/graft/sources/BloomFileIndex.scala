@@ -41,11 +41,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * conjunct is ignored.
   */
 final class BloomFileIndex(spark: SparkSession, tablePath: String,
-                           bloomPath: String, column: String)
+                           bloomPath: String, column: String,
+                           parent: Option[FileIndex] = None)
     extends FileIndex {
 
-  private val base =
-    new InMemoryFileIndex(spark, Seq(new Path(tablePath)), Map.empty, None)
+  // indexes STACK: with a parent, this layer prunes whatever listing
+  // the parent (another skipping index) already survived — one scan
+  // node, every index's verdict (IndexAdvisor composes the chain)
+  private val base = parent.getOrElse(
+    new InMemoryFileIndex(spark, Seq(new Path(tablePath)), Map.empty, None))
 
   /** Only the index's (m, k) configuration crosses the driver at
     * construction — the per-file bitsets (m/8 bytes each, 3.2 GB

@@ -43,11 +43,15 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * decisions happen before a single task launches.
   */
 final class ZoneMapFileIndex(spark: SparkSession, tablePath: String,
-                             zmPath: String, dims: Set[String])
+                             zmPath: String, dims: Set[String],
+                             parent: Option[FileIndex] = None)
     extends FileIndex {
 
-  private val base =
-    new InMemoryFileIndex(spark, Seq(new Path(tablePath)), Map.empty, None)
+  // indexes STACK: with a parent, this layer prunes whatever listing
+  // the parent (another skipping index) already survived — one scan
+  // node, every index's verdict (IndexAdvisor composes the chain)
+  private val base = parent.getOrElse(
+    new InMemoryFileIndex(spark, Seq(new Path(tablePath)), Map.empty, None))
 
   /** (path-part, (length, mtime)) → dim → (min, max); None stats =
     * all-null file. The key carries the described file's fingerprint:

@@ -21,7 +21,7 @@ import graft.operators.CmSketch
   *          tools/run.sh graft.tools.ScaleSmoke [mult] [stage...]
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
   *         spike planning selection temporal ordering bloom dpp
-  *         quality fullouter bloomstream   (default: all)
+  *         quality fullouter bloomstream advisor   (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
   * queries cover that at sf0.01) — it exists to answer "does the
@@ -127,6 +127,7 @@ object ScaleSmoke {
     if (stages("quality")) qualityStage(docs)
     if (stages("fullouter")) fullOuterStage(spark, sfDir, mult, tmp)
     if (stages("bloomstream")) bloomStreamStage(spark, sfDir, mult, tmp)
+    if (stages("advisor")) advisorStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -1390,6 +1391,80 @@ object ScaleSmoke {
       Seq(ZoneMap.Range("event_id", keyVals(1), keyVals(1)))).size
     println(s"  zone map on the same layout keeps $zmKept of $files files " +
       "for a mid-domain key (min/max spans the domain: no pruning)")
+  }
+
+  /** Stacked planning-time indexes (sources/IndexAdvisor, q76) at
+    * mult copies. Layout: 4·mult files, each holding one x band
+    * (zone-friendly) with ids scattered across the id domain
+    * (bloom-friendly). A mixed probe (x range + id IN) must open the
+    * INTERSECTION of the two indexes' survivor sets — strictly fewer
+    * files than either alone — with the answer equal to the plain
+    * scan, at every mult.
+    */
+  private def advisorStage(spark: SparkSession, sfDir: String, mult: Int,
+                           tmp: String): Unit = {
+    import spark.implicits._
+    import graft.operators.{FileBloom, ZoneMap}
+    import graft.sources.IndexAdvisor
+    import graft.sources.IndexAdvisor.Indexes
+    val files = 4 * mult
+    val perFile = 25000L
+    val table = s"$tmp/advisor_t"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    timed(s"banded layout ($files files)") {
+      // file f holds x = f and ids scattered mod files: id % files = f
+      // repartitionByRange, not hash: hash-partitioning x collides
+      // bands into shared files (a 2-3-band file holds 50-75k keys
+      // and blows the bloom's per-file fpp); range partitioning keeps
+      // ~one band per file
+      spark.range(files * perFile)
+        .select((col("id") % files).as("x"), col("id"))
+        .repartitionByRange(files, col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("append").parquet(table)
+    }
+    val (zm, bm) = (s"$tmp/advisor_zm", s"$tmp/advisor_bm")
+    timed("zone map + bloom builds") {
+      ZoneMap.build(spark, table, Seq("x"), zm)
+      FileBloom.build(spark, table, "id", bm, m = 524288, k = 4)
+    }
+    // ids land in file (id % files): pick one id per target file —
+    // files {1, files/2, files-1}; the x range keeps the lower half
+    // of the bands, so the intersection is the keys' files inside it
+    val targets = Seq(1L, files / 2L, files - 1L)
+    val ids = targets.map(f => f + files.toLong * 13L)
+    val hi = files / 2L
+    val pred = col("x") < hi && col("id").isin(ids: _*)
+    def csum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(col("id")).as("s")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (ckPlain, _) = timed("mixed probe, full scan") {
+      csum(spark.read.parquet(table).filter(pred))
+    }
+    val (ckBoth, tBoth) = timed("mixed probe, stacked indexes") {
+      val (df, idx) = IndexAdvisor.readWithIndexes(spark, table,
+        Indexes(zoneMap = Some((zm, Set("x"))), bloom = Some((bm, "id"))))
+      val r = csum(df.filter(pred))
+      // the outermost (bloom) layer's listing: `listed` is what the
+      // inner zone layer already survived, `surv` the intersection
+      val (surv, zoneSurv) = idx match {
+        case b: graft.sources.BloomFileIndex =>
+          b.lastListing.getOrElse((-1, -1))
+        case _ => (-1, -1)
+      }
+      println(s"  stacked scan opened $surv of $files files " +
+        s"(zone layer survived $zoneSurv, bloom intersected to $surv)")
+      require(surv < zoneSurv && surv < files / 8,
+        s"stack failed to intersect: $surv of $files (zone $zoneSurv)")
+      r
+    }
+    require(ckPlain == ckBoth,
+      s"stacked skipping changed the answer: $ckPlain vs $ckBoth")
+    println(f"  answers equal ($ckPlain); stacked wall $tBoth%.2f s")
   }
 
   /** st27's stream-stream FULL OUTER join at mult copies (VERDICT r10

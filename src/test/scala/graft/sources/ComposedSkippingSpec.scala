@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.operators.{FileBloom, ZoneMap}
+import graft.sources.IndexAdvisor.Indexes
+
+/** Stacked planning-time indexes ([[IndexAdvisor]]): one scan node
+  * whose listing carries BOTH the zone map's range verdict and the
+  * bloom index's key verdict. The composition must (a) open at most
+  * what EITHER index alone allows — and strictly fewer on a layout
+  * built to show the intersection, (b) never change an answer,
+  * (c) keep the predicate pushed, and (d) compose conservatism: a
+  * predicate one layer can't serve falls through to the other.
+  */
+class ComposedSkippingSpec extends AnyFunSuite with SparkTestSession {
+
+  /** 16 files: x clusters by file (zone-friendly), id scatters
+    * (bloom-friendly). A probe on (x range, id IN) then has a real
+    * intersection story: the zone map keeps the range's files, the
+    * bloom keeps the keys' files, the stack keeps their overlap.
+    */
+  private lazy val layout: (String, String, String) = {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("composed_skip")
+    val table = s"$root/t"
+    (0 until 16).foreach { f =>
+      (0 until 500).map(i => (f * 500L + i, f.toLong, s"name_${f}_$i"))
+        .toDF("id", "x", "name")
+        .coalesce(1).write.mode("append").parquet(table)
+    }
+    val (zm, bm) = (s"$root/zm", s"$root/bm")
+    ZoneMap.build(s, table, Seq("x"), zm)
+    FileBloom.build(s, table, "id", bm, m = 8192, k = 4)
+    (table, zm, bm)
+  }
+
+  private def scanned(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }
+    assert(scans.size === 1, "expected exactly one file scan")
+    scans.head.metrics("numFiles").value
+  }
+
+  // ids 100 (file 0), 2600 (file 5), 7777 (file 15); x range [0, 8]
+  // keeps files 0..8 — the intersection is files {0, 5}
+  private val pred = col("x").between(0L, 8L) && col("id").isin(100L, 2600L, 7777L)
+
+  test("the stack opens strictly fewer files than either index alone") {
+    val (table, zm, bm) = layout
+    val zoneOnly = scanned(IndexAdvisor
+      .read(spark, table, Indexes(zoneMap = Some((zm, Set("x")))))
+      .filter(pred))
+    val bloomOnly = scanned(IndexAdvisor
+      .read(spark, table, Indexes(bloom = Some((bm, "id"))))
+      .filter(pred))
+    val both = scanned(IndexAdvisor.read(spark, table,
+        Indexes(zoneMap = Some((zm, Set("x"))), bloom = Some((bm, "id"))))
+      .filter(pred))
+    assert(zoneOnly === 9, s"zone map should keep the range's 9 files, kept $zoneOnly")
+    assert(bloomOnly === 3, s"bloom should keep the keys' 3 files, kept $bloomOnly")
+    assert(both === 2, s"the stack should keep the intersection {file0, file5}, kept $both")
+  }
+
+  test("the composed scan's answer equals the plain reader's") {
+    val (table, zm, bm) = layout
+    def probe(df: DataFrame): Set[String] = df.filter(pred)
+      .select(concat_ws("|", col("id"), col("x"), col("name")))
+      .collect().map(_.getString(0)).toSet
+    val plain = probe(spark.read.parquet(table))
+    assert(plain === Set("100|0|name_0_100", "2600|5|name_5_100"))
+    assert(probe(IndexAdvisor.read(spark, table,
+      Indexes(zoneMap = Some((zm, Set("x"))), bloom = Some((bm, "id"))))) === plain)
+  }
+
+  test("predicates stay pushed through the stacked listing") {
+    val (table, zm, bm) = layout
+    val df = IndexAdvisor.read(spark, table,
+        Indexes(zoneMap = Some((zm, Set("x"))), bloom = Some((bm, "id"))))
+      .filter(pred)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("id") && pushed.contains("x"),
+      s"filters not pushed through the stack: $pushed")
+  }
+
+  test("a predicate only ONE layer serves still gets that layer's prune") {
+    val (table, zm, bm) = layout
+    val stack = Indexes(zoneMap = Some((zm, Set("x"))), bloom = Some((bm, "id")))
+    // range only: bloom contributes nothing, zone prunes to 2 files
+    assert(scanned(IndexAdvisor.read(spark, table, stack)
+      .filter(col("x").between(3L, 4L))) === 2)
+    // keys only: zone contributes nothing, bloom prunes to <= 2 + fpp
+    val keysOnly = scanned(IndexAdvisor.read(spark, table, stack)
+      .filter(col("id").isin(100L, 7777L)))
+    assert(keysOnly < 16 && keysOnly >= 2, s"bloom layer inert in the stack: $keysOnly")
+    // a predicate NEITHER serves scans everything
+    assert(scanned(IndexAdvisor.read(spark, table, stack)
+      .filter(col("name") === "name_3_3")) === 16)
+  }
+
+  test("a file landed after both indexes were built is always scanned") {
+    val s = spark; import s.implicits._
+    val (table, zm, bm) = layout
+    // fresh copy of the fixture dirs so the cached layout stays clean
+    val root = graft.core.Scratch.dir("composed_late")
+    val t2 = s"$root/t"
+    s.read.parquet(table).write.parquet(t2)
+    val (zm2, bm2) = (s"$root/zm", s"$root/bm")
+    ZoneMap.build(s, t2, Seq("x"), zm2)
+    FileBloom.build(s, t2, "id", bm2, m = 8192, k = 4)
+    Seq((99999L, 3L, "late")).toDF("id", "x", "name")
+      .coalesce(1).write.mode("append").parquet(t2)
+    val got = IndexAdvisor.read(s, t2,
+        Indexes(zoneMap = Some((zm2, Set("x"))), bloom = Some((bm2, "id"))))
+      .filter(col("x") === 3L && col("id") === 99999L)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("late"), "a layer wrongly pruned an unknown file")
+  }
+}
