@@ -133,7 +133,13 @@ object FileBloom {
     */
   def compactStats(spark: SparkSession, bloomPath: String): Unit =
     spark.read.parquet(bloomPath).localCheckpoint(true)
-      .dropDuplicates("file")
+      // full (file, fingerprint) identity, not path alone: a rewrite
+      // + re-append leaves a path two rows with different
+      // (flen, fmtime), and a path-only dedupe could keep the STALE
+      // one — losing pruning for the just-repaired file (ADVICE r11).
+      // Same-fingerprint rows have identical filters (deterministic
+      // build), so the triple is a safe dedupe key.
+      .dropDuplicates("file", "flen", "fmtime")
       .repartition(1).write.mode("overwrite").parquet(bloomPath)
 
   private def readIndex(spark: SparkSession, bloomPath: String): (DataFrame, Int, Int) = {
@@ -226,7 +232,10 @@ object FileBloom {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(tablePath).schema)
-    else spark.read.parquet(files: _*)
+    // basePath recovers hive-partition columns dropped by a direct
+    // leaf-file read, keeping both branches schema-identical
+    // (ADVICE r11); flat layouts are unaffected
+    else spark.read.option("basePath", tablePath).parquet(files: _*)
       .filter(keys.map(col(column) === _).reduce(_ || _))
   }
 }

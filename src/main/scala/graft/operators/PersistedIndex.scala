@@ -64,33 +64,90 @@ trait PersistedIndex {
   */
 object Provenance {
 
-  /** Append the files' current fingerprints to the sidecar. */
+  /** Sidecar data files beyond which [[record]] folds the sidecar in
+    * place — without this, a long-running maintenance loop writes one
+    * parquet file PER APPEND and the sidecar re-grows the small-files
+    * problem it polices (VERDICT r11 ask #3).
+    */
+  private[operators] val AutoCompactFiles = 16
+
+  /** Directory listings issued by [[fingerprintsOf]] — a test hook:
+    * ProvenanceSpec asserts ONE listing per distinct parent directory
+    * per append batch, not one RPC per file.
+    */
+  private[operators] val listingCalls =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Append the files' current fingerprints to the sidecar, folding
+    * the sidecar's own files when they exceed [[AutoCompactFiles]] —
+    * so N appends leave a bounded file count, not N files.
+    */
   def record(spark: SparkSession, provPath: String,
              files: Seq[String]): Unit =
-    write(spark, provPath, files, org.apache.spark.sql.SaveMode.Append)
+    if (files.nonEmpty) {
+      write(spark, provPath, files, org.apache.spark.sql.SaveMode.Append)
+      if (IndexStat.liveStatus(spark, provPath).size > AutoCompactFiles)
+        compact(spark, provPath)
+    }
 
   /** Replace the sidecar with the files' fingerprints — the CREATE
     * verb's form: a rebuilt index describes only its new base, and
     * appending would leave the OLD base's rows reporting phantom
-    * staleness forever.
+    * staleness forever. Runs even when `files` is EMPTY: a reset over
+    * an emptied base must clear the previous base's rows too, or
+    * staleFiles reports them as phantom-stale forever (ADVICE r11).
     */
   def reset(spark: SparkSession, provPath: String,
             files: Seq[String]): Unit =
     write(spark, provPath, files, org.apache.spark.sql.SaveMode.Overwrite)
 
+  /** The files' live (length, mtime) fingerprints via ONE `listStatus`
+    * per distinct PARENT directory — not one `getFileStatus` RPC per
+    * file: an append backlog of 100k files under a handful of landing
+    * directories is a handful of namenode round-trips, not 100k
+    * serial ones (VERDICT r11 ask #3). A listed directory that lacks
+    * a requested file fails loudly, same as getFileStatus would.
+    */
+  private def fingerprintsOf(spark: SparkSession,
+                             files: Seq[String]): Seq[(String, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byParent = files.map(new Path(_)).groupBy(_.getParent)
+    val listed: Map[String, (String, Long, Long)] = byParent.flatMap {
+      case (parent, _) =>
+        listingCalls.incrementAndGet()
+        parent.getFileSystem(conf).listStatus(parent).collect {
+          case st if st.isFile =>
+            IndexStat.canon(st.getPath.toString) ->
+              ((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+    }
+    files.map { f =>
+      listed.getOrElse(IndexStat.canon(f),
+        throw new java.io.FileNotFoundException(s"provenance: $f"))
+    }
+  }
+
   private def write(spark: SparkSession, provPath: String,
                     files: Seq[String],
-                    mode: org.apache.spark.sql.SaveMode): Unit =
-    if (files.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val rows = files.map { f =>
-        val p = new Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        (p.toString, st.getLen, st.getModificationTime)
-      }
-      spark.createDataFrame(rows).toDF("file", "flen", "fmtime")
-        .coalesce(1).write.mode(mode).parquet(provPath)
-    }
+                    mode: org.apache.spark.sql.SaveMode): Unit = {
+    val rows = fingerprintsOf(spark, files)
+    // an empty frame still needs the sidecar schema; appending zero
+    // rows is a no-op upstream (record guards), so this path is only
+    // reset-with-empty — which must still OVERWRITE (ADVICE r11)
+    val df =
+      if (rows.nonEmpty) spark.createDataFrame(rows)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_1",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_2",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_3",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    df.toDF("file", "flen", "fmtime")
+      .coalesce(1).write.mode(mode).parquet(provPath)
+  }
 
   /** Recorded files whose live fingerprint no longer matches any
     * recorded version — rewritten in place or deleted.
@@ -183,33 +240,62 @@ final case class MinhashDedupIndex(tablePath: String, textCol: String,
                                    path: String, buckets: Int = 8)
     extends PersistedIndex {
   private def provPath = path + "_prov"
-  @volatile private var generation = 0
-  private def currentTable: String =
+
+  /** The compaction generation lives in a MARKER FILE next to `path`,
+    * not adapter memory: compact() DROPs the superseded generation's
+    * catalog table, so a fresh adapter over the same (table, path) in
+    * a new session must resolve the CURRENT generation or its
+    * content()/append() would target the dropped base table — the
+    * persisted lifecycle has to survive the adapter instance
+    * (ADVICE r11).
+    */
+  private def genMarker = new Path(path + "_gen")
+
+  private def readGeneration(spark: SparkSession): Int = {
+    val fs = genMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(genMarker)) 0
+    else {
+      val in = fs.open(genMarker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def writeGeneration(spark: SparkSession, g: Int): Unit = {
+    val fs = genMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(genMarker, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def currentTable(spark: SparkSession): String = {
+    val generation = readGeneration(spark)
     if (generation == 0) table else s"${table}_g$generation"
+  }
   override def create(spark: SparkSession): Unit = {
     graft.llm.DedupIndex.create(
       spark.read.parquet(tablePath), textCol, idCol, table, path, buckets)
-    generation = 0
+    writeGeneration(spark, 0)
     Provenance.reset(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
   }
   override def append(spark: SparkSession, files: Seq[String]): Unit =
     if (files.nonEmpty) {
       graft.llm.DedupIndex.append(
-        spark, spark.read.parquet(files: _*), textCol, idCol, currentTable)
+        spark, spark.read.parquet(files: _*), textCol, idCol,
+        currentTable(spark))
       Provenance.record(spark, provPath, files)
     }
   override def compact(spark: SparkSession): Unit = {
-    val next = generation + 1
+    val next = readGeneration(spark) + 1
     // tombstone-free compaction: fold the accumulated per-append
     // files into a fresh bucketed layout. The empty tombstone frame
     // borrows the live table's own id column, so its type always
     // matches whatever idCol is.
-    val prev = currentTable
+    val prev = currentTable(spark)
     graft.llm.DedupIndex.compact(spark, prev,
       s"${table}_g$next", s"${path}_g$next",
       tombstones = spark.table(prev).select(col(idCol)).limit(0),
       idCol)
-    generation = next
+    writeGeneration(spark, next)
     // retire the superseded generation's CATALOG entry so generations
     // don't accumulate; the external table's files stay on disk until
     // the deployment's own retention pass, so an in-flight reader of
@@ -219,7 +305,7 @@ final case class MinhashDedupIndex(tablePath: String, textCol: String,
     Provenance.compact(spark, provPath)
   }
   override def content(spark: SparkSession): DataFrame =
-    spark.table(currentTable)
+    spark.table(currentTable(spark))
   override def staleFiles(spark: SparkSession): Seq[String] =
     Provenance.staleFiles(spark, tablePath, provPath)
 }

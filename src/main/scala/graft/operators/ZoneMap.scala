@@ -86,7 +86,14 @@ object ZoneMap {
     */
   def compactStats(spark: SparkSession, zmPath: String): Unit =
     spark.read.parquet(zmPath).localCheckpoint(true)
-      .dropDuplicates("file") // replayed micro-batch appends fold away
+      // dedupe on the FULL (file, fingerprint) identity, not path
+      // alone: after a rewrite + re-append, a path legitimately has
+      // two rows with different (flen, fmtime) — coexisting
+      // fingerprints are the documented model (probes trust only the
+      // row matching the live file), and a path-only dedupe could
+      // nondeterministically keep the STALE row and drop the fresh
+      // one, silently losing pruning for that file (ADVICE r11)
+      .dropDuplicates("file", "flen", "fmtime")
       .repartition(1).write.mode("overwrite").parquet(zmPath)
 
   /** The current data part-files of a directory (commit metadata
@@ -176,6 +183,12 @@ object ZoneMap {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(tablePath).schema)
-    else spark.read.parquet(files: _*).filter(boxPredicate(box))
+    // basePath: reading pruned LEAF files of a hive-partitioned table
+    // directly would drop the partition columns encoded in directory
+    // names — anchoring the read at the table root recovers them, so
+    // both branches return the same schema (ADVICE r11); a flat
+    // layout is unaffected
+    else spark.read.option("basePath", tablePath).parquet(files: _*)
+      .filter(boxPredicate(box))
   }
 }

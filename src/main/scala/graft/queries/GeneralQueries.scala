@@ -1762,8 +1762,12 @@ object GeneralQueries {
     "q74_bucket_sorted_join" -> ((s, d) => {
       // fixture cached per (entry, sf); table names carry the sf tag so
       // a second sf in one JVM never repoints the first's catalog
-      // entries (VERDICT r10 ask #7)
-      val tag = Integer.toHexString(d.hashCode).takeRight(6)
+      // entries (VERDICT r10 ask #7). SHA-256 prefix, not hashCode: a
+      // 6-hex-digit hashCode suffix can collide across sf dirs, and a
+      // collision would repoint the first sf's cached tables at the
+      // second's data mid-JVM (ADVICE r11)
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       graft.core.Scratch.cachedDir(s"q74_bktsort_$d") { r =>
         def writeBucketed(df: DataFrame, name: String): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $name")

@@ -137,6 +137,22 @@ class StalenessSpec extends AnyFunSuite with SparkTestSession {
       Seq(Range("x", 10000, 10099))).count() === 57)
     assert(FileBloom.readPruned(s, table, bm, "x",
       Seq(lit(10042L))).count() === 1)
+
+    // …and the compact must keep the FRESH row: a path-only dedupe
+    // could nondeterministically keep the STALE one — answers stay
+    // right (stale rows demote to scan) but pruning for the
+    // just-repaired file is lost and staleFiles re-reports it forever
+    // (ADVICE r11). Deterministic now: coexisting fingerprints both
+    // survive, the live-matching one keeps proving absence.
+    assert(ZoneMap.staleFiles(s, table, zm).isEmpty,
+      "compaction dropped the fresh zone-map row")
+    assert(FileBloom.staleFiles(s, table, bm).isEmpty,
+      "compaction dropped the fresh bloom row")
+    val (df2, idx2) = ZoneMapFileIndex.readWithIndex(s, table, zm, Set("x"))
+    assert(df2.filter(col("x").between(0, 99)).count() === 0)
+    val (surv2, listed2) = idx2.lastListing.get
+    assert(surv2 < listed2,
+      s"compaction lost pruning for the repaired file: $surv2 of $listed2")
   }
 
   test("a file landed after the index was built is always read") {
@@ -173,6 +189,25 @@ class StalenessSpec extends AnyFunSuite with SparkTestSession {
     // commit markers and hidden dirs stay excluded
     assert(IndexStat.liveStatus(s, table)
       .forall { case (p, _, _) => !p.contains("/_") && !p.contains("/.") })
+
+    // partition COLUMNS survive the pruned read: leaf files carry no
+    // `part` column — it lives in the directory names — so a direct
+    // leaf read would silently drop it while the empty short-circuit
+    // (full-table schema) keeps it: two branches, two schemas
+    // (ADVICE r11). basePath anchors the read at the table root.
+    val pruned = ZoneMap.readPruned(s, table, s"$root/zm",
+      Seq(Range("x", 10, 20)))
+    assert(pruned.columns.contains("part"),
+      "pruned read dropped the hive partition column")
+    assert(pruned.filter(col("x") === 13).select("part").head().getInt(0) === 1)
+    assert(pruned.schema === ZoneMap.readPruned(s, table, s"$root/zm",
+      Seq(Range("x", 900000, 900001))).schema,
+      "non-empty and empty readPruned branches disagree on schema")
+    FileBloom.build(s, table, "x", s"$root/bm", m = 4096, k = 4)
+    val bp = FileBloom.readPruned(s, table, s"$root/bm", "x", Seq(lit(13L)))
+    assert(bp.columns.contains("part") &&
+      bp.select("part").head().getInt(0) === 1,
+      "bloom pruned read dropped the hive partition column")
   }
 
   test("staleOf reports deleted recorded files and exact matches nothing else") {
