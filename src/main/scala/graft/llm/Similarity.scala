@@ -942,21 +942,64 @@ object Similarity {
                 codebooks: Seq[Seq[(Long, Seq[Float])]], k: Int, nprobe: Int,
                 subDim: Int, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val cents: Seq[(Long, Seq[Float], Double)] = centroids
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
-      .sortBy(_._1).toSeq
-    val codes = pqEncode(
+    val codes = ivfPqEncode(corpus, centroids, codebooks, subDim, idCol, vecCol)
+    ivfPqTopKFromCodes(codes, probes, centroids, codebooks, k, nprobe,
+      subDim, idCol, vecCol)
+  }
+
+  /** IVF-PQ encode: coarse-assign (per-row literal-centroid argmax, no
+    * shuffle) then PQ-encode — the WRITE half of [[ivfPqTopK]], split
+    * out so a persisted index ([[graft.operators.IvfPqIndex]]) can
+    * materialize the codes once and probe them forever. Returns
+    * (neighbor_id, cluster, subspace, code) — one row per (vector,
+    * subspace), the inverted-list layout itself.
+    */
+  def ivfPqEncode(corpus: DataFrame, centroids: DataFrame,
+                  codebooks: Seq[Seq[(Long, Seq[Float])]], subDim: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    pqEncode(
       assignClusters(corpus, cents, nprobe = 1, "neighbor_id", "n_vec", "n_nrm", idCol, vecCol),
       codebooks, subDim, idCol = "neighbor_id", vecCol = "n_vec",
       keepCols = Seq("cluster"))
-    val probeClusters = assignClusters(probes, cents, nprobe,
-        "probe_id", "p_vec", "p_nrm", idCol, vecCol)
+  }
+
+  /** Each probe's `nprobe` closest coarse clusters as (probe_id,
+    * cluster) — the multi-probe assignment [[ivfPqTopK]] plans,
+    * public so a persisted index can collect the probed inverted
+    * lists and push partition pruning into the codes scan.
+    */
+  def probeClusters(probes: DataFrame, centroids: DataFrame, nprobe: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    assignClusters(probes, collectCentroids(centroids, idCol, vecCol),
+        nprobe, "probe_id", "p_vec", "p_nrm", idCol, vecCol)
       .select(col("probe_id"), col("cluster"))
+
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+                               vecCol: String): Seq[(Long, Seq[Float], Double)] =
+    centroids.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, normOf(v)) })
+      .sortBy(_._1).toSeq
+
+  /** The IVF-PQ READ path over ALREADY-ENCODED codes — zero training,
+    * zero corpus encoding: probe-side work (assignment + the integer
+    * LUT) touches only the probe frame and the literal-sized
+    * quantizers, then the codes relation joins the broadcast probe
+    * side. This is what a 100 TB deployment runs per query once the
+    * index is persisted; [[ivfPqTopK]] is create-and-probe in one
+    * call for ephemeral use.
+    */
+  def ivfPqTopKFromCodes(codes: DataFrame, probes: DataFrame, centroids: DataFrame,
+                         codebooks: Seq[Seq[(Long, Seq[Float])]], k: Int, nprobe: Int,
+                         subDim: Int, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val pc = probeClusters(probes, centroids, nprobe, idCol, vecCol)
     val lut = pqProbeLutE9(probes, codebooks, subDim, idCol, vecCol)
     // both probe-sized: the (cluster, subspace, code) LUT stays broadcast
-    val probeSide = probeClusters.join(lut, "probe_id")
+    val probeSide = pc.join(lut, "probe_id")
     val w = Window.partitionBy("probe_id").orderBy(col("dist_e9"), col("neighbor_id"))
     codes.join(broadcast(probeSide), Seq("cluster", "subspace", "code"))
       .filter(col("neighbor_id") =!= col("probe_id"))

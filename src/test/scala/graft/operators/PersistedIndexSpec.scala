@@ -22,11 +22,15 @@ import graft.SparkTestSession
   */
 class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
 
-  /** One base table all four index kinds can serve: doc_id (bloom
-    * key, dedup id), text (dedup corpus), month_sec (sketch month),
-    * x (zone dimension). Single-file landings so file↔batch is
-    * deterministic; returns (tablePath, landings).
+  /** One base table all five index kinds can serve: doc_id (bloom
+    * key, dedup id, vector id), text (dedup corpus), month_sec
+    * (sketch month), x (zone dimension), emb (ivfpq vector).
+    * Single-file landings so file↔batch is deterministic; returns
+    * (tablePath, landings).
     */
+  private def emb(i: Int): Seq[Float] =
+    (0 until 8).map(t => ((i * 13 + t * 7) % 97) / 97.0f - 0.5f)
+
   private def writeBase(root: String): (String, Seq[Seq[String]]) = {
     val s = spark; import s.implicits._
     val table = s"$root/base"
@@ -34,8 +38,8 @@ class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
       val before = ZoneMap.dataFiles(s, table).toSet
       (b * 100 until b * 100 + 100).map { i =>
         (i.toLong, (0 until 8).map(t => s"tok${(i * 7 + t) % 23}").mkString(" "),
-          (i / 100).toLong * 2592000L, i.toLong)
-      }.toDF("doc_id", "text", "month_sec", "x")
+          (i / 100).toLong * 2592000L, i.toLong, emb(i))
+      }.toDF("doc_id", "text", "month_sec", "x", "emb")
         .coalesce(1).write.mode("append").parquet(table)
       ZoneMap.dataFiles(s, table).filterNot(before).toSeq
     }
@@ -47,8 +51,8 @@ class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
     val before = ZoneMap.dataFiles(s, table).toSet
     (300 until 350).map { i =>
       (i.toLong, (0 until 8).map(t => s"tok${(i * 7 + t) % 23}").mkString(" "),
-        3L * 2592000L, i.toLong)
-    }.toDF("doc_id", "text", "month_sec", "x")
+        3L * 2592000L, i.toLong, emb(i))
+    }.toDF("doc_id", "text", "month_sec", "x", "emb")
       .coalesce(1).write.mode("append").parquet(table)
     ZoneMap.dataFiles(s, table).filterNot(before).toSeq
   }
@@ -98,11 +102,25 @@ class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
           val c = idx.content(s)
           Seq(c.count().toString,
             c.select("doc_id").distinct().count().toString)
+        }),
+      ("ivfpq",
+        IvfPqIndex(table, s"$root/ivf", m = 2, subDim = 4, sampleSize = 4,
+          idCol = "doc_id", vecCol = "emb"),
+        (s, idx) => {
+          val probes = s.read.parquet(table)
+            .filter(col("doc_id").isin(50L, 250L)).select("doc_id", "emb")
+          // content count first, so the digest REFLECTS appends even
+          // when no appended vector cracks the probes' top-3
+          idx.content(s).count().toString +:
+            idx.asInstanceOf[IvfPqIndex].probe(s, probes, k = 3, nprobe = 2)
+              .orderBy("probe_id", "rnk").collect()
+              .map(r => s"${r.getLong(0)}>${r.getLong(1)}@${r.getLong(2)}#${r.getLong(3)}")
+              .toSeq
         })
     )
   }
 
-  test("create → append → compact → rewrite: the shared lifecycle holds for all four") {
+  test("create → append → compact → rewrite: the shared lifecycle holds for all five") {
     val s = spark
     val root = graft.core.Scratch.dir("pidx")
     val (table, landings) = writeBase(root)
@@ -146,8 +164,9 @@ class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
     rewriteInPlace(victim, {
       val sess = s; import sess.implicits._
       (100 until 157).map { i =>
-        (i.toLong + 90000L, s"rewritten text $i", 9L * 2592000L, i.toLong + 90000L)
-      }.toDF("doc_id", "text", "month_sec", "x")
+        (i.toLong + 90000L, s"rewritten text $i", 9L * 2592000L,
+          i.toLong + 90000L, emb(i + 41))
+      }.toDF("doc_id", "text", "month_sec", "x", "emb")
     })
     val victimCanon = new Path(victim).toUri.getPath
     fams.foreach { case (name, idx, _) =>
