@@ -1844,14 +1844,22 @@ object GeneralQueries {
     }),
 
     // STACKED PLANNING-TIME INDEXES (sources/IndexAdvisor) — the scan-
-    // planner move that ties the skipping family together: the table
-    // mounts ONCE with its zone map AND its bloom index chained inside
-    // a single FileIndex, so a mixed predicate (range on the CLUSTERED
-    // dims + IN on an UNCLUSTERED key) opens only the INTERSECTION of
-    // what each index allows — one ordinary parquet scan, PushedFilters
-    // intact. ComposedSkippingSpec pins intersection < either index
-    // alone and conservatism; this row pins the ANSWER: the composed
-    // scan equals the plain filter on the original table.
+    // planner move that ties the skipping family together: the table's
+    // indexes are REGISTERED once in a catalog sidecar under the table
+    // dir (`_graft_indexes`, excluded from every data listing like a
+    // lake format's `_delta_log`), and the query states only its
+    // PREDICATE — the advisor discovers the zone map and the bloom
+    // index from the catalog, selects the layers whose columns the
+    // predicate references, and chains them inside a single FileIndex,
+    // so the mixed predicate (range on the CLUSTERED dims + IN on an
+    // UNCLUSTERED key) opens only the INTERSECTION of what each index
+    // allows — one ordinary parquet scan, PushedFilters intact, no
+    // index path in the query (VERDICT r11 ask #6).
+    // ComposedSkippingSpec pins intersection < either index alone,
+    // conservatism, layer selection by predicate shape, and the
+    // plain-scan fall-through for unserved predicates; this row pins
+    // the ANSWER: the discovered scan equals the plain filter on the
+    // original table.
     "q76_composed_skipping" -> ((s, d) => {
       import graft.operators.{FileBloom, ZOrder, ZoneMap}
       val root = graft.core.Scratch.cachedDir(s"q76_advisor_$d") { r =>
@@ -1861,13 +1869,14 @@ object GeneralQueries {
           s"$r/li", Seq("l_partkey", "l_suppkey"), bits = 11, files = 16)
         ZoneMap.build(s, s"$r/li", Seq("l_partkey", "l_suppkey"), s"$r/zm")
         FileBloom.build(s, s"$r/li", "l_orderkey", s"$r/bm", m = 8192, k = 4)
+        graft.sources.IndexAdvisor.register(s, s"$r/li",
+          "zonemap", s"$r/zm", Seq("l_partkey", "l_suppkey"))
+        graft.sources.IndexAdvisor.register(s, s"$r/li",
+          "bloom", s"$r/bm", Seq("l_orderkey"))
       }
-      graft.sources.IndexAdvisor.read(s, s"$root/li",
-          graft.sources.IndexAdvisor.Indexes(
-            zoneMap = Some((s"$root/zm", Set("l_partkey", "l_suppkey"))),
-            bloom = Some((s"$root/bm", "l_orderkey"))))
-        .filter(col("l_partkey").between(50, 1500) &&
-          col("l_orderkey").isin(7L, 388L, 1123L))
+      graft.sources.IndexAdvisor.readDiscovered(s, s"$root/li",
+          col("l_partkey").between(50, 1500) &&
+            col("l_orderkey").isin(7L, 388L, 1123L))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .orderBy("l_orderkey", "l_linenumber")
     })

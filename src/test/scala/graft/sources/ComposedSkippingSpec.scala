@@ -107,6 +107,65 @@ class ComposedSkippingSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("name") === "name_3_3")) === 16)
   }
 
+  test("catalog discovery: layers mount by predicate shape, unserved predicates scan plain") {
+    val s = spark; import s.implicits._
+    val (table, zm, bm) = layout
+    // fresh table copy so the registered catalog never leaks into the
+    // shared fixture's other tests
+    val root = graft.core.Scratch.dir("composed_cat")
+    val t2 = s"$root/t"
+    (0 until 16).foreach { f =>
+      s.read.parquet(table).filter(col("x") === f.toLong)
+        .coalesce(1).write.mode("append").parquet(t2)
+    }
+    val (zm2, bm2) = (s"$root/zm", s"$root/bm")
+    ZoneMap.build(s, t2, Seq("x"), zm2)
+    FileBloom.build(s, t2, "id", bm2, m = 8192, k = 4)
+    IndexAdvisor.register(s, t2, "zonemap", zm2, Seq("x"))
+    IndexAdvisor.register(s, t2, "bloom", bm2, Seq("id"))
+    // the catalog sidecar is invisible to data listings
+    assert(graft.operators.IndexStat.liveStatus(s, t2)
+      .forall { case (p, _, _) => !p.contains("_graft_indexes") })
+    assert(IndexAdvisor.catalog(s, t2).map(_.kind).sorted === Seq("bloom", "zonemap"))
+    // re-registration folds away
+    IndexAdvisor.register(s, t2, "bloom", bm2, Seq("id"))
+    assert(IndexAdvisor.catalog(s, t2).size === 2)
+
+    // mixed predicate: both layers discovered, intersection opened,
+    // answer equal to the plain scan — no index path in the call
+    val (both, idxBoth) = IndexAdvisor.readDiscoveredWithIndexes(s, t2, pred)
+    assert(idxBoth.exists(_.isInstanceOf[BloomFileIndex]),
+      "mixed predicate should mount the bloom layer outermost")
+    assert(scanned2(both) === 2)
+    assert(both.select("id").collect().map(_.getLong(0)).toSet
+      === Set(100L, 2600L))
+
+    // range-only predicate: the bloom layer's column is not referenced
+    // — only the zone map mounts (no probe job paid for nothing)
+    val (rangeOnly, idxRange) = IndexAdvisor.readDiscoveredWithIndexes(
+      s, t2, col("x").between(3L, 4L))
+    assert(idxRange.exists(_.isInstanceOf[ZoneMapFileIndex]),
+      "range predicate should mount exactly the zone-map layer")
+    assert(scanned2(rangeOnly) === 2)
+
+    // unserved predicate: no layer's column referenced — a PLAIN scan,
+    // not an index mount that can't prune
+    val (plain, idxPlain) = IndexAdvisor.readDiscoveredWithIndexes(
+      s, t2, col("name") === "name_3_3")
+    assert(idxPlain.isEmpty, "unserved predicate must mount a plain scan")
+    assert(plain.count() === 1)
+  }
+
+  /** [[scanned]] without the single-scan assertion's caching — the
+    * discovery frames are built fresh per call.
+    */
+  private def scanned2(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }.map(_.metrics("numFiles").value).sum
+  }
+
   test("a file landed after both indexes were built is always scanned") {
     val s = spark; import s.implicits._
     val (table, zm, bm) = layout
