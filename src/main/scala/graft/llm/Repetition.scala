@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.llm.{TextFunctions => TF}
 
@@ -17,15 +18,19 @@ import graft.llm.{TextFunctions => TF}
   *
   * Scale shape: ONE corpus scan feeds the native shingle_gen_range
   * generator (rows ∝ 9·tokens off a single tokenize per doc — no
-  * joins to build grams, no interpreted per-gram lambdas); counts are
-  * one hash agg keyed (doc, n, gram) with map-side combine; the
-  * top-gram pick is min_by over (-cnt, gram) — a hash aggregate, not
-  * a (doc, n) sort; coverage re-explodes ONLY duplicated grams'
-  * positions, distincts the covered index set, and joins it to the
-  * token-length relation; doc char totals ride doc-keyed joins onto
-  * the doc-sized tops/covs relations rather than replicating through
-  * the gram stream — every shuffle keys on doc-local grams, nothing
-  * quadratic, no driver state.
+  * joins to build grams, no interpreted per-gram lambdas, each width
+  * generated exactly once); the doc_id repartition up front makes
+  * everything downstream exchange-free by the subset-distribution
+  * rule. The 2..4 top-gram branch is one (doc, n, gh) count agg with
+  * the gram string as a min() payload, then min_by over (-cnt, g).
+  * The 5..10 coverage branch (rewritten for VERDICT r11 ask #5) gets
+  * per-gram occurrence counts from a COUNT WINDOW over (doc, n, gh) —
+  * one in-partition sort of fixed-width hash tuples, no second
+  * generation pass, no shuffle of the duplicated slice, no count-agg
+  * join — then distincts the covered index set and resolves token
+  * lengths through a doc-keyed ARRAY join (join key = the
+  * co-partitioning key, exchange-free) with element_at. Nothing
+  * quadratic, no driver state; 50× steady 14.6 → 9.5 s (SCALE_r12).
   */
 object Repetition {
 
@@ -98,10 +103,6 @@ object Repetition {
     val counted24 = gramsRange(2, 4)
       .groupBy(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("cnt"), min(col("g")).as("g"))
-    val dupGroups510 = gramsRange(5, 10)
-      .groupBy(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
     // doc chars join AFTER the count collapse: tops/covs are doc-sized
     // relations, so wc rides a doc-keyed join there instead of being
     // replicated through the 9|tokens|-row gram stream
@@ -130,27 +131,34 @@ object Repetition {
         TopThresholdsE6.keys.toSeq.sorted.drop(1).map(n =>
           coalesce(max(when(col("n") === n, col("frac"))), lit(0L))
             .as(s"top${n}_e6")): _*)
-    val toks = base
-      .select(col("doc_id"), posexplode(col("w")))
-      .toDF("doc_id", "idx", "t")
-      .select(col("doc_id"), col("idx"), length(col("t")).cast("long").as("tl"))
-    // coverage re-explodes ONLY duplicated grams' positions: the
-    // duplicated (doc, n, gh) groups — tiny in any real corpus —
-    // hash-join back to a widths-5..10 gram pass. The join's exchange
-    // carries compact (doc, n, hash, pos) tuples (the strings never
-    // shuffle), and the shuffle_hash hint keeps the probe side
-    // UNSORTED — an SMJ here would sort the whole 5..10 gram stream
-    // to meet a tiny build side.
+    // coverage in ONE widths-5..10 pass (VERDICT r11 ask #5): per-gram
+    // occurrence counts come from a COUNT WINDOW over (doc, n, gh)
+    // instead of a separate count agg joined back to a second
+    // generation pass. HashPartitioning(doc_id) satisfies the window's
+    // ClusteredDistribution (subset rule), so the window costs one
+    // IN-PARTITION sort of compact fixed-width (doc, n, gh, pos) hash
+    // tuples — the gram strings are dropped at the projection — and
+    // the whole branch plans with ZERO exchanges and ZERO joins on the
+    // gram stream: no re-generation of the 6 longest widths, no
+    // shuffle of the duplicated slice (what the r11 form paid), no
+    // (doc, idx) exchange to look token lengths back up.
     val dupPos = gramsRange(5, 10)
       .select(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"), col("pos"))
-      .join(dupGroups510
-        .select("doc_id", "n", "gh").hint("shuffle_hash"),
-        Seq("doc_id", "n", "gh"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("doc_id", "n", "gh")))
+      .filter(col("cnt") >= 2)
+    // token lengths ride a doc-keyed ARRAY join: the join's only key
+    // IS the co-partitioning key, so it is exchange-free on both
+    // sides, and element_at resolves each covered index in place
+    val tls = base.select(col("doc_id"),
+      transform(col("w"), t => length(t).cast("long")).as("tls"))
     val covs = dupPos
       .select(col("doc_id"), col("n"),
         explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("idx"))
       .distinct() // overlapping duplicate grams cover a position once
-      .join(toks, Seq("doc_id", "idx"))
+      .join(tls.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        element_at(col("tls"), (col("idx") + 1).cast("int")).as("tl"))
       .groupBy("doc_id", "n").agg(sum("tl").as("cchars"))
       .join(wcs, Seq("doc_id"))
       // greatest: same zero-token-chars guard as the top-gram branch

@@ -2001,11 +2001,10 @@ object LlmQueries {
     // arithmetic. Scale shape: ONE corpus scan feeds a single
     // 9-way windowed explode (rows ∝ 9·tokens, no joins to build
     // grams); counts are one hash agg keyed (doc, n, gram) with
-    // map-side combine; the top-gram pick is a (doc, n)-partitioned
-    // row_number over the fixed-size count relation; coverage
-    // re-explodes ONLY duplicated grams' positions, distincts the
-    // covered index set, and joins it to the token-length relation —
-    // every shuffle keys on doc-local grams, nothing quadratic, no
+    // map-side combine; coverage counts come from a count window over
+    // (doc, n, gh) — one in-partition sort, no second gram pass, no
+    // shuffle of the duplicated slice — and token lengths resolve via
+    // an exchange-free doc-keyed array join; nothing quadratic, no
     // driver state.
     "x84_gopher_repetition" -> ((s, d) =>
       graft.llm.Repetition.gopherRepetition(
