@@ -13,12 +13,15 @@ import org.apache.spark.sql.execution.ExplainMode
   *   tools/run.sh graft.PlanAudit --write           # regenerate PLANS_BASELINE.json
   *   tools/run.sh graft.PlanAudit --check           # diff vs baseline, exit 1 on drift
   *
-  * The baseline covers the BATCH registry (st* excluded: their cost is
-  * runtime/state, and the micro-batch plans vary by trigger). A plan
-  * count changing is not automatically a bug — an intentional operator
-  * change regenerates the baseline in the same commit; an UNINTENDED
-  * diff is exactly the silent regression (new shuffle, lost broadcast,
-  * pruned column creeping back) this file exists to catch.
+  * The baseline covers the BATCH registry; the 28 st* entries carry
+  * their own STRUCTURAL baseline (stateful operator multiset +
+  * exchange count per micro-batch shape) in STREAM_PLANS_BASELINE via
+  * [[StreamPlanAudit]] — full plan equality is impossible there
+  * (micro-batch plans vary by trigger), the stateful shape is not. A
+  * plan count changing is not automatically a bug — an intentional
+  * operator change regenerates the baseline in the same commit; an
+  * UNINTENDED diff is exactly the silent regression (new shuffle, lost
+  * broadcast, pruned column creeping back) this file exists to catch.
   */
 object PlanAudit {
 
@@ -95,7 +98,8 @@ object PlanAudit {
         val stCount = queries.keys.count(_.startsWith("st"))
         println(if (drift == 0)
           s"plan shapes match baseline (${shapes.size} of ${queries.size} registry entries; " +
-            s"$stCount st* streaming entries excluded by design: micro-batch plans vary by trigger)"
+            s"$stCount st* entries pinned structurally in STREAM_PLANS_BASELINE " +
+            "via graft.StreamPlanAudit)"
         else s"$drift plan-shape drifts vs $BaselinePath")
         if (drift != 0) { spark.stop(); sys.exit(1) }
       }

@@ -25,4 +25,7 @@ SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.001}" \
 echo "== plan-shape regression =="
 tools/run.sh graft.PlanAudit --check 2>/dev/null | tail -1
 
+echo "== streaming plan-shape regression =="
+tools/run.sh graft.StreamPlanAudit --check 2>/dev/null | tail -1
+
 echo "GATE GREEN"
