@@ -42,6 +42,41 @@ object Scratch {
       d
     })
 
+  private val memoized = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** A PER-KEY driver-side VALUE built once per JVM — [[cachedDir]]'s
+    * twin for collected fixture rows (VERDICT r11 ask #8): every st*
+    * registry entry derives its MemoryStream feed by collecting a
+    * small deterministic projection of the batch tables, and the
+    * bench re-paid that batch job on every iteration of every entry —
+    * ~13 s of the sf0.1 streaming wall was fixture derivation, not
+    * stream execution. Keys must embed the sf dir; the computed rows
+    * are deterministic per key, so first-run and cached-run streams
+    * feed byte-identical data (answers unchanged — Verify's first run
+    * still exercises the full derivation).
+    */
+  def cachedValue[T <: AnyRef](key: String)(compute: => T): T =
+    memoized.computeIfAbsent(key, _ => compute).asInstanceOf[T]
+
+  /** [[cachedValue]] for a DRIVER-SIZED DataFrame fixture: the first
+    * call computes and collects it (schema + rows), later calls
+    * rebuild a local relation from the memo — no recomputation, no
+    * session coupling (collected rows are plain JVM data). Only for
+    * frames bounded by construction (sketch relations, exact-count
+    * comparison frames); the rebuilt frame plans as a LocalRelation.
+    */
+  def cachedFrame(spark: org.apache.spark.sql.SparkSession, key: String)(
+      compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (schema, rows) = cachedValue(key) {
+      val df = compute
+      (df.schema, df.collect().toSeq)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
