@@ -93,8 +93,25 @@ object ScaleSmoke {
         "shardstate", "spike", "planning", "selection", "temporal", "ordering")
     else stages0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.core.GraftSession.local("scale-smoke", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // smaller memory pages: 32 concurrent tasks share one 8 GB heap's
+    // execution pool (~90 MB/task at high mult), and a hash aggregate
+    // that cannot acquire its FIRST 64 MB page dies with
+    // AGGREGATE_OUT_OF_MEMORY instead of spilling — the 100× CC rounds
+    // hit exactly this (SCALE_r12). 4 MB pages let every task make
+    // progress and spill normally; a real deployment sizes
+    // executor cores/memory so this ratio never gets this tight.
+    System.setProperty("spark.buffer.pageSize", "4m")
+    val spark = graft.core.GraftSession.local("scale-smoke", cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // size shuffle partitions to the data, exactly the knob a 100 TB
+    // deployment turns: at 100x the 32-partition default leaves each
+    // task a 100x-bigger partition slice of a fixed 8 GB heap — the
+    // first 100x attempt OOM'd in the minhash band join for exactly
+    // this reason (SCALE_r12)
+    val shuffleParts = math.max(32, 32 * mult / 25)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffleParts.toString)
+    println(s"shuffle partitions: $shuffleParts (scaled to mult $mult, $cpus cores)")
     val tmp = s"/tmp/graft_scale_smoke_x$mult"
 
     lazy val docsAndStride: (DataFrame, Long) = {
@@ -108,7 +125,7 @@ object ScaleSmoke {
     def docs = docsAndStride._1
     def docStride = docsAndStride._2
 
-    if (stages("dedup")) dedupStage(docs)
+    if (stages("dedup")) dedupStage(docs, tmp)
     if (stages("prefix")) prefixStage(docs, docStride)
     if (stages("ivfpq")) ivfpqStage(spark, sfDir, mult, tmp)
     if (stages("bpe")) bpeStage(docs)
@@ -168,10 +185,18 @@ object ScaleSmoke {
     println(s"  inverted lists: $clusters; probe partition-prunes to its nprobe lists")
   }
 
-  private def dedupStage(docs: DataFrame): Unit = {
+  private def dedupStage(docs: DataFrame, tmp: String): Unit = {
+    val spark = docs.sparkSession
     val (cand, _) = timed("minhash candidates") {
-      val c = Dedup.minhashCandidates(docs, "text", "doc_id")
-        .localCheckpoint(true)
+      // pairs land on DISK, not in a localCheckpoint: at 100x the
+      // pairs frame is tens of millions of rows, and pinning it in
+      // storage memory starves the band join's execution memory into
+      // OOM at the 8 GB budget (the r11 x84 lesson, re-learned here
+      // at 100x — SCALE_r12). Parquet costs one write pass and keeps
+      // the heap flat.
+      Dedup.minhashCandidates(docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/dedup_pairs")
+      val c = spark.read.parquet(s"$tmp/dedup_pairs")
       println(s"  pairs: ${c.count()}")
       c
     }
