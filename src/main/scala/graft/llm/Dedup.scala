@@ -225,10 +225,18 @@ object Dedup {
     // reads longs), and null-id pairs are dropped uniformly — a null
     // node has no identity to cluster under, and letting one path NPE
     // while the other silently propagated nulls was the ADVICE r7 bug.
+    // DISK_ONLY, not localCheckpoint: the pair frame is DATA-SIZED
+    // (47M rows at the 100× scale point), and a localCheckpoint holds
+    // it DESERIALIZED in storage memory — at an 8 GB heap that
+    // starves every downstream aggregate into AGGREGATE_OUT_OF_MEMORY
+    // (SCALE_r12; the "only checkpoint provably small frames" rule
+    // this repo already documents). Disk persistence materializes the
+    // producer once with zero heap residency; node-sized frames below
+    // keep their checkpoints.
     val p = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nPairs = p.count()
     if (nPairs <= driverMaxPairs) {
       ccLog.info(s"connectedComponents: driver union-find path " +
@@ -240,7 +248,7 @@ object Dedup {
     val edges0 = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Right-size the iteration width from the MEASURED edge count (the
     // checkpoint above makes the count free): per-round frames are
     // O(|E|) rows, and driving a 2.5k-row graph through 32-way
@@ -249,10 +257,16 @@ object Dedup {
     // would pick if checkpointed frames had stats (they don't —
     // VERDICT r4 perf note).
     val nEdges = edges0.count()
+    p.unpersist() // the symmetrized edge list supersedes the raw pairs
     val parts = math.max(1L, math.min(edges0.rdd.getNumPartitions.toLong,
       nEdges / 500000L + 1L)).toInt
-    val edges = if (parts < edges0.rdd.getNumPartitions)
-      edges0.repartition(parts).localCheckpoint(true) else edges0
+    val edges = if (parts < edges0.rdd.getNumPartitions) {
+      val e = edges0.repartition(parts)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      e.count()
+      edges0.unpersist()
+      e
+    } else edges0
     // decimal(38,0) sum: labels are 60-bit ids, so a Long sum would
     // overflow (ANSI-throw) at ~millions of nodes — the fixpoint test
     // must not be the thing that caps the operator's scale
