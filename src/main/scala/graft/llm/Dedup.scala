@@ -241,7 +241,12 @@ object Dedup {
     if (nPairs <= driverMaxPairs) {
       ccLog.info(s"connectedComponents: driver union-find path " +
         s"($nPairs pairs <= $driverMaxPairs)")
-      return driverUnionFind(p)
+      // collect consumes p entirely — release the persist before
+      // returning (CacheHygieneSpec: operators leave the CacheManager
+      // as they found it)
+      val out = driverUnionFind(p)
+      p.unpersist()
+      return out
     }
     ccLog.info(s"connectedComponents: distributed label-propagation path " +
       s"($nPairs pairs > $driverMaxPairs)")
@@ -320,6 +325,9 @@ object Dedup {
       labels = next
       round += 1
     }
+    // the final labels are a materialized node-sized checkpoint — the
+    // edge persist has no remaining consumer (cache hygiene)
+    edges.unpersist()
     labels
   }
 
