@@ -46,7 +46,11 @@ object Bench {
     // with UNCHANGED plans (PlanAudit clean) — pin them so the
     // reported min draws from Iters samples, not two
     "st17_streaming_cdc_merge", "r05_spike_pipeline_mat",
-    "x85_perplexity_split")
+    "x85_perplexity_split",
+    // r12's control draw flagged x43 at 0.85→1.68 s with the plan
+    // unchanged and a fresh idle re-draw at 1.28 s — the same
+    // midband-straddler shape; pin it to Iters samples
+    "x43_ivfpq_residual_topk")
   private val BudgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
 
   /** Queries above this first-run cost get a contention check: a fixed

@@ -14,6 +14,21 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** Storage level for DATA-SIZED materializations (token streams,
+    * fingerprint streams, edge lists, gram-position frames): the
+    * default localCheckpoint level holds blocks DESERIALIZED in
+    * storage memory, and at an 8 GB heap a corpus-sized block set
+    * starves execution memory into AGGREGATE_OUT_OF_MEMORY — the 100×
+    * scale point demonstrated it on the CC edge list (SCALE_r12).
+    * DISK_ONLY keeps the checkpoint form's leak-freedom (RDD-owned
+    * blocks, ContextCleaner-freed — CacheHygieneSpec) with zero heap
+    * residency; re-reads come from the local disk cache. Frames
+    * BOUNDED by construction (band signatures ∝ docs×bands, labels ∝
+    * nodes, vocab tables) keep the default level — their reuse is
+    * hot and their size provable.
+    */
+  private[llm] val DataSized = org.apache.spark.storage.StorageLevel.DISK_ONLY
+
   /** Exact dedup on a content hash: keep the lowest-id row per
     * distinct content, annotated with the duplicate count.
     *
@@ -225,35 +240,32 @@ object Dedup {
     // reads longs), and null-id pairs are dropped uniformly — a null
     // node has no identity to cluster under, and letting one path NPE
     // while the other silently propagated nulls was the ADVICE r7 bug.
-    // DISK_ONLY, not localCheckpoint: the pair frame is DATA-SIZED
-    // (47M rows at the 100× scale point), and a localCheckpoint holds
-    // it DESERIALIZED in storage memory — at an 8 GB heap that
-    // starves every downstream aggregate into AGGREGATE_OUT_OF_MEMORY
-    // (SCALE_r12; the "only checkpoint provably small frames" rule
-    // this repo already documents). Disk persistence materializes the
-    // producer once with zero heap residency; node-sized frames below
-    // keep their checkpoints.
+    // DISK_ONLY checkpoint, not the default level: the pair frame is
+    // DATA-SIZED (47M rows at the 100× scale point), and the default
+    // localCheckpoint holds it DESERIALIZED in storage memory — at an
+    // 8 GB heap that starves every downstream aggregate into
+    // AGGREGATE_OUT_OF_MEMORY (SCALE_r12; the "only checkpoint
+    // provably small frames" rule this repo already documents).
+    // localCheckpoint(eager, DISK_ONLY) keeps the leak-freedom the
+    // checkpoint form exists for (blocks owned by the RDD, freed by
+    // the ContextCleaner — CacheHygieneSpec) with ZERO heap
+    // residency; node-sized frames below keep the default level.
     val p = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, DataSized)
     val nPairs = p.count()
     if (nPairs <= driverMaxPairs) {
       ccLog.info(s"connectedComponents: driver union-find path " +
         s"($nPairs pairs <= $driverMaxPairs)")
-      // collect consumes p entirely — release the persist before
-      // returning (CacheHygieneSpec: operators leave the CacheManager
-      // as they found it)
-      val out = driverUnionFind(p)
-      p.unpersist()
-      return out
+      return driverUnionFind(p)
     }
     ccLog.info(s"connectedComponents: distributed label-propagation path " +
       s"($nPairs pairs > $driverMaxPairs)")
     val edges0 = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, DataSized)
     // Right-size the iteration width from the MEASURED edge count (the
     // checkpoint above makes the count free): per-round frames are
     // O(|E|) rows, and driving a 2.5k-row graph through 32-way
@@ -262,16 +274,11 @@ object Dedup {
     // would pick if checkpointed frames had stats (they don't —
     // VERDICT r4 perf note).
     val nEdges = edges0.count()
-    p.unpersist() // the symmetrized edge list supersedes the raw pairs
     val parts = math.max(1L, math.min(edges0.rdd.getNumPartitions.toLong,
       nEdges / 500000L + 1L)).toInt
-    val edges = if (parts < edges0.rdd.getNumPartitions) {
-      val e = edges0.repartition(parts)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      e.count()
-      edges0.unpersist()
-      e
-    } else edges0
+    val edges = if (parts < edges0.rdd.getNumPartitions)
+      edges0.repartition(parts).localCheckpoint(true, DataSized)
+    else edges0
     // decimal(38,0) sum: labels are 60-bit ids, so a Long sum would
     // overflow (ANSI-throw) at ~millions of nodes — the fixpoint test
     // must not be the thing that caps the operator's scale
@@ -325,9 +332,6 @@ object Dedup {
       labels = next
       round += 1
     }
-    // the final labels are a materialized node-sized checkpoint — the
-    // edge persist has no remaining consumer (cache hygiene)
-    edges.unpersist()
     labels
   }
 
@@ -359,16 +363,18 @@ object Dedup {
     def withMin(e: DataFrame): DataFrame =
       e.withColumn("m", least(min("v").over(w), col("u")))
 
+    // edge frames are DATA-SIZED — DISK_ONLY checkpoints throughout,
+    // same rationale as [[connectedComponents]] (SCALE_r12)
     var edges = sym(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .localCheckpoint(true)) // materialize once: sym()'s union has two branches
-      .localCheckpoint(true)
+        .localCheckpoint(true, DataSized)) // materialize once: sym()'s union has two branches
+      .localCheckpoint(true, DataSized)
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxIter) {
       // large-star: strictly larger neighbors re-link to the min
       val ls = withMin(edges).filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      val afterLs = sym(ls).localCheckpoint(true)
+      val afterLs = sym(ls).localCheckpoint(true, DataSized)
       // small-star: the remaining (smaller) neighbors and u itself
       val ssSrc = withMin(afterLs)
       val ss = ssSrc.filter(col("v") < col("u"))
@@ -378,7 +384,7 @@ object Dedup {
       // edge sets are distinct, so they're equal iff the +1/-1 tagged
       // union nets to zero everywhere — replaces the two exceptAll
       // jobs (and the separate eager-checkpoint pass) per round
-      val next = sym(ss).localCheckpoint(false)
+      val next = sym(ss).localCheckpoint(false, DataSized)
       converged = next.withColumn("t", lit(1))
         .union(edges.withColumn("t", lit(-1)))
         .groupBy("u", "v").agg(sum("t").as("d"))
@@ -427,7 +433,7 @@ object Dedup {
     // localCheckpoint, not .cache(), for the same leak-freedom reason.
     val toks0 = docs.select(col(idCol),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val toks = if (materialize) toks0.localCheckpoint(true) else toks0
+    val toks = if (materialize) toks0.localCheckpoint(true, DataSized) else toks0
     // |distinct tokens| == row count of the exploded frame per doc
     val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("n_tok"))
 
@@ -503,7 +509,7 @@ object Dedup {
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
     // four consumers (df, sizes, prefix build, verify join) — one
     // tokenize pass, eager localCheckpoint for leak-freedom
-    val toks = if (materialize) toks0.localCheckpoint(true) else toks0
+    val toks = if (materialize) toks0.localCheckpoint(true, DataSized) else toks0
     val sz = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val dfr = toks.groupBy("tok").agg(count(lit(1)).as("df"))
 
@@ -609,7 +615,7 @@ object Dedup {
     // sides; eager localCheckpoint (not cache) for leak-freedom, as
     // everywhere in this file
     val fps0 = winnowingFingerprints(docs, textCol, idCol, k, w)
-    val fps = if (materialize) fps0.localCheckpoint(true) else fps0
+    val fps = if (materialize) fps0.localCheckpoint(true, DataSized) else fps0
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("fp")
     val kept = fps.join(rare, "fp")
@@ -704,12 +710,12 @@ object Dedup {
                            minContE6: Long = 500000L,
                            materialize: Boolean = true): DataFrame = {
     val fps0 = winnowingFingerprints(docs, textCol, idCol, k, w)
-    val fps = if (materialize) fps0.localCheckpoint(true) else fps0
+    val fps = if (materialize) fps0.localCheckpoint(true, DataSized) else fps0
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("fp")
     // sizes + both join sides read the capped set: materialize it too
     val kept0 = fps.join(rare, "fp")
-    val kept = if (materialize) kept0.localCheckpoint(true) else kept0
+    val kept = if (materialize) kept0.localCheckpoint(true, DataSized) else kept0
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("n_fp"))
     val a = kept.select(col(idCol).as("doc_a"), col("fp"))
     val b = kept.select(col(idCol).as("doc_b"), col("fp"))
@@ -748,13 +754,13 @@ object Dedup {
     require(w >= 2, s"span width must be >= 2, got $w")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = docs.select(col(idCol), tokens(col(textCol)).as("t"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, DataSized)
     val grams = base.filter(size(col("t")) >= w)
       .select(col(idCol),
         posexplode(transform(wordShingles(col("t"), w), g => hash60(g)))
           .as(Seq("s0", "h")))
       .select(col(idCol), (col("s0") + 1).as("s"), col("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, DataSized)
     val dup = grams.groupBy("h")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs).select("h")
@@ -793,7 +799,7 @@ object Dedup {
     require(w >= 2, s"span width must be >= 2, got $w")
     val base = docs
       .select(col(idCol), benchPred.as("is_bench"), tokens(col(textCol)).as("t"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, DataSized)
     val benchGrams = base.filter(col("is_bench") && size(col("t")) >= w)
       .select(explode(transform(wordShingles(col("t"), w), g => hash60(g))).as("h"))
       .distinct()

@@ -130,7 +130,12 @@ final case class IvfPqIndex(tablePath: String, dir: String,
     * opens.
     */
   override def compact(spark: SparkSession): Unit = {
-    val snap = spark.read.parquet(codesPath).localCheckpoint(true)
+    // DISK_ONLY snapshot: the codes relation is DATA-SIZED (corpus ×
+    // M rows), and the default checkpoint level would pin it
+    // deserialized in storage memory for the duration of the rewrite
+    // (the 100× lesson — SCALE_r12)
+    val snap = spark.read.parquet(codesPath)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       .dropDuplicates("neighbor_id", "subspace")
     snap.repartition(col("cluster")).sortWithinPartitions("cluster")
       .write.partitionBy("cluster").mode("overwrite").parquet(codesPath)
