@@ -101,8 +101,14 @@ object Dedup {
     // leaked one cache entry for the life of the session (VERDICT r4).
     // Checkpoint blocks are owned by the RDD and freed by the
     // ContextCleaner as soon as the result frame is unreachable
-    // (CacheHygieneSpec pins both properties).
-    val banded = if (materialize) banded0.localCheckpoint(true) else banded0
+    // (CacheHygieneSpec pins both properties). DISK_ONLY like every
+    // data-sized frame: docs × bands rows each carrying the 24-long
+    // signature array is GBs DESERIALIZED at the 100× point, and that
+    // residency was the margin between the band self-join finishing
+    // and heap-OOMing under the 8 GB budget (SCALE_r12 — the stage
+    // passed or died run to run before this).
+    val banded = if (materialize) banded0.localCheckpoint(true, DataSized)
+                 else banded0
 
     val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("bkey"))
