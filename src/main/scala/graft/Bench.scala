@@ -268,14 +268,62 @@ object Bench {
     val split = stSplit.result().map { case (k, ex, h) =>
       jstr(k) + s""":{"exec":${n3(ex)},"harness":${n3(h)}}"""
     }.mkString("{", ",", "}")
+    // ---- committed same-host control draw (VERDICT r12 ask #6) ----
+    // tools/bench.sh --control benches the PREVIOUS round's tree and
+    // this tree minutes apart on one host and commits the control
+    // summary as BENCH_CONTROL.json; merging it HERE puts the control
+    // + per-query mover verdicts into the driver-submitted artifact
+    // itself, so raw cross-round totals (single-day snapshots on a
+    // shared, drifting host) stop being the only evidence — r12's
+    // 164.2 vs 134.9 s "regression" was an 8.2% same-host IMPROVEMENT.
+    // Flat regex parse (no JSON lib on the classpath); the file is
+    // generated by tools/bench.sh in exactly this shape.
+    case class Control(sha: String, sf: String, total: Double,
+                       mins: Map[String, Double])
+    val control: Option[Control] = {
+      val p = java.nio.file.Paths.get("BENCH_CONTROL.json")
+      if (!java.nio.file.Files.isReadable(p)) None
+      else scala.util.Try {
+        val txt = java.nio.file.Files.readString(p)
+        def str(k: String) = (s""""$k"\\s*:\\s*"([^"]+)"""").r
+          .findFirstMatchIn(txt).get.group(1)
+        val tot = """"total"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(txt).get.group(1).toDouble
+        val minsBlock = txt.split("\"queries_min\"\\s*:\\s*\\{", 2)(1)
+          .split("\\}", 2)(0)
+        val mins = """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(minsBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        Control(str("sha"), str("sf"), tot, mins)
+      }.toOption
+    }
+    // only comparable at the control's own scale factor (basename —
+    // the driver and dev runs mount the same /root/testdata dirs)
+    val usableControl = control.filter(c =>
+      new java.io.File(c.sf).getName == new java.io.File(sfDir).getName)
+
     val note = "adaptive iters: median of " + Iters +
       " for cheap queries; >" + SentinelGateSecs.toInt +
       "s runs are sentinel-gated best-of-<=3 (entries in `contended` never saw " +
       "a clean sentinel and are inflated by co-tenant load; sentinel floor " +
       n3(sentinelFloor) + "s); past the " + BudgetSecs.toInt +
       "s budget, single runs; st* wall = streaming_split exec + fixed harness floor"
-    val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"contended":$cont,"queries":$qs,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"sentinel_floor_sec":${n3(sentinelFloor)},"contended":$cont,"streaming_split":$split,"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""
+    // mover verdicts vs the committed control, on per-query MINs (the
+    // plan's cost, not the contention draw) — same 1.3×/0.77×
+    // thresholds as tools/bench.sh
+    val controlJson: String = usableControl.map { c =>
+      val minByName = ts.map { case (k, _, mn, _) => k -> mn }.toMap
+      val movers = minByName.toSeq.sorted.flatMap { case (k, v) =>
+        c.mins.get(k).filter(_ > 0).flatMap { w =>
+          val ratio = v / w
+          if (ratio > 1.3 || ratio < 0.77)
+            Some(jstr(k) + s""":{"current_min":${n3(v)},"control_min":${n3(w)},"ratio":${n3(ratio)},"verdict":${jstr(if (ratio > 1.3) "regression" else "improvement")}}""")
+          else None
+        }
+      }
+      s""","control":{"sha":${jstr(c.sha)},"total":${n3(c.total)},"note":"same-host control draw of the previous round's tree (tools/bench.sh --control; BENCH_CONTROL.json commit), benched minutes apart from this tree's BENCH_LOCAL draw; movers compare this run's per-query mins against it"},"movers":${movers.mkString("{", ",", "}")}"""
+    }.getOrElse("")
+    val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"contended":$cont$controlJson,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"sentinel_floor_sec":${n3(sentinelFloor)},"contended":$cont$controlJson,"streaming_split":$split,"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
@@ -294,7 +342,9 @@ object Bench {
       .map { case (k, med, _, _) => jstr(k) + ":" + n3(med) }.mkString("{", ",", "}")
     val tailNote = "compact tail line: `queries` here = 8 heaviest of " +
       ts.size + " entries; full per-query map on the previous stdout line and in target/bench.json"
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","entries":${ts.size},"errors":${errors.size},"contended":$cont,"note":${jstr(tailNote)},"queries":$worst,"sf":"$sfDir"}""")
+    val ctlTail = usableControl.map(c =>
+      s""","control_sha":${jstr(c.sha)},"control_total":${n3(c.total)}""").getOrElse("")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","entries":${ts.size},"errors":${errors.size},"contended":$cont$ctlTail,"note":${jstr(tailNote)},"queries":$worst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,16 +70,27 @@ object StreamPlanAudit {
     }
     /** Wait until no new plan has arrived for `quietMs` (the entry has
       * already run to completion synchronously; this only drains the
-      * async bus).
+      * async bus). The bus can pause longer than one quiet window
+      * between slow micro-batch postings, so a still-arriving stream
+      * of events EXTENDS the wait up to `maxMs` — and hitting `maxMs`
+      * while events are still arriving FAILS LOUDLY instead of
+      * returning silently: a silent return let late plans bleed into
+      * the NEXT entry's signature and produced flaky drift failures in
+      * gate's --check (ADVICE r12).
       */
-    def stable(quietMs: Long = 400L, maxMs: Long = 10000L): Unit = {
+    def stable(quietMs: Long = 400L, maxMs: Long = 30000L): Unit = {
       val deadline = System.nanoTime() + maxMs * 1000000L
-      var last = -1
-      while (System.nanoTime() < deadline) {
+      var last = seen.size()
+      while (true) {
+        Thread.sleep(quietMs)
         val n = seen.size()
         if (n == last) return
+        if (System.nanoTime() >= deadline)
+          throw new IllegalStateException(
+            s"stream plan bus still posting after ${maxMs} ms " +
+              s"($n plans so far) — entry attribution would be wrong; " +
+              "raise maxMs or investigate the runaway stream")
         last = n
-        Thread.sleep(quietMs)
       }
     }
     def drain(): Seq[String] = {

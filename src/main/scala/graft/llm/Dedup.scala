@@ -23,9 +23,12 @@ object Dedup {
     * DISK_ONLY keeps the checkpoint form's leak-freedom (RDD-owned
     * blocks, ContextCleaner-freed — CacheHygieneSpec) with zero heap
     * residency; re-reads come from the local disk cache. Frames
-    * BOUNDED by construction (band signatures ∝ docs×bands, labels ∝
-    * nodes, vocab tables) keep the default level — their reuse is
-    * hot and their size provable.
+    * BOUNDED by construction (labels ∝ nodes, vocab tables) keep the
+    * default level — their reuse is hot and their size provable. The
+    * band-signature frame does NOT qualify: docs × bands rows each
+    * carrying the 24-long signature array is GBs deserialized at the
+    * 100× point, and it was the flaky heap margin there (SCALE_r12) —
+    * it checkpoints DISK_ONLY like every other data-sized frame.
     */
   private[llm] val DataSized = org.apache.spark.storage.StorageLevel.DISK_ONLY
 
@@ -89,46 +92,109 @@ object Dedup {
         .as(Seq("band", "bkey")))
   }
 
+  /** @param collapseExact collapse EXACT-signature duplicate groups
+    *   before the band self-join (default). Real web corpora are
+    *   duplicate-dense — 100-copy groups are normal — and the band
+    *   self-join emits every `a<b` pair per bucket, so candidate
+    *   pairs grow QUADRATICALLY inside exact-dup groups (47.37M
+    *   pairs / 474.9 s at the 100× scale point, SCALE_r12). Identical
+    *   signatures match on every band and estimate jaccard exactly
+    *   1.0 ≥ any threshold, so the collapse is semantics-exact for
+    *   CLUSTERING: each signature group links member → group-minimum
+    *   id as a STAR edge (n_match = k, est = 1e6 — the values the
+    *   pairwise path would compute), and the band self-join runs on
+    *   signature-DISTINCT representatives only. Edges become linear
+    *   in group size; connected components, node sets, and labels are
+    *   IDENTICAL to the full listing's (any member-member or
+    *   member-external pair the star set omits is implied through the
+    *   representative, whose signature — hence band keys and every
+    *   estimate — equals its members'). Pass `false` for the full
+    *   quadratic pair LISTING when the pairs themselves are the
+    *   answer (the x02/x49/x53/x56 audit queries): per-pair audits
+    *   must see member-level pairs, while every cluster consumer
+    *   (x20/x35/x55/x68, [[dropNearDuplicates]]) takes the default.
+    */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         minEstE6: Long = 250000L,
-                        materialize: Boolean = true): DataFrame = {
-    val banded0 = bandIndex(docs, textCol, idCol)
-    // The self-join consumes the (cpu-heavy) signature pipeline twice;
-    // materialize it ONCE via eager localCheckpoint. NOT .cache():
-    // a cached frame lives in the shared CacheManager until someone
-    // calls unpersist, and an operator returning a lazy DataFrame has
-    // no "after the consuming action" hook to do that — every call
-    // leaked one cache entry for the life of the session (VERDICT r4).
-    // Checkpoint blocks are owned by the RDD and freed by the
-    // ContextCleaner as soon as the result frame is unreachable
-    // (CacheHygieneSpec pins both properties). DISK_ONLY like every
-    // data-sized frame: docs × bands rows each carrying the 24-long
-    // signature array is GBs DESERIALIZED at the 100× point, and that
-    // residency was the margin between the band self-join finishing
-    // and heap-OOMing under the 8 GB budget (SCALE_r12 — the stage
-    // passed or died run to run before this).
-    val banded = if (materialize) banded0.localCheckpoint(true, DataSized)
-                 else banded0
-
-    val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),
-      col("band"), col("bkey"))
-    val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"),
-      col("band").as("band_b"), col("bkey").as("bkey_b"))
-
-    // score each band hit immediately and aggregate with max() — the
+                        materialize: Boolean = true,
+                        collapseExact: Boolean = true): DataFrame = {
+    val pairCols = Seq(col("doc_a"), col("doc_b"), col("n_match"),
+      col("est_jaccard_e6"))
+    // Band hits are scored immediately and aggregated with max() — the
     // signature arrays never cross the pair-dedup shuffle, keeping the
     // aggregate hash-based (first(array) would force a SortAggregate
     // carrying both arrays per candidate row).
-    a.join(b,
-        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        sigMatches(col("sig_a"), col("sig_b")).as("n_match"))
-      .groupBy("doc_a", "doc_b")
-      .agg(max("n_match").as("n_match"))
-      .withColumn("est_jaccard_e6",
-        floor(lit(1000000.0) * col("n_match") / lit(MinHashK.toDouble)).cast("long"))
-      .filter(col("est_jaccard_e6") >= minEstE6)
+    def bandPairs(banded: DataFrame): DataFrame = {
+      val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),
+        col("band"), col("bkey"))
+      val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"),
+        col("band").as("band_b"), col("bkey").as("bkey_b"))
+      a.join(b,
+          col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+            col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          sigMatches(col("sig_a"), col("sig_b")).as("n_match"))
+        .groupBy("doc_a", "doc_b")
+        .agg(max("n_match").as("n_match"))
+        .withColumn("est_jaccard_e6",
+          floor(lit(1000000.0) * col("n_match") / lit(MinHashK.toDouble)).cast("long"))
+        .filter(col("est_jaccard_e6") >= minEstE6)
+        .select(pairCols: _*)
+    }
+    if (!collapseExact) {
+      // The self-join consumes the (cpu-heavy) signature pipeline twice;
+      // materialize it ONCE via eager localCheckpoint. NOT .cache():
+      // a cached frame lives in the shared CacheManager until someone
+      // calls unpersist, and an operator returning a lazy DataFrame has
+      // no "after the consuming action" hook to do that — every call
+      // leaked one cache entry for the life of the session (VERDICT r4).
+      // Checkpoint blocks are owned by the RDD and freed by the
+      // ContextCleaner as soon as the result frame is unreachable
+      // (CacheHygieneSpec pins both properties). DISK_ONLY like every
+      // data-sized frame: docs × bands rows each carrying the 24-long
+      // signature array is GBs DESERIALIZED at the 100× point, and that
+      // residency was the margin between the band self-join finishing
+      // and heap-OOMing under the 8 GB budget (SCALE_r12 — the stage
+      // passed or died run to run before this).
+      val banded0 = bandIndex(docs, textCol, idCol)
+      val banded = if (materialize) banded0.localCheckpoint(true, DataSized)
+                   else banded0
+      bandPairs(banded)
+    } else {
+      // Exact-signature collapse. The group key is the FULL signature
+      // array, not a hash of it — grouping stays exact, never "exact
+      // up to a 60-bit collision". Docs too short to shingle carry an
+      // all-null signature (see [[bandIndex]]); they must NOT collapse
+      // into one giant pseudo-group, so each stays its own
+      // representative (their band pairs then die at the threshold
+      // exactly as on the uncollapsed path). sig[0] decides: a minhash
+      // position is null iff the shingle set is empty, i.e. all-or-
+      // nothing across positions.
+      val sigd0 = docs.select(col(idCol),
+        minhashSigText(col(textCol)).as("sig"))
+      val wSig = Window.partitionBy("sig")
+      val withRep0 = sigd0.withColumn("rep",
+        when(col("sig").getItem(0).isNull, col(idCol))
+          .otherwise(min(col(idCol)).over(wSig)))
+      // two consumers (star edges + representative band frame): one
+      // signature pass, eager DISK_ONLY checkpoint — same
+      // leak-freedom/heap rationale as the uncollapsed branch
+      val withRep = if (materialize) withRep0.localCheckpoint(true, DataSized)
+                    else withRep0
+      // star edges: member → its group's minimum id. rep < member by
+      // construction, so (doc_a, doc_b) ordering holds; n_match/est
+      // are the exact values sigMatches would compute on equal sigs.
+      val star0 = withRep.filter(col("rep") =!= col(idCol))
+        .select(col("rep").as("doc_a"), col(idCol).as("doc_b"),
+          lit(MinHashK.toLong).as("n_match"), lit(1000000L).as("est_jaccard_e6"))
+      val star = if (minEstE6 <= 1000000L) star0 else star0.limit(0)
+      val reps = withRep.filter(col("rep") === col(idCol))
+      val banded = reps.select(
+        col(idCol), col("sig"),
+        posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
+          .as(Seq("band", "bkey")))
+      bandPairs(banded).unionByName(star)
+    }
   }
 
   /** Incremental near-dup detection: a NEW batch of documents against
@@ -408,9 +474,22 @@ object Dedup {
     * anti-join ships only the (small) drop list, never the corpus.
     */
   def dropNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
-                         minEstE6: Long = 250000L): DataFrame = {
-    val labels = connectedComponents(
-      minhashCandidates(docs, textCol, idCol, minEstE6), "doc_a", "doc_b")
+                         minEstE6: Long = 250000L): DataFrame =
+    dropNearDuplicates(docs,
+      connectedComponents(
+        minhashCandidates(docs, textCol, idCol, minEstE6), "doc_a", "doc_b"),
+      idCol)
+
+  /** The drop step alone, over ALREADY-COMPUTED cluster labels
+    * ([[connectedComponents]]' (node, label) shape) — so a pipeline
+    * that has the candidates and clusters in hand does NOT pay the
+    * two heaviest funnel stages a second time (VERDICT r12: the
+    * text-only overload internally re-ran candidates + CC, and the
+    * 100× funnel triple-paid the candidates wall that way). The
+    * anti-join ships only the (small) drop list, never the corpus.
+    */
+  def dropNearDuplicates(docs: DataFrame, labels: DataFrame,
+                         idCol: String): DataFrame = {
     val drops = labels.filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")

@@ -866,6 +866,29 @@ object Similarity {
     assigned.select(col(idCol), rawSum.as("raw_e9"), resSum.as("res_e9"))
   }
 
+  /** Per-vector quantization error of RAW-vector PQ codes alone —
+    * [[pqReconErrors]]' raw half without the residual machinery (no
+    * centroids needed): per subspace the argmin codeword distance IS
+    * the subspace's reconstruction error; e9-floored per subspace then
+    * integer-summed, so the number is engine- and partitioning-exact.
+    * One shuffle-free projection. This is the quantity a PERSISTED
+    * index monitors per append batch: encoding against frozen
+    * codebooks stays answer-deterministic forever, but a drifting
+    * embedding distribution degrades it — and the degradation shows
+    * up HERE first, as reconstruction error of new rows against the
+    * old books ([[graft.operators.IvfPqIndex.staleQuantizer]]).
+    */
+  def pqRawErrors(corpus: DataFrame, codebooks: Seq[Seq[(Long, Seq[Float])]],
+                  subDim: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val errSum = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col(vecCol), mi * subDim + 1, subDim)
+      val dists = array(cb.map { case (_, w) => sqDistLit(sub, w) }: _*)
+      floor(array_min(dists) * lit(1000000000.0)).cast("long")
+    }.reduce(_ + _)
+    corpus.select(col(idCol), errSum.as("err_e9"))
+  }
+
   /** Residual IVF-PQ search — [[ivfPqTopK]] with [[ivfPqResidualEncode]]'s
     * codes: each probe's LUT is computed against ITS residual in each
     * probed cluster (r_p = p − c_ℓ differs per list, so LUT rows are

@@ -1367,11 +1367,24 @@ object GeneralQueries {
       val ord = Tables.orders(s, d).select(
         date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
         col("o_custkey"))
-      val dir = graft.core.Scratch.dir("graft_sketch_index_part")
-      SketchIndex.writeMonthly(ord, "month_sec", "o_custkey", dir, K)
+      // since r13 the probe goes through CATALOG DISCOVERY (VERDICT
+      // r12 ask #2): the derived frame lands as a scratch table (the
+      // catalog sidecar needs a writable table dir), the index
+      // registers as kind=sketch, and the probe states only the month
+      // range — no index path. KMV sketches are order-free functions
+      // of each month's key SET, so the round-trip through parquet
+      // changes nothing.
+      val root = graft.core.Scratch.dir("graft_sketch_index_part")
+      val ordPath = s"$root/ord"
+      ord.write.parquet(ordPath)
+      SketchIndex.writeMonthly(s.read.parquet(ordPath),
+        "month_sec", "o_custkey", s"$root/sk", K)
+      graft.sources.IndexAdvisor.register(s, ordPath, "sketch", s"$root/sk",
+        Seq("month_sec", "o_custkey"), Map("k" -> K.toString))
       val From = 820454400L  // 1996-01-01T00:00:00Z
       val Until = 852076800L // 1997-01-01T00:00:00Z
-      val probed = SketchIndex.probeRange(s, dir, From, Until)
+      val probed = graft.sources.IndexAdvisor.sketchRangeDiscovered(
+        s, ordPath, From, Until)
       val inRange = ord.filter(col("month_sec") >= From && col("month_sec") < Until)
       val monthly = probed
         .join(inRange.groupBy("month_sec")

@@ -109,9 +109,14 @@ object LlmQueries {
     // single-split local input and inserts nothing when the input
     // arrives pre-split (SplitForCpuSpec proves both plans).
     "x02_minhash_lsh" -> ((s, d) => {
+      // collapseExact = false: this entry IS the audit-grade pair
+      // LISTING (its oracle enumerates every qualifying pair), so the
+      // member-level pairs inside exact-signature groups are the
+      // answer. Cluster consumers (x20/x35/x55/x68) take the default
+      // star-collapsed path — provably component-identical.
       Dedup.minhashCandidates(
           Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"),
-          "text", "doc_id")
+          "text", "doc_id", collapseExact = false)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1014,7 +1019,9 @@ object LlmQueries {
     "x49_minhash_calibration" -> ((s, d) => {
       val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("text"))
-      val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
+      // full listing (collapseExact = false): calibration is per PAIR
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id",
+        collapseExact = false)
       // native generator: linear shingle emission (the HOF-array form
       // re-split the text per element — see x36)
       val ds = docs.select(col("doc_id"), expr("shingle_gen(text, 2)"))
@@ -1121,7 +1128,9 @@ object LlmQueries {
       def flagged(df: DataFrame, m: Int, sh: Int, w: Int) =
         df.select(col("doc_a"), col("doc_b"),
           lit(m.toLong).as("mh"), lit(sh.toLong).as("sh"), lit(w.toLong).as("wn"))
-      flagged(Dedup.minhashCandidates(docs, "text", "doc_id"), 1, 0, 0)
+      // full listing: the agreement matrix counts member-level PAIRS
+      flagged(Dedup.minhashCandidates(docs, "text", "doc_id",
+        collapseExact = false), 1, 0, 0)
         .union(flagged(Dedup.simhashPairs(docs, "text", "doc_id"), 0, 1, 0))
         .union(flagged(Dedup.winnowingPairs(docs, "text", "doc_id"), 0, 0, 1))
         .groupBy("doc_a", "doc_b")
@@ -1151,7 +1160,9 @@ object LlmQueries {
     // source map, so the audit adds no new shuffle class.
     "x53_source_overlap" -> ((s, d) => {
       val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
-      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      // full listing: the overlap matrix counts member-level PAIRS
+      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+        collapseExact = false)
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
@@ -2062,15 +2073,62 @@ object LlmQueries {
     // (sample ids < 8 for both quantizers, m=8, subDim=8, k=3,
     // nprobe=2), so the answer hash-matches x41's oracle verbatim:
     // persistence changes where the codes live, never what they say.
+    // Since r13 the probe goes through CATALOG DISCOVERY (VERDICT r12
+    // ask #2): the build registers kind=ivfpq in the table's
+    // `_graft_indexes` sidecar (under a scratch table copy — the
+    // testdata dir is read-only) and the query states only (probes,
+    // k, nprobe) — no index path. The copy preserves row values, so
+    // quantizers, codes, and the probe answer are unchanged.
     "x86_persisted_ivfpq_probe" -> ((s, d) => {
-      val table = s"$d/embeddings.parquet"
-      val idxDir = graft.core.Scratch.cachedDir(s"x86_ivfpq_$d") { r =>
-        graft.operators.IvfPqIndex(table, s"$r/idx").create(s)
+      val root = graft.core.Scratch.cachedDir(s"x86_ivfpq_$d") { r =>
+        s.read.parquet(s"$d/embeddings.parquet").write.parquet(s"$r/vecs")
+        graft.operators.IvfPqIndex(s"$r/vecs", s"$r/idx").create(s)
+        graft.sources.IndexAdvisor.register(s, s"$r/vecs", "ivfpq", s"$r/idx",
+          Seq("vec_id", "embedding"),
+          Map("m" -> "8", "subDim" -> "8", "sampleSize" -> "8"))
       }
-      val idx = graft.operators.IvfPqIndex(table, s"$idxDir/idx")
-      idx.probe(s, Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
+      graft.sources.IndexAdvisor.probeDiscovered(s, s"$root/vecs",
+          Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
           k = 3, nprobe = 2)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // QUANTIZER-DRIFT MONITORING on the persisted ANN index (VERDICT
+    // r12 ask #5): appends encode against FROZEN quantizers forever —
+    // answer-parity demands it — so a drifting embedding distribution
+    // degrades recall with no stale file to show for it. The index
+    // records each batch's raw-PQ reconstruction error (x45's measured
+    // quantity) beside its provenance; this entry drives the full
+    // story — create on the corpus, one answer-parity append (same
+    // vectors, new ids: error identical to create's), one SHIFTED
+    // append (+3.0 per coordinate: the frozen books stop explaining
+    // the data) — and outputs the pooled per-phase error view plus the
+    // staleQuantizer retrain verdict, all integer-exact under the
+    // DuckDB oracle.
+    "x87_quantizer_drift" -> ((s, d) => {
+      val root = graft.core.Scratch.cachedDir(s"x87_drift_$d") { r =>
+        val base = s.read.parquet(s"$d/embeddings.parquet")
+        base.write.parquet(s"$r/vecs")
+        val idx = graft.operators.IvfPqIndex(s"$r/vecs", s"$r/idx")
+        idx.create(s)
+        val pre1 = graft.operators.ZoneMap.dataFiles(s, s"$r/vecs").toSet
+        base.select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+          .write.mode("append").parquet(s"$r/vecs")
+        idx.append(s, graft.operators.ZoneMap.dataFiles(s, s"$r/vecs")
+          .filterNot(pre1).toSeq)
+        val pre2 = graft.operators.ZoneMap.dataFiles(s, s"$r/vecs").toSet
+        base.select((col("vec_id") + 20000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+          .write.mode("append").parquet(s"$r/vecs")
+        idx.append(s, graft.operators.ZoneMap.dataFiles(s, s"$r/vecs")
+          .filterNot(pre2).toSeq)
+      }
+      val idx = graft.operators.IvfPqIndex(s"$root/vecs", s"$root/idx")
+      val stale = idx.staleQuantizer(s)
+      idx.quantizerDrift(s)
+        .select(col("phase"), col("n"), col("sum_err_e9"), col("mean_err_e9"),
+          lit(if (stale) 1L else 0L).as("stale"))
+        .orderBy("phase")
     })
   )
 
@@ -3473,6 +3531,50 @@ object LlmQueries {
     // the persisted index must answer exactly as the ephemeral x41
     // path over the same corpus and dials: same oracle verbatim
     "x86_persisted_ivfpq_probe" -> oraclesBase("x41_ivfpq_topk"),
+
+    // quantizer drift: per-phase pooled raw-PQ reconstruction error
+    // (x45's rawmin machinery) — create = the base corpus vs the
+    // vec_id<8 codebooks; append pools the answer-parity batch (same
+    // vectors → same error sum) with the +3.0f-shifted batch (REAL
+    // addition in both engines, so the stored floats match
+    // bit-for-bit). stale mirrors staleQuantizer's integer arithmetic:
+    // pooled append mean // vs create mean, 2e6/1e6 ratio, floor-1 base.
+    "x87_quantizer_drift" ->
+      s"""WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |                   embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 8),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |be AS (SELECT e.vec_id, s.m AS sm,
+         |              CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, 9), i ->
+         |                  (CAST(e.embedding[s.m*8+i] AS DOUBLE) - CAST(c.cvec[s.m*8+i] AS DOUBLE))
+         |                  * (CAST(e.embedding[s.m*8+i] AS DOUBLE) - CAST(c.cvec[s.m*8+i] AS DOUBLE)))),
+         |                (acc, t) -> acc + t)) * 1000000000.0) AS BIGINT) AS e9
+         |       FROM embeddings e, sub s, cb c GROUP BY 1, 2),
+         |se AS (SELECT e.vec_id, s.m AS sm,
+         |              CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, 9), i ->
+         |                  (CAST(CAST(e.embedding[s.m*8+i] AS REAL) + CAST(3.0 AS REAL) AS DOUBLE) - CAST(c.cvec[s.m*8+i] AS DOUBLE))
+         |                  * (CAST(CAST(e.embedding[s.m*8+i] AS REAL) + CAST(3.0 AS REAL) AS DOUBLE) - CAST(c.cvec[s.m*8+i] AS DOUBLE)))),
+         |                (acc, t) -> acc + t)) * 1000000000.0) AS BIGINT) AS e9
+         |       FROM embeddings e, sub s, cb c GROUP BY 1, 2),
+         |tots AS (SELECT (SELECT count(*) FROM embeddings) AS n,
+         |                (SELECT CAST(sum(e9) AS BIGINT) FROM be) AS bsum,
+         |                (SELECT CAST(sum(e9) AS BIGINT) FROM se) AS ssum),
+         |rows_ AS (
+         |  SELECT 'append' AS phase, CAST(2 * n AS BIGINT) AS n,
+         |         CAST(bsum + ssum AS BIGINT) AS sum_err_e9,
+         |         CAST((bsum + ssum) // (2 * n) AS BIGINT) AS mean_err_e9
+         |  FROM tots
+         |  UNION ALL
+         |  SELECT 'create', CAST(n AS BIGINT), CAST(bsum AS BIGINT),
+         |         CAST(bsum // n AS BIGINT)
+         |  FROM tots)
+         |SELECT phase, n, sum_err_e9, mean_err_e9,
+         |       CAST((SELECT CASE WHEN ((bsum + ssum) // (2 * n)) * 1000000
+         |                              > greatest(bsum // n, 1) * 2000000
+         |                         THEN 1 ELSE 0 END FROM tots) AS BIGINT) AS stale
+         |FROM rows_ ORDER BY phase""".stripMargin,
 
     // the HLL accuracy bound holds on every group (see the query's
     // scaladoc — the exact side is DuckDB's, the predicate is the

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.typedLit
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation}
@@ -72,11 +73,24 @@ object IndexAdvisor {
 
   // ---- the table→indexes CATALOG (VERDICT r11 ask #6) -------------
 
-  /** One registered index: which kind, where its stats live, which
-    * table columns it serves.
+  /** One registered index: which kind, where it lives, which table
+    * columns it serves, plus kind-specific construction parameters
+    * (an ivfpq entry records its quantizer dials, a sketch entry its
+    * k, a dedup entry its catalog table name — whatever a discovered
+    * handle needs beyond (path, columns)).
     */
   final case class CatalogEntry(kind: String, path: String,
-                                columns: Seq[String])
+                                columns: Seq[String],
+                                params: Map[String, String] = Map.empty)
+
+  /** Every index family this engine persists is registrable — the two
+    * planning-time SKIPPING kinds the advisor mounts as FileIndex
+    * layers, and the three CONTRIBUTION kinds it resolves to probe
+    * handles ([[ivfPqDiscovered]] / [[sketchDiscovered]] /
+    * [[dedupDiscovered]]). VERDICT r12 ask #2: a real deployment
+    * registers every index once and queries never carry paths.
+    */
+  private val Kinds = Set("zonemap", "bloom", "ivfpq", "sketch", "dedup")
 
   /** The catalog lives as a tiny parquet relation UNDER the table dir
     * — `_`-prefixed, so every data listing (Spark's own, and
@@ -89,28 +103,49 @@ object IndexAdvisor {
   /** Record that `indexPath` holds a `kind` index over `columns` of
     * the table — the one-time registration a deployment does when it
     * builds an index, so QUERIES never need to know index paths.
-    * Idempotent: re-registering an identical entry folds away on
-    * read.
+    * Registration REPLACES any existing entry of the same
+    * (kind, column set): rebuilding an index at a NEW path must not
+    * leave the old catalog row live, or discovery mounts the stale /
+    * deleted path forever (ADVICE r12). Single-writer discipline, like
+    * every metadata sidecar here: registrations happen at index-build
+    * time, not per query.
     */
   def register(spark: SparkSession, tablePath: String, kind: String,
-               indexPath: String, columns: Seq[String]): Unit = {
-    require(kind == "zonemap" || kind == "bloom",
-      s"unknown index kind '$kind' (zonemap | bloom)")
+               indexPath: String, columns: Seq[String],
+               params: Map[String, String] = Map.empty): Unit = {
+    require(Kinds(kind),
+      s"unknown index kind '$kind' (${Kinds.toSeq.sorted.mkString(" | ")})")
+    val keep = catalog(spark, tablePath).filterNot(e =>
+      e.kind == kind && e.columns.sorted == columns.sorted)
+    val all = keep :+ CatalogEntry(kind, indexPath, columns, params)
     val spark2 = spark; import spark2.implicits._
-    Seq((kind, indexPath, columns)).toDF("kind", "path", "columns")
-      .coalesce(1).write.mode("append").parquet(catalogPath(tablePath))
+    all.map(e => (e.kind, e.path, e.columns, e.params))
+      .toDF("kind", "path", "columns", "params")
+      .coalesce(1).write.mode("overwrite").parquet(catalogPath(tablePath))
   }
 
-  /** The table's registered indexes (empty when no catalog exists). */
+  /** The table's registered indexes (empty when no catalog exists).
+    * Tolerates params-less catalogs written before the column existed.
+    * MapType admits no DataFrame-side distinct, so the (tiny, collected)
+    * row set dedupes driver-side.
+    */
   def catalog(spark: SparkSession, tablePath: String): Seq[CatalogEntry] = {
     val p = new org.apache.hadoop.fs.Path(catalogPath(tablePath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else spark.read.parquet(catalogPath(tablePath))
-      .select("kind", "path", "columns").distinct()
-      .collect()
-      .map(r => CatalogEntry(r.getString(0), r.getString(1), r.getSeq[String](2)))
-      .sortBy(e => (e.kind, e.path)).toSeq
+    else {
+      val df0 = spark.read.parquet(catalogPath(tablePath))
+      val df = if (df0.columns.contains("params")) df0
+        else df0.withColumn("params",
+          typedLit(Map.empty[String, String]))
+      df.select("kind", "path", "columns", "params")
+        .collect()
+        .map(r => CatalogEntry(r.getString(0), r.getString(1),
+          r.getSeq[String](2),
+          Option(r.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty)))
+        .toSeq.distinct
+        .sortBy(e => (e.kind, e.path))
+    }
   }
 
   /** Column names a predicate references (case-insensitive), before
@@ -157,8 +192,112 @@ object IndexAdvisor {
     else {
       val (df, idx) = readWithIndexes(spark, tablePath, Indexes(
         zoneMap = zm.map(e => (e.path, e.columns.toSet)),
-        bloom = bloom.map(e => (e.path, e.columns.head))))
+        // the bloom layer probes ONE column: pick the registered column
+        // the predicate actually references, not columns.head — a
+        // multi-column registration's first column may be untouched by
+        // this predicate, paying a probe that cannot prune (ADVICE r12)
+        bloom = bloom.map(e => (e.path,
+          e.columns.find(c => cols(c.toLowerCase))
+            .getOrElse(e.columns.head)))))
       (df.filter(predicate), Some(idx))
     }
+  }
+
+  // ---- discovery for the CONTRIBUTION index families ---------------
+  // (VERDICT r12 ask #2: zonemap/bloom mount as scan layers above;
+  // ivfpq/sketch/dedup resolve to PROBE HANDLES — an ANN probe, a
+  // month-range sketch read, an incremental-candidates join — so the
+  // x86/q62/incremental-dedup call sites carry no index paths either.)
+
+  /** The registered persisted-ANN index over `tablePath`, rebuilt from
+    * its catalog row: columns = (idCol, vecCol), params carry the
+    * quantizer dials recorded at registration. None when unregistered
+    * — callers fall through to an ephemeral path or fail loudly; they
+    * never guess a directory.
+    */
+  def ivfPqDiscovered(spark: SparkSession, tablePath: String)
+      : Option[graft.operators.IvfPqIndex] =
+    catalog(spark, tablePath).find(_.kind == "ivfpq").map { e =>
+      graft.operators.IvfPqIndex(tablePath, e.path,
+        m = e.params.getOrElse("m", "8").toInt,
+        subDim = e.params.getOrElse("subDim", "8").toInt,
+        sampleSize = e.params.getOrElse("sampleSize", "8").toInt,
+        lloydRounds = e.params.getOrElse("lloydRounds", "0").toInt,
+        idCol = e.columns.headOption.getOrElse("vec_id"),
+        vecCol = if (e.columns.size > 1) e.columns(1) else "embedding")
+    }
+
+  /** Approximate top-k over the table's REGISTERED ANN index — the
+    * zero-path probe: the query states (probes, k, nprobe), the
+    * catalog knows where the inverted lists live. Fails loudly when no
+    * ivfpq index is registered: unlike the skipping kinds there is no
+    * silent fall-through that preserves these semantics (a brute scan
+    * answers a different — exact — question at a different cost).
+    */
+  def probeDiscovered(spark: SparkSession, tablePath: String,
+                      probes: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfPqDiscovered(spark, tablePath).getOrElse(throw new IllegalArgumentException(
+      s"no ivfpq index registered for $tablePath — IndexAdvisor.register(" +
+        s"..., \"ivfpq\", ...) at build time, or use Similarity.bruteTopK " +
+        s"for an exact scan")).probe(spark, probes, k, nprobe)
+
+  /** The registered monthly-sketch index handle: columns =
+    * (monthCol, keyCol), params carry k.
+    */
+  def sketchDiscovered(spark: SparkSession, tablePath: String)
+      : Option[graft.operators.MonthlySketchIndex] =
+    catalog(spark, tablePath).find(_.kind == "sketch").map { e =>
+      graft.operators.MonthlySketchIndex(tablePath,
+        monthCol = e.columns.headOption.getOrElse("month_sec"),
+        keyCol = if (e.columns.size > 1) e.columns(1) else "key",
+        dir = e.path,
+        k = e.params.getOrElse("k", "256").toInt)
+    }
+
+  /** Month-range probe of the table's REGISTERED sketch index: the
+    * per-month sketch rows in [from, until), read through partition
+    * pruning — the q62 read path with the directory discovered, not
+    * passed.
+    */
+  def sketchRangeDiscovered(spark: SparkSession, tablePath: String,
+                            from: Long, until: Long): DataFrame = {
+    val e = catalog(spark, tablePath).find(_.kind == "sketch")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sketch index registered for $tablePath"))
+    graft.operators.SketchIndex.probeRange(spark, e.path, from, until,
+      monthCol = e.columns.headOption.getOrElse("month_sec"))
+  }
+
+  /** The registered minhash-fingerprint dedup index handle: columns =
+    * (textCol, idCol), params carry the catalog table name and bucket
+    * count.
+    */
+  def dedupDiscovered(spark: SparkSession, tablePath: String)
+      : Option[graft.operators.MinhashDedupIndex] =
+    catalog(spark, tablePath).find(_.kind == "dedup").map { e =>
+      graft.operators.MinhashDedupIndex(tablePath,
+        textCol = e.columns.headOption.getOrElse("text"),
+        idCol = if (e.columns.size > 1) e.columns(1) else "doc_id",
+        table = e.params.getOrElse("table",
+          throw new IllegalArgumentException(
+            s"dedup registration for $tablePath lacks the 'table' param")),
+        path = e.path,
+        buckets = e.params.getOrElse("buckets", "32").toInt)
+    }
+
+  /** New-batch-vs-corpus near-dup candidates through the table's
+    * REGISTERED dedup index — the incremental-ingest join with the
+    * fingerprint table discovered from the catalog. Only the batch
+    * pays the signature pipeline; the index side joins in its bucket
+    * layout.
+    */
+  def incrementalCandidatesDiscovered(spark: SparkSession, tablePath: String,
+                                      newDocs: DataFrame,
+                                      minEstE6: Long = 250000L): DataFrame = {
+    val idx = dedupDiscovered(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no dedup index registered for $tablePath"))
+    graft.llm.Dedup.incrementalCandidates(newDocs, idx.content(spark),
+      idx.textCol, idx.idCol, minEstE6)
   }
 }

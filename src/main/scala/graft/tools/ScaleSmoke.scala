@@ -200,13 +200,19 @@ object ScaleSmoke {
       println(s"  pairs: ${c.count()}")
       c
     }
-    timed("connected components") {
+    val (labels, _) = timed("connected components") {
       val l = Dedup.connectedComponents(cand, "doc_a", "doc_b")
       println(s"  labeled nodes: ${l.count()}, " +
         s"clusters: ${l.select("label").distinct().count()}")
+      l
     }
-    timed("drop near-duplicates") {
-      println(s"  kept: ${Dedup.dropNearDuplicates(docs, "text", "doc_id").count()}")
+    timed("drop near-duplicates (labels reuse)") {
+      // the (docs, labels) overload: the funnel already computed
+      // candidates + components above, so the drop stage is ONE
+      // anti-join — not a second full run of the two heaviest stages
+      // (VERDICT r12: the text overload triple-paid the candidates
+      // wall here)
+      println(s"  kept: ${Dedup.dropNearDuplicates(docs, labels, "doc_id").count()}")
     }
   }
 

@@ -99,6 +99,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("exact-signature collapse: star edges are linear, a subset of the " +
+    "full listing, and component-identical to it") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val near = text + " extra"       // near-dup of the group, different sig
+    val other = "completely different words entirely here now for this doc"
+    // exact-dup group {1,2,3,4}, its near-dup 5, unrelated 9, and a
+    // too-short doc 6 (all-null signature — must NOT join the group)
+    val corpus = docs((1L, text), (2L, text), (3L, text), (4L, text),
+      (5L, near), (6L, "solo"), (9L, other))
+    def pairsOf(collapse: Boolean) =
+      Dedup.minhashCandidates(corpus, "text", "doc_id",
+        materialize = false, collapseExact = collapse)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+    val full = pairsOf(false)
+    val star = pairsOf(true)
+    // linear in group size: 3 star edges + the one rep-level near-dup
+    // pair, vs the full listing's 6-pair clique + 4 member-level pairs
+    assert(star.keySet ===
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    assert(full.keySet.size === 10, s"full listing: ${full.keySet}")
+    // subset, with IDENTICAL (n_match, est) values where both emit
+    assert(star.keySet.subsetOf(full.keySet))
+    star.foreach { case (k, v) =>
+      assert(full(k) === v, s"pair $k values differ: star=$v full=${full(k)}")
+    }
+    // the property every cluster consumer relies on: identical components
+    def ccOf(collapse: Boolean) =
+      Dedup.connectedComponents(
+        Dedup.minhashCandidates(corpus, "text", "doc_id",
+          materialize = false, collapseExact = collapse),
+        "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ccOf(true) === ccOf(false))
+    assert(ccOf(true) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("dropNearDuplicates keeps cluster representatives and loners") {
     val s = spark; import s.implicits._
     // 1 and 3 are identical (near-dup cluster, rep = 1); 7 is unrelated
@@ -109,6 +147,12 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     val kept = Dedup.dropNearDuplicates(corpus, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(1L, 7L))
+    // the (docs, labels) overload — precomputed clusters, one anti-join
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashCandidates(corpus, "text", "doc_id"), "doc_a", "doc_b")
+    val kept2 = Dedup.dropNearDuplicates(corpus, labels, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq === Seq(1L, 7L))
   }
 
   test("star-contraction components == pointer-jumping components on " +

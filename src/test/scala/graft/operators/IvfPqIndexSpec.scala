@@ -90,6 +90,186 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("compaction rewrites ONLY dirty cluster directories, and probe " +
+    "answers survive a replayed append even before compact runs") {
+    val s = spark
+    val root = graft.core.Scratch.dir("ivfpq_inc_compact")
+    val table = s"$root/vecs"
+    writeVecs(table, 0 until 300)
+    val idx = IvfPqIndex(table, s"$root/idx", m = 4, subDim = 4,
+      sampleSize = 8)
+    idx.create(s)
+    idx.compact(s) // baseline: one file per cluster directory
+
+    def listing(): Map[String, Set[(String, Long, Long)]] = {
+      val fs = new org.apache.hadoop.fs.Path(s"$root/idx/codes")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/idx/codes"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+            .toSet
+        }.toMap
+    }
+    val before = listing()
+    assert(before.values.forall(_.size == 1), "baseline not one file per list")
+
+    // a small append dirties only the clusters its vectors land in
+    val preFiles = ZoneMap.dataFiles(s, table).toSet
+    writeVecs(table, 300 until 310)
+    val landed = ZoneMap.dataFiles(s, table).filterNot(preFiles).toSeq
+    idx.append(s, landed)
+    val preProbe = digest(idx.probe(s,
+      s.read.parquet(table).filter(col("vec_id") % 101 === 0), k = 3, nprobe = 2))
+
+    // REPLAY the append (at-least-once delivery): duplicate code rows
+    // exist until compact, but the probe dedupes at read time — the
+    // answer must not change (ADVICE r12, medium)
+    idx.append(s, landed)
+    assert(idx.content(s).groupBy("neighbor_id", "subspace").count()
+      .filter(col("count") > 1).count() > 0,
+      "fixture degenerate: replay left no duplicate code rows")
+    assert(digest(idx.probe(s,
+      s.read.parquet(table).filter(col("vec_id") % 101 === 0),
+      k = 3, nprobe = 2)) === preProbe,
+      "a replayed append corrupted probe ranking before compact")
+
+    val dirtied = listing()
+    val dirtyDirs = dirtied.filter { case (dname, files) =>
+      files != before(dname) }.keySet
+    assert(dirtyDirs.nonEmpty, "fixture degenerate: append dirtied no list")
+    assert(dirtyDirs.size < before.size,
+      "fixture degenerate: append dirtied EVERY list — dirty-only is untestable")
+
+    idx.compact(s)
+    val after = listing()
+    // clean directories: byte-identical file identity — never rewritten
+    (before.keySet -- dirtyDirs).foreach { dname =>
+      assert(after(dname) === before(dname),
+        s"compact rewrote CLEAN list $dname")
+    }
+    // dirty directories: folded back to one file, duplicates gone
+    dirtyDirs.foreach { dname =>
+      assert(after(dname).size === 1, s"dirty list $dname not folded")
+    }
+    assert(idx.content(s).groupBy("neighbor_id", "subspace").count()
+      .filter(col("count") > 1).count() === 0)
+    assert(digest(idx.probe(s,
+      s.read.parquet(table).filter(col("vec_id") % 101 === 0),
+      k = 3, nprobe = 2)) === preProbe, "compaction changed a probe answer")
+  }
+
+  test("quantizer drift: a shifted-distribution append trips " +
+    "staleQuantizer; answer-parity appends never do") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("ivfpq_drift")
+    val table = s"$root/vecs"
+    writeVecs(table, 0 until 300)
+    val idx = IvfPqIndex(table, s"$root/idx", m = 4, subDim = 4,
+      sampleSize = 8)
+    idx.create(s)
+    assert(!idx.staleQuantizer(s), "no appends yet — nothing can have drifted")
+
+    // same-distribution append: reconstruction error stays at the
+    // create-time level, the signal stays quiet
+    val pre1 = ZoneMap.dataFiles(s, table).toSet
+    writeVecs(table, 300 until 400)
+    idx.append(s, ZoneMap.dataFiles(s, table).filterNot(pre1).toSeq)
+    assert(!idx.staleQuantizer(s),
+      "an answer-parity append tripped the drift signal")
+
+    // SHIFTED distribution: vectors far outside the trained books'
+    // range — frozen quantizers stop explaining the data, error jumps
+    val pre2 = ZoneMap.dataFiles(s, table).toSet
+    (400 until 500).map(i => (i.toLong, emb(i).map(_ + 5.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(table)
+    idx.append(s, ZoneMap.dataFiles(s, table).filterNot(pre2).toSeq)
+    assert(idx.staleQuantizer(s),
+      "a shifted-distribution append did not trip the drift signal")
+    // the monitoring view: pooled per-phase means, append >> create
+    val drift = idx.quantizerDrift(s).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(drift("append") > drift("create") * 2,
+      s"drift view inconsistent with the signal: $drift")
+    // staleFiles stays about FILES — the drift signal is orthogonal
+    assert(idx.staleFiles(s).isEmpty)
+    // compaction pools the drift rows without changing the verdict
+    idx.compact(s)
+    assert(idx.staleQuantizer(s))
+    // retrain (= create) re-baselines: the books now explain the data
+    idx.create(s)
+    assert(!idx.staleQuantizer(s), "create did not re-baseline the signal")
+  }
+
+  test("deployment-shaped dials (sampleSize ≈ √corpus, lloydRounds > 0): " +
+    "full lifecycle, recall ≥ the toy sample's on a shifted corpus") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("ivfpq_deploy")
+    val table = s"$root/vecs"
+    // a corpus the toy sample UNDER-FITS: even ids cluster near the
+    // emb() range, odd ids live +4.0 away — two real modes. The
+    // oracle-discipline sample (ids < 8) sees 4 of each mode but
+    // freezes centroids ON THE FIRST IDS' COORDINATES; the deployment
+    // dials draw √400 = 20 sample vectors AND Lloyd-move the coarse
+    // centroids to the data's mass.
+    def vec(i: Int): Seq[Float] =
+      emb(i).map(v => if (i % 2 == 0) v else v + 4.0f)
+    (0 until 400).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(table)
+
+    val toy = IvfPqIndex(table, s"$root/idx_toy", m = 4, subDim = 4,
+      sampleSize = 8, lloydRounds = 0)
+    val deploy = IvfPqIndex(table, s"$root/idx_deploy", m = 4, subDim = 4,
+      sampleSize = 20, lloydRounds = 2)
+    toy.create(s)
+    deploy.create(s)
+
+    // lifecycle under the deployment dials: append ≡ rebuild holds
+    // (appends encode against the FROZEN refined quantizers)
+    val pre = ZoneMap.dataFiles(s, table).toSet
+    (400 until 440).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(table)
+    deploy.append(s, ZoneMap.dataFiles(s, table).filterNot(pre).toSeq)
+    toy.append(s, ZoneMap.dataFiles(s, table).filterNot(pre).toSeq)
+    val rebuilt = IvfPqIndex(table, s"$root/idx_rebuild", m = 4, subDim = 4,
+      sampleSize = 20, lloydRounds = 2)
+    rebuilt.create(s)
+    val probes = s.read.parquet(table).filter(col("vec_id") % 37 === 0)
+    assert(digest(deploy.probe(s, probes, k = 3, nprobe = 2)) ===
+      digest(rebuilt.probe(s, probes, k = 3, nprobe = 2)),
+      "deployment-dial append drifted from a rebuild")
+
+    // recall vs exact L2 ground truth (computed driver-side on the
+    // 440-vector fixture): the refined index must not lose to the toy
+    val all = s.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val probeIds = all.keys.filter(_ % 37 == 0).toSeq
+    val exact: Set[(Long, Long)] = probeIds.flatMap { p =>
+      all.keys.filter(_ != p).toSeq
+        .sortBy(n => (l2(all(p), all(n)), n)).take(3).map(p -> _)
+    }.toSet
+    // generous nprobe on both sides so coarse-list pruning is not the
+    // differentiator — the comparison isolates QUANTIZER FIT, which is
+    // what the dials buy (the documented tiny-corpus floor caps the
+    // absolute number at this scale: Similarity.ivfPqTopK scaladoc)
+    def recallOf(idx: IvfPqIndex): Double = {
+      val got = idx.probe(s, probes, k = 3, nprobe = 4)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val (rToy, rDeploy) = (recallOf(toy), recallOf(deploy))
+    info(f"recall@3: toy dials $rToy%.3f, deployment dials $rDeploy%.3f")
+    assert(rDeploy > rToy,
+      f"deployment dials did not beat the toy sample: $rDeploy%.3f <= $rToy%.3f")
+  }
+
   test("probe scans only the probed inverted lists (partition pruning)") {
     val s = spark
     val root = graft.core.Scratch.dir("ivfpq_prune")

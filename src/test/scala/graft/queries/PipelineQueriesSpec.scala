@@ -158,7 +158,10 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkTestSession {
       assert(straddling === 0)
       // and every near-dup candidate PAIR shares a split (the guarantee
       // stated doc-to-doc, independent of the rep encoding)
-      val pairs = graft.llm.Dedup.minhashCandidates(docs, "text", "doc_id")
+      // full listing: the leak check must see member-level pairs, not
+      // just the star-collapsed cluster edges
+      val pairs = graft.llm.Dedup.minhashCandidates(docs, "text", "doc_id",
+        collapseExact = false)
       val sa = split.select(col("doc_id").as("doc_a"), col("split").as("s_a"))
       val sb = split.select(col("doc_id").as("doc_b"), col("split").as("s_b"))
       val leaked = pairs.join(sa, "doc_a").join(sb, "doc_b")

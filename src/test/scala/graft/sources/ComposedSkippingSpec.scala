@@ -156,6 +156,121 @@ class ComposedSkippingSpec extends AnyFunSuite with SparkTestSession {
     assert(plain.count() === 1)
   }
 
+  test("registration replaces same-(kind, columns) entries — a rebuild at " +
+    "a new path never leaves the stale catalog row live") {
+    val s = spark
+    val (table, zm, bm) = layout
+    val root = graft.core.Scratch.dir("composed_rereg")
+    val t2 = s"$root/t"
+    s.read.parquet(table).write.parquet(t2)
+    val (zmA, zmB) = (s"$root/zmA", s"$root/zmB")
+    ZoneMap.build(s, t2, Seq("x"), zmA)
+    IndexAdvisor.register(s, t2, "zonemap", zmA, Seq("x"))
+    // rebuild at a NEW path: the old row must be REPLACED (ADVICE r12
+    // — a stale entry would mount a deleted index dir forever)
+    ZoneMap.build(s, t2, Seq("x"), zmB)
+    IndexAdvisor.register(s, t2, "zonemap", zmB, Seq("x"))
+    val zms = IndexAdvisor.catalog(s, t2).filter(_.kind == "zonemap")
+    assert(zms.map(_.path) === Seq(zmB), s"stale zonemap rows: $zms")
+    // a bloom over a DIFFERENT column set coexists — it is a different
+    // index, not a rebuild
+    FileBloom.build(s, t2, "id", s"$root/bm1", m = 8192, k = 4)
+    IndexAdvisor.register(s, t2, "bloom", s"$root/bm1", Seq("id"))
+    IndexAdvisor.register(s, t2, "bloom", bm, Seq("name", "id"))
+    assert(IndexAdvisor.catalog(s, t2).count(_.kind == "bloom") === 2)
+  }
+
+  test("the bloom layer probes the column the predicate references, not " +
+    "columns.head") {
+    val s = spark
+    val (table, _, _) = layout
+    val root = graft.core.Scratch.dir("composed_bloomcol")
+    val t2 = s"$root/t"
+    (0 until 16).foreach { f =>
+      s.read.parquet(table).filter(col("x") === f.toLong)
+        .coalesce(1).write.mode("append").parquet(t2)
+    }
+    val bm2 = s"$root/bm"
+    FileBloom.build(s, t2, "id", bm2, m = 8192, k = 4)
+    // the registration lists a column the index does NOT serve FIRST —
+    // the advisor must still probe with "id" when the predicate
+    // references id (ADVICE r12: columns.head paid a probe that could
+    // not prune)
+    IndexAdvisor.register(s, t2, "bloom", bm2, Seq("name", "id"))
+    val (df, idx) = IndexAdvisor.readDiscoveredWithIndexes(
+      s, t2, col("id").isin(100L, 7777L))
+    assert(idx.exists(_.isInstanceOf[BloomFileIndex]))
+    val n = scanned2(df)
+    assert(n < 16 && n >= 2, s"bloom probed the wrong column: opened $n files")
+  }
+
+  test("contribution kinds (ivfpq / sketch / dedup) register, discover to " +
+    "probe handles, and unregistered tables fall through to None") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("composed_contrib")
+
+    // --- ivfpq ---
+    val vecs = s"$root/vecs"
+    (0 until 64).map(i =>
+        (i.toLong, (0 until 16).map(t => ((i * 13 + t * 7) % 97) / 97.0f - 0.5f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(vecs)
+    graft.operators.IvfPqIndex(vecs, s"$root/ivf", m = 4, subDim = 4).create(s)
+    IndexAdvisor.register(s, vecs, "ivfpq", s"$root/ivf",
+      Seq("vec_id", "embedding"), Map("m" -> "4", "subDim" -> "4"))
+    val probes = s.read.parquet(vecs).filter(col("vec_id") === 0L)
+    val direct = graft.operators.IvfPqIndex(vecs, s"$root/ivf", m = 4, subDim = 4)
+      .probe(s, probes, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val viaCat = IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaCat === direct, "discovered ivfpq probe drifted from the direct handle")
+
+    // --- sketch ---
+    val ord = s"$root/ord"
+    (0 until 200).map(i => (1704067200L + (i % 6) * 2678400L, i.toLong % 37))
+      .toDF("month_sec", "key").coalesce(1).write.parquet(ord)
+    graft.operators.SketchIndex.writeMonthly(
+      s.read.parquet(ord), "month_sec", "key", s"$root/sk", 64)
+    IndexAdvisor.register(s, ord, "sketch", s"$root/sk",
+      Seq("month_sec", "key"), Map("k" -> "64"))
+    val disc = IndexAdvisor.sketchDiscovered(s, ord)
+    assert(disc.exists(i => i.monthCol == "month_sec" && i.k == 64))
+    assert(IndexAdvisor.sketchRangeDiscovered(s, ord,
+      1704067200L, 1704067200L + 3 * 2678400L).count() === 3)
+
+    // --- dedup ---
+    val docsPath = s"$root/docs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, text), (2L, "completely different words entirely here now"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(docsPath)
+    val ddTable = "composed_contrib_dd"
+    graft.llm.DedupIndex.create(s.read.parquet(docsPath), "text", "doc_id",
+      ddTable, s"$root/dd", buckets = 2)
+    IndexAdvisor.register(s, docsPath, "dedup", s"$root/dd",
+      Seq("text", "doc_id"), Map("table" -> ddTable, "buckets" -> "2"))
+    val inc = IndexAdvisor.incrementalCandidatesDiscovered(s, docsPath,
+      Seq((10L, text)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.toSeq === Seq((10L, 1L)),
+      s"discovered incremental dedup missed the planted dup: ${inc.toSeq}")
+
+    // --- fall-through: an unregistered table discovers NOTHING ---
+    val bare = s"$root/bare"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(bare)
+    assert(IndexAdvisor.ivfPqDiscovered(s, bare).isEmpty)
+    assert(IndexAdvisor.sketchDiscovered(s, bare).isEmpty)
+    assert(IndexAdvisor.dedupDiscovered(s, bare).isEmpty)
+    val thrown = intercept[IllegalArgumentException] {
+      IndexAdvisor.probeDiscovered(s, bare, probes, k = 3, nprobe = 1)
+    }
+    assert(thrown.getMessage.contains("no ivfpq index registered"))
+    // and an unknown kind is rejected at registration, loudly
+    val bad = intercept[IllegalArgumentException] {
+      IndexAdvisor.register(s, bare, "btree", s"$root/x", Seq("id"))
+    }
+    assert(bad.getMessage.contains("unknown index kind"))
+  }
+
   /** [[scanned]] without the single-scan assertion's caching — the
     * discovery frames are built fresh per call.
     */

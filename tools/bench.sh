@@ -55,8 +55,12 @@ CTL_SHA="$CTL_SHA" python3 - <<'EOF'
 import json, os
 cur = json.load(open("target/bench_current.json"))
 ctl = json.load(open("target/bench_control.json"))
-# compare on per-query MINs: the plan's cost, not the contention draw
-cmin, kmin = cur.get("queries_min", cur["queries"]), ctl.get("queries_min", ctl["queries"])
+# compare on per-query MINs: the plan's cost, not the contention draw.
+# Explicit or-chains, not dict.get(k, d): get() evaluates its default
+# EAGERLY, so a bench.json with only one of the two keys raised KeyError
+# after both expensive runs completed (ADVICE r12).
+cmin = cur.get("queries_min") or cur.get("queries") or {}
+kmin = ctl.get("queries_min") or ctl.get("queries") or {}
 movers = []
 for name, v in sorted(cmin.items()):
     w = kmin.get(name)
@@ -69,7 +73,7 @@ for name, v in sorted(cmin.items()):
                        "verdict": "regression" if ratio > 1.3 else "improvement"})
 cur["control"] = {"sha": os.environ["CTL_SHA"],
                   "total": ctl.get("value"),
-                  "queries": ctl["queries"],
+                  "queries": ctl.get("queries") or {},
                   "queries_min": kmin,
                   "contended": ctl.get("contended", [])}
 cur["movers"] = movers
@@ -78,8 +82,15 @@ cur["control_note"] = ("both trees benched in ONE session minutes apart on the s
                        "reading moved identically is host drift, one that holds at "
                        "control speed is a code change")
 json.dump(cur, open("target/bench_local.json", "w"))
+# the COMMITTED control summary graft.Bench merges into the submitted
+# artifact (VERDICT r12 ask #6): flat shape, regex-parsed there
+json.dump({"sha": os.environ["CTL_SHA"], "sf": cur.get("sf", ""),
+           "total": ctl.get("value") or 0.0,
+           "queries_min": kmin},
+          open("BENCH_CONTROL.json", "w"))
 n_reg = sum(1 for m in movers if m["verdict"] == "regression")
 print(f"movers vs control {os.environ['CTL_SHA']}: {len(movers)} "
       f"({n_reg} slower, {len(movers)-n_reg} faster); details in target/bench_local.json")
 EOF
 echo "bench_local json written to $(pwd)/target/bench_local.json"
+echo "committed-control summary written to $(pwd)/BENCH_CONTROL.json (commit it: graft.Bench merges it into BENCH_r{N})"
