@@ -2129,6 +2129,36 @@ object LlmQueries {
         .select(col("phase"), col("n"), col("sum_err_e9"), col("mean_err_e9"),
           lit(if (stale) 1L else 0L).as("stale"))
         .orderBy("phase")
+    }),
+
+    // INCREMENTAL cluster maintenance (Dedup.incrementalComponents —
+    // the delta verb the dedup-index family lacked): the corpus is
+    // split x19-style (doc_id % 10 == 0 is the just-landed batch),
+    // full CC labels exist for the OLD corpus only, the batch brings
+    // its delta edges (new-vs-old via incrementalCandidates against
+    // the old band index + new-vs-new via minhashCandidates on the
+    // batch alone), and incrementalComponents folds them in by
+    // relabeling ONLY touched components — two streamed label-table
+    // scans against broadcast batch-sized frames, label-level CC on a
+    // batch-sized graph, the corpus' own edges never recomputed. The
+    // oracle is the FULL-corpus transitive closure (x20's lab CTE):
+    // the hash match IS the proof that batch-incremental maintenance
+    // equals recomputing clusters from scratch over the union corpus.
+    "x88_incremental_clusters" -> ((s, d) => {
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val oldLabels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(old, "text", "doc_id"), "doc_a", "doc_b")
+      val newVsOld = Dedup.incrementalCandidates(batch,
+          Dedup.bandIndex(old, "text", "doc_id"), "text", "doc_id")
+        .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+      val newVsNew = Dedup.minhashCandidates(batch, "text", "doc_id")
+        .select("doc_a", "doc_b")
+      Dedup.incrementalComponents(oldLabels,
+          newVsOld.unionByName(newVsNew), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3575,6 +3605,14 @@ object LlmQueries {
          |                              > greatest(bsum // n, 1) * 2000000
          |                         THEN 1 ELSE 0 END FROM tots) AS BIGINT) AS stale
          |FROM rows_ ORDER BY phase""".stripMargin,
+
+    // the full-corpus closure, verbatim x20's lab CTE: the incremental
+    // fold (old labels + batch delta edges) must land on EXACTLY the
+    // clusters a from-scratch run over the union corpus computes
+    "x88_incremental_clusters" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |$ccClosureCtes
+         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin,
 
     // the HLL accuracy bound holds on every group (see the query's
     // scaladoc — the exact side is DuckDB's, the predicate is the

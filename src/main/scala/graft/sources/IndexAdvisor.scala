@@ -124,6 +124,26 @@ object IndexAdvisor {
       .coalesce(1).write.mode("overwrite").parquet(catalogPath(tablePath))
   }
 
+  /** Remove the registration matching (kind, column set) — the
+    * lifecycle complement of [[register]] for an index that was
+    * DELETED rather than rebuilt (a rebuild re-registers and replaces
+    * its row; a deletion without this verb leaves discovery mounting a
+    * dead path). No-op when nothing matches; other registrations are
+    * rewritten untouched. Same single-writer discipline as register.
+    */
+  def unregister(spark: SparkSession, tablePath: String, kind: String,
+                 columns: Seq[String]): Unit = {
+    val all = catalog(spark, tablePath)
+    val keep = all.filterNot(e =>
+      e.kind == kind && e.columns.sorted == columns.sorted)
+    if (keep.size != all.size) {
+      val spark2 = spark; import spark2.implicits._
+      keep.map(e => (e.kind, e.path, e.columns, e.params))
+        .toDF("kind", "path", "columns", "params")
+        .coalesce(1).write.mode("overwrite").parquet(catalogPath(tablePath))
+    }
+  }
+
   /** The table's registered indexes (empty when no catalog exists).
     * Tolerates params-less catalogs written before the column existed.
     * MapType admits no DataFrame-side distinct, so the (tiny, collected)

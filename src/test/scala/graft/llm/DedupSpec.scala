@@ -237,6 +237,53 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").isEmpty)
   }
 
+  test("incremental components == full CC on the union edge set " +
+    "(randomized splits), untouched components untouched") {
+    val s = spark; import s.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // hand-built split: old = two components {1,2,3} and {10,11};
+    // delta merges {1..3} with new node 7 and mints a fresh pair —
+    // {10,11} must come through with its label (and no extra rows)
+    val old0 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val lab0 = Dedup.connectedComponents(old0, "doc_a", "doc_b")
+    val delta0 = Seq((7L, 3L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got0 = labelsOf(Dedup.incrementalComponents(lab0, delta0, "doc_a", "doc_b"))
+    assert(got0 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // a new node with a SMALLER id than the component minimum must
+    // become the new label (the full-CC fixpoint, not "old label wins")
+    val gotMin = labelsOf(Dedup.incrementalComponents(lab0,
+      Seq((0L, 11L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
+    assert(gotMin(10L) === 0L && gotMin(11L) === 0L && gotMin(0L) === 0L)
+
+    // empty delta → the label table passes through identically
+    val gotEmpty = labelsOf(Dedup.incrementalComponents(lab0,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
+    assert(gotEmpty === labelsOf(lab0))
+
+    // randomized: split a random edge list at several points; folding
+    // the tail into CC(head) must equal CC(all) every time — including
+    // a delta that bridges components, touches unseen nodes, and
+    // repeats old edges
+    val rnd = new scala.util.Random(17L)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(p => p._1 != p._2)
+      val full = labelsOf(Dedup.connectedComponents(
+        pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
+      for (cut <- Seq(5, pairs.size / 2, pairs.size - 3)) {
+        val (head, tail) = pairs.splitAt(cut)
+        val inc = labelsOf(Dedup.incrementalComponents(
+          Dedup.connectedComponents(head.toDF("doc_a", "doc_b"), "doc_a", "doc_b"),
+          tail.toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
+        assert(inc === full, s"trial $trial cut $cut: incremental != full CC")
+      }
+    }
+  }
+
   test("winnowing theorem: a shared >=k+w-1 substring yields a shared fingerprint") {
     // k=8, w=4 -> guarantee threshold k+w-1 = 11; the copied segment
     // is longer, the surroundings are disjoint, and the pair must

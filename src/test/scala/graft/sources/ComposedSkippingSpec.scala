@@ -178,6 +178,18 @@ class ComposedSkippingSpec extends AnyFunSuite with SparkTestSession {
     IndexAdvisor.register(s, t2, "bloom", s"$root/bm1", Seq("id"))
     IndexAdvisor.register(s, t2, "bloom", bm, Seq("name", "id"))
     assert(IndexAdvisor.catalog(s, t2).count(_.kind == "bloom") === 2)
+
+    // unregister: the lifecycle complement for a DELETED index — the
+    // matching row goes, everything else survives, and discovery for
+    // the dropped kind falls back to a plain scan
+    IndexAdvisor.unregister(s, t2, "bloom", Seq("id", "name")) // order-blind
+    assert(IndexAdvisor.catalog(s, t2).count(_.kind == "bloom") === 1)
+    IndexAdvisor.unregister(s, t2, "bloom", Seq("no", "such")) // no-op
+    assert(IndexAdvisor.catalog(s, t2).size === 2)
+    IndexAdvisor.unregister(s, t2, "zonemap", Seq("x"))
+    val (_, mounted) = IndexAdvisor.readDiscoveredWithIndexes(s, t2,
+      col("x").between(3, 4))
+    assert(mounted.isEmpty, "unregistered zonemap must not mount a layer")
   }
 
   test("the bloom layer probes the column the predicate references, not " +
