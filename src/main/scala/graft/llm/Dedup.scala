@@ -92,6 +92,39 @@ object Dedup {
         .as(Seq("band", "bkey")))
   }
 
+  /** Signature-DISTINCT fingerprint index: one indexed row per
+    * (distinct signature, band), carrying the group's MINIMUM id —
+    * [[bandIndex]]'s at-scale persisted form for duplicate-dense
+    * corpora. Identical signatures carry identical band keys and
+    * score est_jaccard = 1.0 against anything any member matches, so
+    * probing this index yields the same CONNECTIVITY as the
+    * member-level index at (distinct sigs)/(docs) of the size and —
+    * decisively — (distinct sigs)/(docs) of the probe join's shuffle:
+    * the round-13 inccc falsification measured the member-level index
+    * making [[incrementalComponents]]' delta fold SLOWER than a full
+    * re-run (33 s vs 12 s at 100×: the fold shuffled 12M sig-carrying
+    * index rows while the re-run enjoyed the collapsed self-join), and
+    * this is the fix on the same exactness theorem. Cluster
+    * maintenance probes this; audits that need member-level pair
+    * listings ([[incrementalCandidates]] for x19's answer) keep the
+    * full [[bandIndex]]. Docs too short to shingle keep one row each
+    * (all-null signatures must not collapse into a pseudo-group; their
+    * pairs die at the threshold either way — the minhashCandidates
+    * rule).
+    */
+  def bandIndexDistinct(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val sigd = docs.select(col(idCol), minhashSigText(col(textCol)).as("sig"))
+    val wSig = Window.partitionBy("sig")
+    val reps = sigd.withColumn("rep",
+        when(col("sig").getItem(0).isNull, col(idCol))
+          .otherwise(min(col(idCol)).over(wSig)))
+      .filter(col("rep") === col(idCol)).drop("rep")
+    reps.select(col(idCol), col("sig"),
+      posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band", "bkey")))
+  }
+
   /** @param collapseExact collapse EXACT-signature duplicate groups
     *   before the band self-join (default). Real web corpora are
     *   duplicate-dense — 100-copy groups are normal — and the band
@@ -551,10 +584,17 @@ object Dedup {
     // (new node, or an old singleton CC never listed) stands for itself
     val ta = touched.select(col("node").as("a"), col("label").as("la"))
     val tb = touched.select(col("node").as("b"), col("label").as("lb"))
+    // distinct AFTER resolution: a batch of exact copies emits one
+    // member-level edge per (new doc, old copy), but they all resolve
+    // to the same (label, label) pair — the dedup costs one shuffle of
+    // a batch-sized frame and shrinks the CC input from member-level
+    // to component-level multiplicity (CC is multiplicity-blind, so
+    // semantics are untouched)
     val labelEdges = e
       .join(ta, Seq("a"), "left").join(tb, Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("la"),
         coalesce(col("lb"), col("b")).as("lb"))
+      .distinct()
     // label-level CC: nodes = touched labels + new ids — batch-sized,
     // so this takes the driver union-find path at typical batches and
     // degrades to the distributed rounds for a mega-batch

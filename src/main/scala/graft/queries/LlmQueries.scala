@@ -2150,8 +2150,13 @@ object LlmQueries {
       val batch = docs.filter(col("doc_id") % 10 === 0)
       val oldLabels = Dedup.connectedComponents(
         Dedup.minhashCandidates(old, "text", "doc_id"), "doc_a", "doc_b")
+      // the SIGNATURE-DISTINCT index (bandIndexDistinct): same
+      // connectivity as the member-level index — identical sigs carry
+      // identical bands — at (distinct sigs)/(docs) the join size; the
+      // full-closure oracle below proves the equality, since the
+      // resulting CLUSTERS must still match the member-level truth
       val newVsOld = Dedup.incrementalCandidates(batch,
-          Dedup.bandIndex(old, "text", "doc_id"), "text", "doc_id")
+          Dedup.bandIndexDistinct(old, "text", "doc_id"), "text", "doc_id")
         .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
       val newVsNew = Dedup.minhashCandidates(batch, "text", "doc_id")
         .select("doc_a", "doc_b")

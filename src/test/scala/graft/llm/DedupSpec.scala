@@ -237,6 +237,37 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").isEmpty)
   }
 
+  test("signature-distinct index: same incremental connectivity as the " +
+    "member-level index at a fraction of the rows") {
+    val s = spark; import s.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words entirely in here right now folks"
+    // old corpus: 4 exact copies of dup + 2 of other; batch: one more
+    // copy of each + a stranger
+    val old = docs((1L, dup), (2L, dup), (3L, dup), (4L, dup),
+      (10L, other), (11L, other), (20L, "xy"))
+    val batch = docs((100L, dup), (101L, other), (102L, "unrelated brand new text"))
+    val full = Dedup.bandIndex(old, "text", "doc_id")
+    val dist = Dedup.bandIndexDistinct(old, "text", "doc_id")
+    // collapse: 4+2 signature-dup docs fold to 2 reps; the short doc
+    // (all-null sig) keeps its own row
+    assert(dist.select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+      === Array(1L, 10L, 20L))
+    def labelsVia(index: org.apache.spark.sql.DataFrame) = {
+      val newOld = Dedup.incrementalCandidates(batch, index, "text", "doc_id")
+        .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+      val oldLabels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(old, "text", "doc_id"), "doc_a", "doc_b")
+      Dedup.incrementalComponents(oldLabels, newOld, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    val viaFull = labelsVia(full)
+    val viaDist = labelsVia(dist)
+    assert(viaDist === viaFull, "distinct-index connectivity diverged")
+    assert(viaDist(100L) === 1L && viaDist(101L) === 10L)
+    assert(!viaDist.contains(102L), "stranger must stay unclustered")
+  }
+
   test("incremental components == full CC on the union edge set " +
     "(randomized splits), untouched components untouched") {
     val s = spark; import s.implicits._
