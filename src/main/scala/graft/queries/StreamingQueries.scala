@@ -1514,6 +1514,74 @@ object StreamingQueries {
           Seq(lit(7L), lit(233L), lit(481L)))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // Streaming CLUSTER MAINTENANCE — the continuous-ingest completion
+    // of st04: st04 stops at per-batch new-vs-CORPUS pairs (batch
+    // boundaries provably can't interact there), while real cluster
+    // state must also see new-vs-EARLIER-BATCH duplicates. Each
+    // micro-batch here is (1) probed against the ACCUMULATING
+    // signature-distinct fingerprint index — corpus ∪ all prior
+    // batches — plus its own internal candidates, (2) folded into the
+    // label state with incrementalComponents (two streamed label-table
+    // scans + batch-sized label-level CC; the corpus' own edges are
+    // never recomputed), and (3) folds its fingerprints into the index
+    // (the DedupIndex.append posture, probe-then-fold). Batch
+    // boundaries cannot change the fixpoint: every fold's output IS
+    // full CC of the union edge set, so the label-minimum invariant
+    // holds inductively, and the final labels are checked against the
+    // FULL-corpus transitive closure — x88's oracle verbatim.
+    "st29_streaming_clusters" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.llm.Dedup
+
+      val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      var labels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(old, "text", "doc_id"), "doc_a", "doc_b")
+        .localCheckpoint(true)
+      var index = Dedup.bandIndexDistinct(old, "text", "doc_id")
+        .localCheckpoint(true)
+      val newDocs = graft.core.Scratch.cachedValue(s"st_newdocs_fixture_$d") {
+        Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 10 === 0)
+          .as[(Long, String)].collect().toSeq
+      }
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+            // three consumers (probe, internal candidates, index fold)
+            val batch = batch0.localCheckpoint(true)
+            val delta = Dedup.incrementalCandidates(batch, index,
+                "text", "doc_id")
+              .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+              .unionByName(Dedup.minhashCandidates(batch, "text", "doc_id")
+                .select("doc_a", "doc_b"))
+            labels = Dedup.incrementalComponents(labels, delta,
+              "doc_a", "doc_b").localCheckpoint(true)
+            index = index
+              .union(Dedup.bandIndexDistinct(batch, "text", "doc_id"))
+              .localCheckpoint(true)
+            ()
+          }
+          .start()
+        try {
+          // the split puts same-signature duplicates in DIFFERENT
+          // batches, so the accumulating index is load-bearing
+          val (a, b) = newDocs.partition(_._1 % 20 == 0)
+          in.addData(a)
+          q.processAllAvailable()
+          in.addData(b)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1847,6 +1915,11 @@ object StreamingQueries {
     "st28_streaming_bloom" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (7, 233, 481) ORDER BY doc_id""".stripMargin,
+
+    // x88's oracle verbatim: whatever the batch boundaries, the folded
+    // label state must equal full CC over the whole corpus
+    "st29_streaming_clusters" ->
+      graft.queries.LlmQueries.oracles("x88_incremental_clusters"),
 
     // draining the whole directory once = the plain batch aggregate
     "st11_file_stream_agg" ->
