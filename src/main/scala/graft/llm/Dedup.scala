@@ -558,17 +558,27 @@ object Dedup {
     * two linear label-table scans + O(batch), independent of the
     * corpus' EDGE count — the same delta economics the candidate side
     * already had.
+    *
+    * @param materialize checkpoint the canonicalized label table
+    *   before its two streamed scans (default). Pass `false` when the
+    *   caller's `labels` is ALREADY materialized — a parquet-backed
+    *   table or a frame the fold loop checkpoints itself (st29's
+    *   shape) — so a per-batch fold doesn't pay a redundant
+    *   corpus-sized write; with an unmaterialized lineage the two
+    *   scans would re-run the whole producing pipeline twice, hence
+    *   the default.
     */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
-                            aCol: String, bCol: String): DataFrame = {
+                            aCol: String, bCol: String,
+                            materialize: Boolean = true): DataFrame = {
     // canonicalize both inputs once (the long cast + null drop rule
     // connectedComponents documents); labels feed two streamed scans,
     // edges feed the resolve join + the new-node set — data-sized
     // frames checkpoint DISK_ONLY, batch-sized edges keep the default
-    val lab = labels.select(col("node").cast("long").as("node"),
+    val lab0 = labels.select(col("node").cast("long").as("node"),
         col("label").cast("long").as("label"))
       .filter(col("node").isNotNull && col("label").isNotNull)
-      .localCheckpoint(true, DataSized)
+    val lab = if (materialize) lab0.localCheckpoint(true, DataSized) else lab0
     val e = newEdges.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)

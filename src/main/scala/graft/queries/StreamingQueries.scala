@@ -1570,8 +1570,11 @@ object StreamingQueries {
               .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
               .unionByName(Dedup.minhashCandidates(batch, "text", "doc_id")
                 .select("doc_a", "doc_b"))
+            // materialize = false: `labels` is the parquet fixture on
+            // the first batch and this loop's own checkpoint after —
+            // the fold must not re-write the label table a second time
             labels = Dedup.incrementalComponents(labels, delta,
-              "doc_a", "doc_b").localCheckpoint(true)
+              "doc_a", "doc_b", materialize = false).localCheckpoint(true)
             index = index
               .union(Dedup.bandIndexDistinct(batch, "text", "doc_id"))
               .localCheckpoint(true)
