@@ -559,6 +559,14 @@ object Dedup {
     * corpus' EDGE count — the same delta economics the candidate side
     * already had.
     *
+    * ADDITIONS ONLY, by design: a deletion can SPLIT a component, and
+    * min-label state retains no edges to re-derive the split — the
+    * published answer (and this engine's) is to recompute from the
+    * retained candidate pairs (DedupIndex keeps them; its tombstone
+    * compact is the deletion verb), batching deletions to whatever
+    * cadence makes that recompute worth it. Folding a deletion here
+    * would silently leave the dead node's bridges intact.
+    *
     * @param materialize checkpoint the canonicalized label table
     *   before its two streamed scans (default). Pass `false` when the
     *   caller's `labels` is ALREADY materialized — a parquet-backed
