@@ -147,33 +147,80 @@ object Dedup {
     *   must see member-level pairs, while every cluster consumer
     *   (x20/x35/x55/x68, [[dropNearDuplicates]]) takes the default.
     */
+  /** The band self-join scoring tail shared by every candidate
+    * producer: `banded` is a (idCol, sig, band, bkey) frame. Band hits
+    * are scored immediately and aggregated with max() — the signature
+    * arrays never cross the pair-dedup shuffle, keeping the aggregate
+    * hash-based (first(array) would force a SortAggregate carrying
+    * both arrays per candidate row).
+    */
+  private def bandPairsFrom(banded: DataFrame, idCol: String,
+                            minEstE6: Long): DataFrame = {
+    val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"),
+      col("band").as("band_b"), col("bkey").as("bkey_b"))
+    a.join(b,
+        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        sigMatches(col("sig_a"), col("sig_b")).as("n_match"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("n_match").as("n_match"))
+      .withColumn("est_jaccard_e6",
+        floor(lit(1000000.0) * col("n_match") / lit(MinHashK.toDouble)).cast("long"))
+      .filter(col("est_jaccard_e6") >= minEstE6)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        col("est_jaccard_e6"))
+  }
+
+  /** The exact-signature-collapse candidate tail over an already-built
+    * (idCol, sig) frame: star edges inside signature groups + the band
+    * self-join on signature-distinct representatives. Shared by
+    * [[minhashCandidates]] (sigd from document text) and
+    * [[candidatesFromIndex]] (sigd from persisted fingerprint rows —
+    * the deletion-relabel path, which must not touch text).
+    */
+  private def collapsedCandidates(sigd0: DataFrame, idCol: String,
+                                  minEstE6: Long,
+                                  materialize: Boolean): DataFrame = {
+    // Exact-signature collapse. The group key is the FULL signature
+    // array, not a hash of it — grouping stays exact, never "exact
+    // up to a 60-bit collision". Docs too short to shingle carry an
+    // all-null signature (see [[bandIndex]]); they must NOT collapse
+    // into one giant pseudo-group, so each stays its own
+    // representative (their band pairs then die at the threshold
+    // exactly as on the uncollapsed path). sig[0] decides: a minhash
+    // position is null iff the shingle set is empty, i.e. all-or-
+    // nothing across positions.
+    val wSig = Window.partitionBy("sig")
+    val withRep0 = sigd0.withColumn("rep",
+      when(col("sig").getItem(0).isNull, col(idCol))
+        .otherwise(min(col(idCol)).over(wSig)))
+    // two consumers (star edges + representative band frame): one
+    // signature pass, eager DISK_ONLY checkpoint — same
+    // leak-freedom/heap rationale as the uncollapsed branch
+    val withRep = if (materialize) withRep0.localCheckpoint(true, DataSized)
+                  else withRep0
+    // star edges: member → its group's minimum id. rep < member by
+    // construction, so (doc_a, doc_b) ordering holds; n_match/est
+    // are the exact values sigMatches would compute on equal sigs.
+    val star0 = withRep.filter(col("rep") =!= col(idCol))
+      .select(col("rep").as("doc_a"), col(idCol).as("doc_b"),
+        lit(MinHashK.toLong).as("n_match"), lit(1000000L).as("est_jaccard_e6"))
+    val star = if (minEstE6 <= 1000000L) star0 else star0.limit(0)
+    val reps = withRep.filter(col("rep") === col(idCol))
+    val banded = reps.select(
+      col(idCol), col("sig"),
+      posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band", "bkey")))
+    bandPairsFrom(banded, idCol, minEstE6).unionByName(star)
+  }
+
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         minEstE6: Long = 250000L,
                         materialize: Boolean = true,
                         collapseExact: Boolean = true): DataFrame = {
-    val pairCols = Seq(col("doc_a"), col("doc_b"), col("n_match"),
-      col("est_jaccard_e6"))
-    // Band hits are scored immediately and aggregated with max() — the
-    // signature arrays never cross the pair-dedup shuffle, keeping the
-    // aggregate hash-based (first(array) would force a SortAggregate
-    // carrying both arrays per candidate row).
-    def bandPairs(banded: DataFrame): DataFrame = {
-      val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),
-        col("band"), col("bkey"))
-      val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"),
-        col("band").as("band_b"), col("bkey").as("bkey_b"))
-      a.join(b,
-          col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-            col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          sigMatches(col("sig_a"), col("sig_b")).as("n_match"))
-        .groupBy("doc_a", "doc_b")
-        .agg(max("n_match").as("n_match"))
-        .withColumn("est_jaccard_e6",
-          floor(lit(1000000.0) * col("n_match") / lit(MinHashK.toDouble)).cast("long"))
-        .filter(col("est_jaccard_e6") >= minEstE6)
-        .select(pairCols: _*)
-    }
     if (!collapseExact) {
       // The self-join consumes the (cpu-heavy) signature pipeline twice;
       // materialize it ONCE via eager localCheckpoint. NOT .cache():
@@ -192,42 +239,73 @@ object Dedup {
       val banded0 = bandIndex(docs, textCol, idCol)
       val banded = if (materialize) banded0.localCheckpoint(true, DataSized)
                    else banded0
-      bandPairs(banded)
+      bandPairsFrom(banded, idCol, minEstE6)
     } else {
-      // Exact-signature collapse. The group key is the FULL signature
-      // array, not a hash of it — grouping stays exact, never "exact
-      // up to a 60-bit collision". Docs too short to shingle carry an
-      // all-null signature (see [[bandIndex]]); they must NOT collapse
-      // into one giant pseudo-group, so each stays its own
-      // representative (their band pairs then die at the threshold
-      // exactly as on the uncollapsed path). sig[0] decides: a minhash
-      // position is null iff the shingle set is empty, i.e. all-or-
-      // nothing across positions.
-      val sigd0 = docs.select(col(idCol),
-        minhashSigText(col(textCol)).as("sig"))
-      val wSig = Window.partitionBy("sig")
-      val withRep0 = sigd0.withColumn("rep",
-        when(col("sig").getItem(0).isNull, col(idCol))
-          .otherwise(min(col(idCol)).over(wSig)))
-      // two consumers (star edges + representative band frame): one
-      // signature pass, eager DISK_ONLY checkpoint — same
-      // leak-freedom/heap rationale as the uncollapsed branch
-      val withRep = if (materialize) withRep0.localCheckpoint(true, DataSized)
-                    else withRep0
-      // star edges: member → its group's minimum id. rep < member by
-      // construction, so (doc_a, doc_b) ordering holds; n_match/est
-      // are the exact values sigMatches would compute on equal sigs.
-      val star0 = withRep.filter(col("rep") =!= col(idCol))
-        .select(col("rep").as("doc_a"), col(idCol).as("doc_b"),
-          lit(MinHashK.toLong).as("n_match"), lit(1000000L).as("est_jaccard_e6"))
-      val star = if (minEstE6 <= 1000000L) star0 else star0.limit(0)
-      val reps = withRep.filter(col("rep") === col(idCol))
-      val banded = reps.select(
-        col(idCol), col("sig"),
-        posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
-          .as(Seq("band", "bkey")))
-      bandPairs(banded).unionByName(star)
+      collapsedCandidates(
+        docs.select(col(idCol), minhashSigText(col(textCol)).as("sig")),
+        idCol, minEstE6, materialize)
     }
+  }
+
+  /** Candidate pairs recomputed from a PERSISTED member-level
+    * fingerprint index ([[bandIndex]] shape: one (id, sig, band, bkey)
+    * row per document per band) WITHOUT touching document text — the
+    * deletion-recovery verb: after a tombstone compact drops the
+    * deleted docs' rows ([[DedupIndex.compact]]), the retained rows
+    * still carry everything the candidate stage needs, so relabeling
+    * after a deletion costs a rescan of RETAINED fingerprints + CC,
+    * never a corpus re-shingle. Pair set is component-identical to
+    * [[minhashCandidates]] over the retained documents (the same
+    * exact-signature-collapse theorem; DedupSpec asserts label-set
+    * equality, x89 pins it under the DuckDB full-closure oracle).
+    *
+    * Scale: the (id, sig) frame comes from the index's band-0 slice —
+    * every doc has a band-0 row by construction, so one filtered scan,
+    * no dedup shuffle. The dropDuplicates guards REPLAYED at-least-once
+    * appends (duplicate index rows until a compact folds them): it
+    * shuffles a docs-sized narrow frame once, and the signature window
+    * right after shuffles the same frame anyway.
+    */
+  def candidatesFromIndex(index: DataFrame, idCol: String,
+                          minEstE6: Long = 250000L,
+                          materialize: Boolean = true): DataFrame =
+    collapsedCandidates(
+      index.filter(col("band") === 0).select(col(idCol), col("sig"))
+        .dropDuplicates(idCol),
+      idCol, minEstE6, materialize)
+
+  /** Fold a batch's signature-distinct fingerprint rows into an
+    * ACCUMULATING signature-distinct index WITHOUT regrowing
+    * per-signature multiplicity (ADVICE r13: st29's plain union gave a
+    * recurring signature one rep row per batch over the stream's life,
+    * re-growing exactly the probe-join bloat [[bandIndexDistinct]]
+    * exists to eliminate). The EXISTING representative wins: identical
+    * signatures carry identical band keys, so any future batch that
+    * matches the dropped batch rep matches the kept one — connectivity
+    * (the only thing the index serves) is unchanged, whatever the two
+    * ids' order; the new doc itself is edge-connected to the kept rep
+    * by the probe that preceded this fold. Null-signature batch rows
+    * (docs too short to shingle) all pass through — each is its own
+    * representative, per the [[bandIndexDistinct]] rule.
+    *
+    * Scale: the index side is NEVER shuffled — one streamed scan
+    * against the BROADCAST batch signature set finds the already-
+    * represented signatures (batch-sized output), and the batch
+    * anti-joins that set. Per-batch cost is one linear index scan +
+    * O(batch), the same delta economics as the label fold.
+    */
+  def foldIndexDistinct(index: DataFrame, batchIndex: DataFrame,
+                        idCol: String): DataFrame = {
+    // band-0 slice: one row per batch signature; null sigs never
+    // equi-join (array equality over nulls is null), so they fall out
+    // of `matched` and every null-sig batch row is kept — correct by
+    // the bandIndexDistinct rule
+    val batchSigs = batchIndex.filter(col("band") === 0).select("sig")
+    val matched = index.filter(col("band") === 0).select("sig")
+      .join(broadcast(batchSigs), Seq("sig"), "left_semi")
+      .distinct()
+    val fresh = batchIndex.join(broadcast(matched), Seq("sig"), "left_anti")
+    index.unionByName(fresh)
   }
 
   /** Incremental near-dup detection: a NEW batch of documents against
@@ -557,7 +635,10 @@ object Dedup {
     * driver path at typical batch sizes. Per-batch cost is therefore
     * two linear label-table scans + O(batch), independent of the
     * corpus' EDGE count — the same delta economics the candidate side
-    * already had.
+    * already had. Every stage degrades for a MEGA-batch: the broadcast
+    * hints are gated on measured counts (past ~2M rows the endpoint /
+    * remap joins fall back to shuffle joins — ADVICE r13), and the
+    * label-level CC past 1M pairs takes the distributed rounds.
     *
     * ADDITIONS ONLY, by design: a deletion can SPLIT a component, and
     * min-label state retains no edges to re-derive the split — the
@@ -593,10 +674,17 @@ object Dedup {
       .localCheckpoint(true)
     // the touched endpoints' current labels: ONE streamed scan of the
     // label table against the broadcast endpoint set — the batch-sized
-    // output is all later stages ever see of the corpus
+    // output is all later stages ever see of the corpus.
+    // The broadcast hints are gated on MEASURED counts (the
+    // connectedComponents nNodes pattern, ADVICE r13): a mega-batch's
+    // endpoint or remap set past ~64 MB of long pairs must degrade to
+    // a graceful shuffle join, not force-broadcast into a driver OOM —
+    // the same 2M-row gate the CC label table uses.
     val ends = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
-    val touched = lab.join(broadcast(ends), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    val endsSide = if (ends.count() <= 2000000L) broadcast(ends) else ends
+    val touched = lab.join(endsSide, Seq("node"), "left_semi")
       .localCheckpoint(true)
     // endpoints resolve to their current label; an unlabeled endpoint
     // (new node, or an old singleton CC never listed) stands for itself
@@ -619,11 +707,15 @@ object Dedup {
     val merged = connectedComponents(labelEdges, "la", "lb")
     val remap = merged.select(col("node").as("old_label"),
       col("label").as("new_label"))
+    // same measured gate as endsSide: remap is label-graph-sized
+    // (bounded by the batch's touched labels + new ids), so the
+    // broadcast is the common case and the shuffle the mega-batch one
+    val remapSide = if (remap.count() <= 2000000L) broadcast(remap) else remap
     // second streamed scan: relabel ONLY rows whose label is remapped
     // (broadcast hash join, no exchange of the label table); rows of
     // untouched components coalesce through unchanged
     val updatedOld = lab
-      .join(broadcast(remap), col("label") === col("old_label"), "left")
+      .join(remapSide, col("label") === col("old_label"), "left")
       .select(col("node"),
         coalesce(col("new_label"), col("label")).as("label"))
     // endpoints not in the label table enter the output with their
@@ -634,7 +726,7 @@ object Dedup {
     // anti-join with a corpus-sized right side would have to shuffle
     // or broadcast the corpus.
     val newNodes = ends.join(touched.select("node"), Seq("node"), "left_anti")
-      .join(broadcast(remap), col("node") === col("old_label"), "left")
+      .join(remapSide, col("node") === col("old_label"), "left")
       .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
     updatedOld.unionByName(newNodes)
   }

@@ -308,4 +308,30 @@ final case class MinhashDedupIndex(tablePath: String, textCol: String,
     spark.table(currentTable(spark))
   override def staleFiles(spark: SparkSession): Seq[String] =
     Provenance.staleFiles(spark, tablePath, provPath)
+
+  /** The DELETION verb (VERDICT r13 ask #1): tombstone-compact the
+    * fingerprint table into the next generation (dropping every row of
+    * the deleted docs — same snapshot-swap as [[compact]]) and return
+    * the RECOMPUTED cluster labels over the retained corpus, derived
+    * from the retained fingerprint rows alone (no re-shingling —
+    * [[graft.llm.DedupIndex.deleteAndRelabel]]). Handles component
+    * SPLITS by construction, which incremental label maintenance
+    * cannot (DedupSpec's bridge case).
+    */
+  def delete(spark: SparkSession, tombstones: DataFrame,
+             minEstE6: Long = 250000L): DataFrame = {
+    val next = readGeneration(spark) + 1
+    val prev = currentTable(spark)
+    val labels = graft.llm.DedupIndex.deleteAndRelabel(spark, prev,
+      s"${table}_g$next", s"${path}_g$next", tombstones, idCol, minEstE6)
+      // materialize before the generation flip: the labels plan reads
+      // the NEW generation's table by name, and the snapshot-swap
+      // below drops the old catalog entry — an unmaterialized plan
+      // handed to the caller must not race the lifecycle bookkeeping
+      .localCheckpoint(true)
+    writeGeneration(spark, next)
+    spark.sql(s"DROP TABLE IF EXISTS $prev")
+    Provenance.compact(spark, provPath)
+    labels
+  }
 }

@@ -137,6 +137,146 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(ccOf(true) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("candidatesFromIndex == minhashCandidates: components and pair " +
+    "values, from persisted fingerprint rows alone") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words entirely here now for this doc"
+    val corpus = docs((1L, text), (2L, text), (3L, text + " extra"),
+      (6L, "solo"), (9L, other))
+    val index = Dedup.bandIndex(corpus, "text", "doc_id")
+    val fromIdx = Dedup.candidatesFromIndex(index, "doc_id",
+        materialize = false)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val fromText = Dedup.minhashCandidates(corpus, "text", "doc_id",
+        materialize = false)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(fromIdx === fromText)
+    // replayed at-least-once append: duplicate index rows change nothing
+    val replayed = Dedup.candidatesFromIndex(index.union(index), "doc_id",
+        materialize = false)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(replayed === fromText)
+  }
+
+  test("deletion splits a component: a deleted bridge doc breaks its " +
+    "cluster, which the retained-pair recompute reflects") {
+    // two exact-dup groups {1,2} (text A) and {10,11} (text C), bridged
+    // by doc 5 whose text is half of A + half of C: 5 near-dups both
+    // sides while A and C share nothing — delete 5 and the component
+    // MUST split, the case incremental min-label state cannot express
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val c = "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+    val bridge = (a.split(" ").take(6) ++ c.split(" ").take(6)).mkString(" ")
+    val corpus = docs((1L, a), (2L, a), (5L, bridge), (10L, c), (11L, c))
+    val index = Dedup.bandIndex(corpus, "text", "doc_id")
+      .localCheckpoint(true)
+    val before = Dedup.connectedComponents(
+        Dedup.candidatesFromIndex(index, "doc_id", materialize = false),
+        "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // precondition: the bridge actually bridges — one component of 5
+    assert(before === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L),
+      s"fixture must form one bridged component, got $before")
+    // the tombstone compact's relational core: retained rows only
+    val retained = index.filter(col("doc_id") =!= 5L)
+    val after = Dedup.connectedComponents(
+        Dedup.candidatesFromIndex(retained, "doc_id", materialize = false),
+        "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"deleting the bridge must split the component, got $after")
+    // and it equals the from-scratch run over corpus∖deleted
+    val scratch = Dedup.connectedComponents(
+        Dedup.minhashCandidates(corpus.filter(col("doc_id") =!= 5L),
+          "text", "doc_id", materialize = false),
+        "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === scratch)
+  }
+
+  test("randomized add/delete interleave: labels from the maintained " +
+    "index equal a from-scratch run at every step") {
+    val rng = new scala.util.Random(20260816L)
+    val templates = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "completely different words entirely here now for this doc",
+      "pack my box with five dozen liquor jugs right away today",
+      "sphinx of black quartz judge my vow said the old sage")
+    var nextId = 0L
+    def batch(n: Int): Seq[(Long, String)] = (1 to n).map { _ =>
+      nextId += 1
+      val t = templates(rng.nextInt(templates.size))
+      // ~half the docs are exact copies of a template, the rest
+      // near-dups with a suffix — dup groups AND near-dup chains
+      (nextId, if (rng.nextBoolean()) t else t + " tail" + rng.nextInt(3))
+    }
+    var live = Map.empty[Long, String]
+    var index: org.apache.spark.sql.DataFrame = null
+    def checkStep(): Unit = {
+      val fromIdx = Dedup.connectedComponents(
+          Dedup.candidatesFromIndex(index, "doc_id", materialize = false),
+          "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val scratch = Dedup.connectedComponents(
+          Dedup.minhashCandidates(docs(live.toSeq.sortBy(_._1): _*),
+            "text", "doc_id", materialize = false),
+          "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fromIdx === scratch, s"maintained-index labels diverged at ${live.size} live docs")
+    }
+    (1 to 4).foreach { _ =>
+      // ADD: append a batch's fingerprints (no corpus re-hash)
+      val add = batch(6)
+      live ++= add
+      val addIdx = Dedup.bandIndex(docs(add: _*), "text", "doc_id")
+      index = (if (index == null) addIdx else index.union(addIdx))
+        .localCheckpoint(true)
+      checkStep()
+      // DELETE: tombstone ~a third of the live set (anti-join — the
+      // DedupIndex.compact core), then recompute from retained rows
+      val dead = live.keys.filter(_ % 3 == 0).toSet
+      if (dead.nonEmpty) {
+        live --= dead
+        index = index.filter(!col("doc_id").isin(dead.toSeq: _*))
+          .localCheckpoint(true)
+        checkStep()
+      }
+    }
+  }
+
+  test("foldIndexDistinct: a recurring signature never regrows rep rows, " +
+    "and probe connectivity is preserved") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words entirely here now for this doc"
+    val base = Dedup.bandIndexDistinct(docs((1L, text), (2L, other)),
+      "text", "doc_id").localCheckpoint(true)
+    // batch 1 re-sends the SAME signature (doc 10 = copy of doc 1) plus
+    // a short null-sig doc; batch 2 re-sends it again
+    val b1 = Dedup.bandIndexDistinct(docs((10L, text), (11L, "solo")),
+      "text", "doc_id")
+    val b2 = Dedup.bandIndexDistinct(docs((20L, text)), "text", "doc_id")
+    val folded = Dedup.foldIndexDistinct(
+      Dedup.foldIndexDistinct(base, b1, "doc_id"), b2, "doc_id")
+      .localCheckpoint(true)
+    // the recurring signature kept exactly ONE rep (doc 1's rows); the
+    // null-sig doc passed through (its own representative)
+    val ids = folded.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 11L),
+      s"recurring signature must not regrow rep rows, got ids $ids")
+    // connectivity through the kept rep: a future probe of the same
+    // text still finds its duplicate
+    val probe = Dedup.incrementalCandidates(docs((30L, text)), folded,
+      "text", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probe.toSeq === Seq((30L, 1L)))
+  }
+
   test("dropNearDuplicates keeps cluster representatives and loners") {
     val s = spark; import s.implicits._
     // 1 and 3 are identical (near-dup cluster, rep = 1); 7 is unrelated
