@@ -192,6 +192,17 @@ object FileBloom {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
       IndexStat.liveStatus(spark, tablePath))
 
+  /** Live base files with no filter row — the base grew without a
+    * matching appendStats. The probe side is already safe (unknown
+    * files always scan); this is the discovery-seam warn signal.
+    */
+  def unseenFiles(spark: SparkSession, tablePath: String,
+                  bloomPath: String): Seq[String] =
+    IndexStat.unseenOf(
+      spark.read.parquet(bloomPath).select("file").distinct()
+        .collect().map(_.getString(0)).toSeq,
+      IndexStat.liveStatus(spark, tablePath))
+
   /** Read only the files the bloom index cannot rule out, with the
     * exact IN predicate applied on top (bloom "maybe" is not "yes").
     * An empty candidate set short-circuits to an empty frame with the

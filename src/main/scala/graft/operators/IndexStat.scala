@@ -76,4 +76,19 @@ object IndexStat {
             versions.exists { case (_, l, m) => (l, m) == lm }) => path
     }.toSeq.sorted
   }
+
+  /** The other direction of [[staleOf]]: LIVE base files the index has
+    * never described — the base GREW (new landings) without a matching
+    * index append. staleOf cannot see these (it diffs recorded rows
+    * against the listing), yet they are the common staleness in an
+    * ingest pipeline: a contribution index (ANN codes, sketches, dedup
+    * fingerprints) silently answers for the OLD corpus until its
+    * maintenance loop catches up — exactly what the discovery-seam
+    * gate (IndexAdvisor) must be loud about (VERDICT r13 ask #3).
+    */
+  def unseenOf(recordedPaths: Seq[String],
+               live: Seq[(String, Long, Long)]): Seq[String] = {
+    val rec = recordedPaths.map(canon).toSet
+    live.collect { case (p, _, _) if !rec(canon(p)) => p }.sorted
+  }
 }

@@ -159,6 +159,18 @@ object Provenance {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
       IndexStat.liveStatus(spark, tablePath))
 
+  /** Live base files the sidecar has never recorded — the base GREW
+    * without a matching index append, so the index silently answers
+    * for the old corpus ([[IndexStat.unseenOf]]; the discovery-seam
+    * staleness gate's second signal).
+    */
+  def unseenFiles(spark: SparkSession, tablePath: String,
+                  provPath: String): Seq[String] =
+    IndexStat.unseenOf(
+      spark.read.parquet(provPath).select("file").distinct()
+        .collect().map(_.getString(0)).toSeq,
+      IndexStat.liveStatus(spark, tablePath))
+
   /** Fold the sidecar's accumulated per-append files into one. */
   def compact(spark: SparkSession, provPath: String): Unit =
     spark.read.parquet(provPath).localCheckpoint(true)

@@ -116,6 +116,17 @@ object ZoneMap {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
       IndexStat.liveStatus(spark, tablePath))
 
+  /** Live base files with no stats row — the base grew without a
+    * matching appendStats. The scan side is already safe (unknown
+    * files always scan); this is the discovery-seam warn signal.
+    */
+  def unseenFiles(spark: SparkSession, tablePath: String,
+                  zmPath: String): Seq[String] =
+    IndexStat.unseenOf(
+      spark.read.parquet(zmPath).select("file").distinct()
+        .collect().map(_.getString(0)).toSeq,
+      IndexStat.liveStatus(spark, tablePath))
+
   /** Files whose per-file [min,max] intersects EVERY side of the box
     * — the candidate set a scan must open. Driver-sized: bounded by
     * the file count, and after pruning by the answer's file set.

@@ -122,6 +122,7 @@ object IndexAdvisor {
     all.map(e => (e.kind, e.path, e.columns, e.params))
       .toDF("kind", "path", "columns", "params")
       .coalesce(1).write.mode("overwrite").parquet(catalogPath(tablePath))
+    invalidateCatalog(tablePath)
   }
 
   /** Remove the registration matching (kind, column set) — the
@@ -133,6 +134,11 @@ object IndexAdvisor {
     */
   def unregister(spark: SparkSession, tablePath: String, kind: String,
                  columns: Seq[String]): Unit = {
+    // same guard as register (ADVICE r13): a typo'd kind must fail
+    // loudly, not silently no-op and leave the stale catalog row live
+    // — exactly the dead-path-mount failure this verb exists to end
+    require(Kinds(kind),
+      s"unknown index kind '$kind' (${Kinds.toSeq.sorted.mkString(" | ")})")
     val all = catalog(spark, tablePath)
     val keep = all.filterNot(e =>
       e.kind == kind && e.columns.sorted == columns.sorted)
@@ -141,8 +147,31 @@ object IndexAdvisor {
       keep.map(e => (e.kind, e.path, e.columns, e.params))
         .toDF("kind", "path", "columns", "params")
         .coalesce(1).write.mode("overwrite").parquet(catalogPath(tablePath))
+      invalidateCatalog(tablePath)
     }
   }
+
+  /** (catalogPath → (dir mtime, entries)) memo: a probe-per-batch loop
+    * (st29's shape at production cadence) discovers per batch, and an
+    * unmemoized catalog() paid a driver-side parquet read each time
+    * (VERDICT r13 ask #6). Keyed on the catalog DIRECTORY's mtime —
+    * every rewrite (register/unregister's overwrite) replaces the
+    * directory's files, bumping it; same-process writers additionally
+    * invalidate explicitly below, so the mtime only has to catch
+    * EXTERNAL writers (ms granularity on every filesystem here).
+    */
+  private val catalogMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[CatalogEntry])]()
+
+  /** Filesystem loads actually issued by [[catalog]] — a test hook:
+    * the memo spec asserts one load across repeated discovery against
+    * an unchanged catalog, and invalidation on register/unregister.
+    */
+  private[sources] val catalogLoads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def invalidateCatalog(tablePath: String): Unit =
+    catalogMemo.remove(catalogPath(tablePath))
 
   /** The table's registered indexes (empty when no catalog exists).
     * Tolerates params-less catalogs written before the column existed.
@@ -150,21 +179,30 @@ object IndexAdvisor {
     * row set dedupes driver-side.
     */
   def catalog(spark: SparkSession, tablePath: String): Seq[CatalogEntry] = {
-    val p = new org.apache.hadoop.fs.Path(catalogPath(tablePath))
+    val pathStr = catalogPath(tablePath)
+    val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
+    if (!fs.exists(p)) { catalogMemo.remove(pathStr); Seq.empty }
     else {
-      val df0 = spark.read.parquet(catalogPath(tablePath))
-      val df = if (df0.columns.contains("params")) df0
-        else df0.withColumn("params",
-          typedLit(Map.empty[String, String]))
-      df.select("kind", "path", "columns", "params")
-        .collect()
-        .map(r => CatalogEntry(r.getString(0), r.getString(1),
-          r.getSeq[String](2),
-          Option(r.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty)))
-        .toSeq.distinct
-        .sortBy(e => (e.kind, e.path))
+      val mtime = fs.getFileStatus(p).getModificationTime
+      val hit = catalogMemo.get(pathStr)
+      if (hit != null && hit._1 == mtime) hit._2
+      else {
+        catalogLoads.incrementAndGet()
+        val df0 = spark.read.parquet(pathStr)
+        val df = if (df0.columns.contains("params")) df0
+          else df0.withColumn("params",
+            typedLit(Map.empty[String, String]))
+        val entries = df.select("kind", "path", "columns", "params")
+          .collect()
+          .map(r => CatalogEntry(r.getString(0), r.getString(1),
+            r.getSeq[String](2),
+            Option(r.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty)))
+          .toSeq.distinct
+          .sortBy(e => (e.kind, e.path))
+        catalogMemo.put(pathStr, (mtime, entries))
+        entries
+      }
     }
   }
 
@@ -177,6 +215,86 @@ object IndexAdvisor {
       case a: AttributeReference => a.name.toLowerCase
     }.toSet
 
+  // ---- staleness at the discovery seam (VERDICT r13 ask #3) --------
+  // Each family always HAD the signals (staleFiles; staleQuantizer for
+  // ivfpq) but nothing at discovery consulted them — a probe against
+  // an index whose base grew since the last append silently served the
+  // old corpus. Discovery now checks the resolved entry under a
+  // policy: `fail` throws, `warn` (default) logs one loud line (the
+  // ccLog pattern), `ignore` skips the check entirely (also the
+  // zero-cost path for a caller that just checked).
+
+  /** Accepted values for every discovery function's `staleness`. */
+  val StalenessPolicies: Set[String] = Set("fail", "warn", "ignore")
+
+  private lazy val advisorLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Warnings emitted by the gate — a test hook for the `warn` policy. */
+  private[sources] val staleWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The resolved entry's staleness signals, uniform across the five
+    * kinds: (rewritten/deleted recorded base files, live base files the
+    * index never described, quantizer-drift verdict — ivfpq only).
+    * The skipping kinds (zonemap/bloom) stay CORRECT under both file
+    * signals (unknown/mismatched files demote to always-scan row by
+    * row — StalenessSpec); for the contribution kinds (ivfpq/sketch/
+    * dedup) a grown base means the probe answers for the OLD corpus,
+    * which is exactly what the gate must be loud about.
+    */
+  def stalenessOf(spark: SparkSession, tablePath: String,
+                  e: CatalogEntry): (Seq[String], Seq[String], Boolean) =
+    e.kind match {
+      case "zonemap" =>
+        (graft.operators.ZoneMap.staleFiles(spark, tablePath, e.path),
+         graft.operators.ZoneMap.unseenFiles(spark, tablePath, e.path), false)
+      case "bloom" =>
+        (graft.operators.FileBloom.staleFiles(spark, tablePath, e.path),
+         graft.operators.FileBloom.unseenFiles(spark, tablePath, e.path), false)
+      // the contribution kinds ride the Provenance sidecar at
+      // `<path>_prov`. An index built OUTSIDE the PersistedIndex
+      // lifecycle (SketchIndex.writeMonthly / DedupIndex.create called
+      // directly — q62's shape) has no sidecar and therefore nothing
+      // to diff: no signals, same tolerance as the params-less catalog
+      case "ivfpq" =>
+        val prov = e.path + "_prov"
+        if (!pathExists(spark, prov)) (Nil, Nil, false)
+        else (graft.operators.Provenance.staleFiles(spark, tablePath, prov),
+          graft.operators.Provenance.unseenFiles(spark, tablePath, prov),
+          ivfPqDiscovered(spark, tablePath).exists(_.staleQuantizer(spark)))
+      case "sketch" | "dedup" =>
+        val prov = e.path + "_prov"
+        if (!pathExists(spark, prov)) (Nil, Nil, false)
+        else (graft.operators.Provenance.staleFiles(spark, tablePath, prov),
+          graft.operators.Provenance.unseenFiles(spark, tablePath, prov),
+          false)
+      case k => throw new IllegalArgumentException(s"unknown index kind '$k'")
+    }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def checkStaleness(spark: SparkSession, tablePath: String,
+                             e: CatalogEntry, policy: String): Unit = {
+    require(StalenessPolicies(policy),
+      s"unknown staleness policy '$policy' (${StalenessPolicies.toSeq.sorted.mkString(" | ")})")
+    if (policy == "ignore") return
+    val (stale, unseen, quant) = stalenessOf(spark, tablePath, e)
+    if (stale.nonEmpty || unseen.nonEmpty || quant) {
+      val msg = s"${e.kind} index at ${e.path} for $tablePath is STALE: " +
+        s"${stale.size} rewritten/deleted and ${unseen.size} never-indexed " +
+        s"base file(s)" +
+        (if (quant) ", quantizer drift past the retrain threshold" else "") +
+        " — re-run the index's append/create (ivfpq: retrainIfStale); " +
+        "pass staleness=\"ignore\" to accept old-corpus answers"
+      if (policy == "fail") throw new IllegalStateException(msg)
+      staleWarnings.incrementAndGet()
+      advisorLog.warn(msg)
+    }
+  }
+
   /** Scan the table through whatever registered indexes SERVE this
     * predicate — the full advisor: the caller states WHAT it filters,
     * the catalog knows what indexes exist, and the advisor mounts
@@ -188,14 +306,17 @@ object IndexAdvisor {
     * correctness one (q76 runs this path under the DuckDB oracle).
     */
   def readDiscovered(spark: SparkSession, tablePath: String,
-                     predicate: Column): DataFrame =
-    readDiscoveredWithIndexes(spark, tablePath, predicate)._1
+                     predicate: Column,
+                     staleness: String = "warn"): DataFrame =
+    readDiscoveredWithIndexes(spark, tablePath, predicate, staleness)._1
 
   /** [[readDiscovered]] plus the mounted outermost index (None when
     * the predicate serves no layer and the scan is plain).
     */
   def readDiscoveredWithIndexes(spark: SparkSession, tablePath: String,
-                                predicate: Column): (DataFrame, Option[FileIndex]) = {
+                                predicate: Column,
+                                staleness: String = "warn")
+      : (DataFrame, Option[FileIndex]) = {
     val cols = referenced(predicate)
     val serving = catalog(spark, tablePath)
       .filter(_.columns.exists(c => cols(c.toLowerCase)))
@@ -207,6 +328,7 @@ object IndexAdvisor {
         .sortBy(e => -e.columns.count(c => cols(c.toLowerCase)))
         .headOption
     val (zm, bloom) = (pick("zonemap"), pick("bloom"))
+    (zm ++ bloom).foreach(checkStaleness(spark, tablePath, _, staleness))
     if (zm.isEmpty && bloom.isEmpty)
       (spark.read.parquet(tablePath).filter(predicate), None)
     else {
@@ -255,11 +377,16 @@ object IndexAdvisor {
     * answers a different — exact — question at a different cost).
     */
   def probeDiscovered(spark: SparkSession, tablePath: String,
-                      probes: DataFrame, k: Int, nprobe: Int): DataFrame =
-    ivfPqDiscovered(spark, tablePath).getOrElse(throw new IllegalArgumentException(
-      s"no ivfpq index registered for $tablePath — IndexAdvisor.register(" +
-        s"..., \"ivfpq\", ...) at build time, or use Similarity.bruteTopK " +
-        s"for an exact scan")).probe(spark, probes, k, nprobe)
+                      probes: DataFrame, k: Int, nprobe: Int,
+                      staleness: String = "warn"): DataFrame = {
+    val e = catalog(spark, tablePath).find(_.kind == "ivfpq")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ivfpq index registered for $tablePath — IndexAdvisor.register(" +
+          s"..., \"ivfpq\", ...) at build time, or use Similarity.bruteTopK " +
+          s"for an exact scan"))
+    checkStaleness(spark, tablePath, e, staleness)
+    ivfPqDiscovered(spark, tablePath).get.probe(spark, probes, k, nprobe)
+  }
 
   /** The registered monthly-sketch index handle: columns =
     * (monthCol, keyCol), params carry k.
@@ -280,10 +407,12 @@ object IndexAdvisor {
     * passed.
     */
   def sketchRangeDiscovered(spark: SparkSession, tablePath: String,
-                            from: Long, until: Long): DataFrame = {
+                            from: Long, until: Long,
+                            staleness: String = "warn"): DataFrame = {
     val e = catalog(spark, tablePath).find(_.kind == "sketch")
       .getOrElse(throw new IllegalArgumentException(
         s"no sketch index registered for $tablePath"))
+    checkStaleness(spark, tablePath, e, staleness)
     graft.operators.SketchIndex.probeRange(spark, e.path, from, until,
       monthCol = e.columns.headOption.getOrElse("month_sec"))
   }
@@ -313,10 +442,13 @@ object IndexAdvisor {
     */
   def incrementalCandidatesDiscovered(spark: SparkSession, tablePath: String,
                                       newDocs: DataFrame,
-                                      minEstE6: Long = 250000L): DataFrame = {
-    val idx = dedupDiscovered(spark, tablePath)
+                                      minEstE6: Long = 250000L,
+                                      staleness: String = "warn"): DataFrame = {
+    val e = catalog(spark, tablePath).find(_.kind == "dedup")
       .getOrElse(throw new IllegalArgumentException(
         s"no dedup index registered for $tablePath"))
+    checkStaleness(spark, tablePath, e, staleness)
+    val idx = dedupDiscovered(spark, tablePath).get
     graft.llm.Dedup.incrementalCandidates(newDocs, idx.content(spark),
       idx.textCol, idx.idCol, minEstE6)
   }

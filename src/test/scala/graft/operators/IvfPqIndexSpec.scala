@@ -270,6 +270,68 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkTestSession {
       f"deployment dials did not beat the toy sample: $rDeploy%.3f <= $rToy%.3f")
   }
 
+  test("retrainIfStale under deployment dials: a shifted append trips " +
+    "drift, retrain clears the signal and recovers recall on the " +
+    "shifted corpus") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("ivfpq_retrain")
+    val table = s"$root/vecs"
+    // EVEN ids: the original mode. The later drifted batch lands on
+    // the odd ids — a well-mixed id space, so the deterministic
+    // id-prefix retrain sample covers BOTH modes (the precondition for
+    // retraining to follow a drifted distribution; an id space where
+    // new landings only ever get higher ids re-reads the same sample
+    // forever, and retrain can only re-baseline the signal there)
+    (0 until 300).map(i => (2L * i, emb(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(table)
+    // deployment dials: Lloyd iterates over the FULL base and the PQ
+    // sample spans both modes after the drifted batch lands
+    val idx = IvfPqIndex(table, s"$root/idx", m = 4, subDim = 4,
+      sampleSize = 34, lloydRounds = 2)
+    idx.create(s)
+    assert(!idx.staleQuantizer(s) && !idx.retrainIfStale(s),
+      "a fresh index must neither read stale nor retrain")
+
+    // the drifted mode lands: +6.0 per coordinate, far outside the
+    // trained books' reach
+    val pre = ZoneMap.dataFiles(s, table).toSet
+    (0 until 300).map(i => (2L * i + 1, emb(i).map(_ + 6.0f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(table)
+    idx.append(s, ZoneMap.dataFiles(s, table).filterNot(pre).toSeq)
+    assert(idx.staleQuantizer(s), "the shifted append must trip drift")
+
+    // exact L2 ground truth over the grown corpus, probes drawn from
+    // the SHIFTED mode (the rows the frozen quantizers explain worst)
+    val all = s.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val probeIds = all.keys.filter(id => id % 2 == 1 && id % 29 == 0).toSeq
+    val exact: Set[(Long, Long)] = probeIds.flatMap { p =>
+      all.keys.filter(_ != p).toSeq
+        .sortBy(n => (l2(all(p), all(n)), n)).take(3).map(p -> _)
+    }.toSet
+    val probes = s.read.parquet(table)
+      .filter(col("vec_id") % 2 === 1 && col("vec_id") % 29 === 0)
+      .localCheckpoint(true)
+    def recall(): Double = {
+      val got = idx.probe(s, probes, k = 3, nprobe = 4)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val before = recall()
+    assert(idx.retrainIfStale(s), "retrainIfStale must fire while stale")
+    assert(!idx.staleQuantizer(s),
+      "create must re-baseline the drift signal over the grown base")
+    val after = recall()
+    info(f"recall@3 on the shifted mode: pre-retrain $before%.3f, post-retrain $after%.3f")
+    // deterministic fixture: the measured recovery is 0.000 -> 0.400
+    assert(after > before,
+      f"retrain must RECOVER recall on the shifted corpus ($before%.3f -> $after%.3f)")
+    assert(!idx.retrainIfStale(s), "a re-baselined signal must not retrain again")
+  }
+
   test("probe scans only the probed inverted lists (partition pruning)") {
     val s = spark
     val root = graft.core.Scratch.dir("ivfpq_prune")

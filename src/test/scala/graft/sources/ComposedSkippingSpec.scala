@@ -293,6 +293,205 @@ class ComposedSkippingSpec extends AnyFunSuite with SparkTestSession {
     }.map(_.metrics("numFiles").value).sum
   }
 
+  test("discovery consults staleness: a grown base warns (default) or " +
+    "fails per policy, for each of the five kinds; current indexes are silent") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("composed_stalegate")
+
+    def warnsDuring[T](body: => T): (T, Long) = {
+      val before = IndexAdvisor.staleWarnings.get()
+      val r = body
+      (r, IndexAdvisor.staleWarnings.get() - before)
+    }
+
+    // --- skipping kinds: one table, zonemap(x) + bloom(id) ---
+    val t = s"$root/t"
+    (0 until 4).foreach { f =>
+      (0 until 50).map(i => (f * 50L + i, f.toLong, s"n_${f}_$i"))
+        .toDF("id", "x", "name").coalesce(1).write.mode("append").parquet(t)
+    }
+    ZoneMap.build(s, t, Seq("x"), s"$root/zm")
+    FileBloom.build(s, t, "id", s"$root/bm", m = 4096, k = 4)
+    IndexAdvisor.register(s, t, "zonemap", s"$root/zm", Seq("x"))
+    IndexAdvisor.register(s, t, "bloom", s"$root/bm", Seq("id"))
+    val p = col("x") === 1L && col("id") === 60L
+    // current: both layers mount, zero warnings
+    val (rows0, w0) = warnsDuring(
+      IndexAdvisor.readDiscovered(s, t, p).count())
+    assert(rows0 === 1L)
+    assert(w0 === 0L, s"current indexes must be silent, got $w0 warnings")
+    // grow the base: both layers' bases now have a never-indexed file
+    Seq((99999L, 1L, "late")).toDF("id", "x", "name")
+      .coalesce(1).write.mode("append").parquet(t)
+    val (rows1, w1) = warnsDuring(
+      IndexAdvisor.readDiscovered(s, t, p).count())
+    assert(rows1 === 1L, "the answer stays correct (unknown files always scan)")
+    assert(w1 === 2L, s"zonemap + bloom should each warn once, got $w1")
+    intercept[IllegalStateException] {
+      IndexAdvisor.readDiscovered(s, t, p, staleness = "fail").count()
+    }
+    val (_, wIgnore) = warnsDuring(
+      IndexAdvisor.readDiscovered(s, t, p, staleness = "ignore").count())
+    assert(wIgnore === 0L)
+    intercept[IllegalArgumentException] {
+      IndexAdvisor.readDiscovered(s, t, p, staleness = "loud")
+    }
+
+    // --- ivfpq (lifecycle-built: provenance + drift sidecars exist) ---
+    val vecs = s"$root/vecs"
+    (0 until 64).map(i =>
+        (i.toLong, (0 until 16).map(tt => ((i * 13 + tt * 7) % 97) / 97.0f - 0.5f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(vecs)
+    val ivf = graft.operators.IvfPqIndex(vecs, s"$root/ivf", m = 4, subDim = 4)
+    ivf.create(s)
+    IndexAdvisor.register(s, vecs, "ivfpq", s"$root/ivf",
+      Seq("vec_id", "embedding"), Map("m" -> "4", "subDim" -> "4"))
+    val probes = s.read.parquet(vecs).filter(col("vec_id") === 0L)
+      .localCheckpoint(true)
+    val (_, wv0) = warnsDuring(
+      IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2).count())
+    assert(wv0 === 0L, "a current ivfpq index must be silent")
+    Seq((1000L, (0 until 16).map(_ => 0.25f))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(vecs)
+    val (_, wv1) = warnsDuring(
+      IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2).count())
+    assert(wv1 === 1L, "a grown ivfpq base must warn at probe time")
+    intercept[IllegalStateException] {
+      IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2,
+        staleness = "fail")
+    }
+
+    // --- sketch (lifecycle-built via MonthlySketchIndex) ---
+    val ord = s"$root/ord"
+    (0 until 100).map(i => (1704067200L + (i % 3) * 2678400L, i.toLong % 17))
+      .toDF("month_sec", "key").coalesce(1).write.parquet(ord)
+    val msk = graft.operators.MonthlySketchIndex(ord, "month_sec", "key",
+      s"$root/sk", 64)
+    msk.create(s)
+    IndexAdvisor.register(s, ord, "sketch", s"$root/sk",
+      Seq("month_sec", "key"), Map("k" -> "64"))
+    val (_, ws0) = warnsDuring(IndexAdvisor.sketchRangeDiscovered(
+      s, ord, 1704067200L, 1704067200L + 3 * 2678400L).count())
+    assert(ws0 === 0L, "a current sketch index must be silent")
+    Seq((1704067200L, 999L)).toDF("month_sec", "key")
+      .coalesce(1).write.mode("append").parquet(ord)
+    val (_, ws1) = warnsDuring(IndexAdvisor.sketchRangeDiscovered(
+      s, ord, 1704067200L, 1704067200L + 3 * 2678400L).count())
+    assert(ws1 === 1L, "a grown sketch base must warn at probe time")
+    intercept[IllegalStateException] {
+      IndexAdvisor.sketchRangeDiscovered(s, ord, 1704067200L,
+        1704067200L + 3 * 2678400L, staleness = "fail")
+    }
+
+    // --- dedup (lifecycle-built via MinhashDedupIndex) ---
+    val docsPath = s"$root/docs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, text), (2L, "completely different words entirely here now"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(docsPath)
+    val ddIdx = graft.operators.MinhashDedupIndex(docsPath, "text", "doc_id",
+      "stalegate_dd", s"$root/dd", buckets = 2)
+    ddIdx.create(s)
+    IndexAdvisor.register(s, docsPath, "dedup", s"$root/dd",
+      Seq("text", "doc_id"), Map("table" -> "stalegate_dd", "buckets" -> "2"))
+    val batch = Seq((10L, text)).toDF("doc_id", "text")
+    val (inc0, wd0) = warnsDuring(IndexAdvisor
+      .incrementalCandidatesDiscovered(s, docsPath, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(inc0 === Seq((10L, 1L)))
+    assert(wd0 === 0L, "a current dedup index must be silent")
+    Seq((3L, "yet more brand new words landing after the index build"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(docsPath)
+    val (_, wd1) = warnsDuring(IndexAdvisor
+      .incrementalCandidatesDiscovered(s, docsPath, batch).count())
+    assert(wd1 === 1L, "a grown dedup base must warn at probe time")
+    intercept[IllegalStateException] {
+      IndexAdvisor.incrementalCandidatesDiscovered(s, docsPath, batch,
+        staleness = "fail")
+    }
+  }
+
+  test("quantizer drift trips the discovery gate, and retrainIfStale " +
+    "clears it (the signal's consequent, re-baselined by create)") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("composed_driftgate")
+    val vecs = s"$root/vecs"
+    (0 until 64).map(i =>
+        (i.toLong, (0 until 16).map(tt => ((i * 13 + tt * 7) % 97) / 97.0f - 0.5f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(vecs)
+    val idx = graft.operators.IvfPqIndex(vecs, s"$root/ivf", m = 4, subDim = 4)
+    idx.create(s)
+    // a SHIFTED append: frozen codebooks stop explaining the batch —
+    // drift trips while the file-level provenance stays green (the
+    // appended files ARE recorded; this is the signal staleFiles
+    // cannot give)
+    val pre = graft.operators.ZoneMap.dataFiles(s, vecs).toSet
+    s.read.parquet(vecs)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+      .coalesce(1).write.mode("append").parquet(vecs)
+    idx.append(s, graft.operators.ZoneMap.dataFiles(s, vecs)
+      .filterNot(pre).toSeq)
+    assert(idx.staleQuantizer(s), "the shifted append must trip drift")
+    IndexAdvisor.register(s, vecs, "ivfpq", s"$root/ivf",
+      Seq("vec_id", "embedding"), Map("m" -> "4", "subDim" -> "4"))
+    val probes = s.read.parquet(vecs).filter(col("vec_id") === 0L)
+      .localCheckpoint(true)
+    val before = IndexAdvisor.staleWarnings.get()
+    IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2).count()
+    assert(IndexAdvisor.staleWarnings.get() - before === 1L,
+      "quantizer drift alone (files all recorded) must warn at probe time")
+    intercept[IllegalStateException] {
+      IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2,
+        staleness = "fail")
+    }
+    // the consequent: retrain re-runs create over the grown base,
+    // re-baselining the signal — the gate goes quiet
+    assert(idx.retrainIfStale(s), "retrainIfStale must fire while stale")
+    assert(!idx.staleQuantizer(s), "create must re-baseline the drift signal")
+    assert(!idx.retrainIfStale(s), "a clean signal must not retrain")
+    val after = IndexAdvisor.staleWarnings.get()
+    IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2).count()
+    assert(IndexAdvisor.staleWarnings.get() === after,
+      "a retrained index must be silent at the gate")
+  }
+
+  test("the catalog read memoizes on (path, mtime): repeated discovery " +
+    "against an unchanged catalog costs one filesystem load, and " +
+    "register/unregister invalidate") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("composed_catmemo")
+    val t = s"$root/t"
+    (0L until 100L).map(i => (i, i % 7)).toDF("id", "x").write.parquet(t)
+    ZoneMap.build(s, t, Seq("x"), s"$root/zm")
+    IndexAdvisor.register(s, t, "zonemap", s"$root/zm", Seq("x"))
+    def loadsDuring(body: => Unit): Long = {
+      val before = IndexAdvisor.catalogLoads.get()
+      body
+      IndexAdvisor.catalogLoads.get() - before
+    }
+    // first discovery after register loads once; the next N are memo hits
+    val first = loadsDuring(
+      IndexAdvisor.readDiscovered(s, t, col("x") === 3L).count())
+    assert(first === 1L, s"first discovery should load the catalog once, got $first")
+    val rest = loadsDuring((1 to 5).foreach { _ =>
+      IndexAdvisor.readDiscovered(s, t, col("x") === 3L).count()
+    })
+    assert(rest === 0L, s"a probe-per-batch loop must not re-read an unchanged catalog, got $rest loads")
+    // register invalidates (the new row must be visible immediately)
+    FileBloom.build(s, t, "id", s"$root/bm", m = 4096, k = 4)
+    IndexAdvisor.register(s, t, "bloom", s"$root/bm", Seq("id"))
+    assert(IndexAdvisor.catalog(s, t).map(_.kind).sorted === Seq("bloom", "zonemap"))
+    // unregister invalidates too — and validates the kind like register
+    IndexAdvisor.unregister(s, t, "bloom", Seq("id"))
+    assert(IndexAdvisor.catalog(s, t).map(_.kind) === Seq("zonemap"))
+    val typo = intercept[IllegalArgumentException] {
+      IndexAdvisor.unregister(s, t, "zone-map", Seq("x"))
+    }
+    assert(typo.getMessage.contains("unknown index kind"))
+    assert(IndexAdvisor.catalog(s, t).map(_.kind) === Seq("zonemap"),
+      "the typo'd unregister must not have touched the catalog")
+  }
+
   test("a file landed after both indexes were built is always scanned") {
     val s = spark; import s.implicits._
     val (table, zm, bm) = layout
