@@ -145,7 +145,60 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    val sentinelFloor = (1 to 5).map(_ => sentinelSecs()).min
+    // ---- committed same-host control draw (VERDICT r12 ask #6) ----
+    // tools/bench.sh --control benches the PREVIOUS round's tree and
+    // this tree minutes apart on one host and commits the control
+    // summary as BENCH_CONTROL.json; merging it below puts the control
+    // + per-query mover verdicts into the driver-submitted artifact
+    // itself. Parsed HERE, before timing, because the control's
+    // recorded sentinel floor also gates the RUN (ask r13 #2).
+    // Flat regex parse (no JSON lib on the classpath); the file is
+    // generated by tools/bench.sh in exactly this shape.
+    case class Control(sha: String, sf: String, total: Double,
+                       floor: Option[Double], mins: Map[String, Double])
+    val control: Option[Control] = {
+      val p = java.nio.file.Paths.get("BENCH_CONTROL.json")
+      if (!java.nio.file.Files.isReadable(p)) None
+      else scala.util.Try {
+        val txt = java.nio.file.Files.readString(p)
+        def str(k: String) = (s""""$k"\\s*:\\s*"([^"]+)"""").r
+          .findFirstMatchIn(txt).get.group(1)
+        val tot = """"total"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(txt).get.group(1).toDouble
+        // optional: controls committed before round 14 lack it
+        val floor = """"sentinel_floor"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val minsBlock = txt.split("\"queries_min\"\\s*:\\s*\\{", 2)(1)
+          .split("\\}", 2)(0)
+        val mins = """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(minsBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        Control(str("sha"), str("sf"), tot, floor, mins)
+      }.toOption
+    }
+    // only comparable at the control's own scale factor (basename —
+    // the driver and dev runs mount the same /root/testdata dirs)
+    val usableControl = control.filter(c =>
+      new java.io.File(c.sf).getName == new java.io.File(sfDir).getName)
+
+    // The per-entry sentinel gate below compares against the run's OWN
+    // floor, which a UNIFORMLY loaded window inflates into silence
+    // (BENCH_r13: floor 0.505 vs the control draw's 0.175, every entry
+    // "clean"). With a control floor in hand, gate the RUN: re-draw
+    // the floor while it reads hot (the burst may pass), then stamp
+    // the artifact contended_run so phantom movers are self-labeled.
+    val controlFloor = usableControl.flatMap(_.floor)
+    var sentinelFloor = (1 to 5).map(_ => sentinelSecs()).min
+    var floorRetries = 0
+    while (BenchGuards.contendedRun(sentinelFloor, controlFloor) &&
+        floorRetries < 2) {
+      println(s"bench: sentinel floor ${sentinelFloor}s reads hot vs control " +
+        s"${controlFloor.get}s — pausing 15s and re-drawing")
+      Thread.sleep(15000)
+      sentinelFloor = math.min(sentinelFloor,
+        (1 to 5).map(_ => sentinelSecs()).min)
+      floorRetries += 1
+    }
+    val contendedRun = BenchGuards.contendedRun(sentinelFloor, controlFloor)
 
     // (name, median, min, iterations used)
     val timings = Seq.newBuilder[(String, Double, Double, Int)]
@@ -268,45 +321,18 @@ object Bench {
     val split = stSplit.result().map { case (k, ex, h) =>
       jstr(k) + s""":{"exec":${n3(ex)},"harness":${n3(h)}}"""
     }.mkString("{", ",", "}")
-    // ---- committed same-host control draw (VERDICT r12 ask #6) ----
-    // tools/bench.sh --control benches the PREVIOUS round's tree and
-    // this tree minutes apart on one host and commits the control
-    // summary as BENCH_CONTROL.json; merging it HERE puts the control
-    // + per-query mover verdicts into the driver-submitted artifact
-    // itself, so raw cross-round totals (single-day snapshots on a
-    // shared, drifting host) stop being the only evidence — r12's
-    // 164.2 vs 134.9 s "regression" was an 8.2% same-host IMPROVEMENT.
-    // Flat regex parse (no JSON lib on the classpath); the file is
-    // generated by tools/bench.sh in exactly this shape.
-    case class Control(sha: String, sf: String, total: Double,
-                       mins: Map[String, Double])
-    val control: Option[Control] = {
-      val p = java.nio.file.Paths.get("BENCH_CONTROL.json")
-      if (!java.nio.file.Files.isReadable(p)) None
-      else scala.util.Try {
-        val txt = java.nio.file.Files.readString(p)
-        def str(k: String) = (s""""$k"\\s*:\\s*"([^"]+)"""").r
-          .findFirstMatchIn(txt).get.group(1)
-        val tot = """"total"\s*:\s*([0-9.]+)""".r
-          .findFirstMatchIn(txt).get.group(1).toDouble
-        val minsBlock = txt.split("\"queries_min\"\\s*:\\s*\\{", 2)(1)
-          .split("\\}", 2)(0)
-        val mins = """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(minsBlock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        Control(str("sha"), str("sf"), tot, mins)
-      }.toOption
-    }
-    // only comparable at the control's own scale factor (basename —
-    // the driver and dev runs mount the same /root/testdata dirs)
-    val usableControl = control.filter(c =>
-      new java.io.File(c.sf).getName == new java.io.File(sfDir).getName)
-
     val note = "adaptive iters: median of " + Iters +
       " for cheap queries; >" + SentinelGateSecs.toInt +
       "s runs are sentinel-gated best-of-<=3 (entries in `contended` never saw " +
       "a clean sentinel and are inflated by co-tenant load; sentinel floor " +
       n3(sentinelFloor) + "s); past the " + BudgetSecs.toInt +
-      "s budget, single runs; st* wall = streaming_split exec + fixed harness floor"
+      "s budget, single runs; st* wall = streaming_split exec + fixed harness floor" +
+      (if (contendedRun) "; CONTENDED_RUN: this run's sentinel floor is >" +
+        BenchGuards.FloorInflation + "x the control draw's (" +
+        controlFloor.map(n3).getOrElse("?") + "s) even after re-draws — the " +
+        "whole window was loaded, every wall here is uniformly inflated, and " +
+        "apparent regressions vs the control are noise, not plan changes"
+       else "")
     // mover verdicts vs the committed control, on per-query MINs (the
     // plan's cost, not the contention draw) — same 1.3×/0.77×
     // thresholds as tools/bench.sh
@@ -322,8 +348,8 @@ object Bench {
       }
       s""","control":{"sha":${jstr(c.sha)},"total":${n3(c.total)},"note":"same-host control draw of the previous round's tree (tools/bench.sh --control; BENCH_CONTROL.json commit), benched minutes apart from this tree's BENCH_LOCAL draw; movers compare this run's per-query mins against it"},"movers":${movers.mkString("{", ",", "}")}"""
     }.getOrElse("")
-    val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"contended":$cont$controlJson,"queries":$qs,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"sentinel_floor_sec":${n3(sentinelFloor)},"contended":$cont$controlJson,"streaming_split":$split,"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""
+    val core = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","contended_run":$contendedRun,"note":${jstr(note)},"contended":$cont$controlJson,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","contended_run":$contendedRun,"note":${jstr(note)},"bench_wall_sec":${n3(elapsed)},"sentinel_floor_sec":${n3(sentinelFloor)},"contended":$cont$controlJson,"streaming_split":$split,"queries":$qs,"queries_min":$qmin,"queries_iters":$qit,"errors":$es,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
@@ -344,7 +370,7 @@ object Bench {
       ts.size + " entries; full per-query map on the previous stdout line and in target/bench.json"
     val ctlTail = usableControl.map(c =>
       s""","control_sha":${jstr(c.sha)},"control_total":${n3(c.total)}""").getOrElse("")
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","entries":${ts.size},"errors":${errors.size},"contended":$cont$ctlTail,"note":${jstr(tailNote)},"queries":$worst,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","stat":"median","entries":${ts.size},"errors":${errors.size},"contended_run":$contendedRun,"contended":$cont$ctlTail,"note":${jstr(tailNote)},"queries":$worst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,9 +83,13 @@ cur["control_note"] = ("both trees benched in ONE session minutes apart on the s
                        "control speed is a code change")
 json.dump(cur, open("target/bench_local.json", "w"))
 # the COMMITTED control summary graft.Bench merges into the submitted
-# artifact (VERDICT r12 ask #6): flat shape, regex-parsed there
+# artifact (VERDICT r12 ask #6): flat shape, regex-parsed there.
+# sentinel_floor (r13 ask #2): the control draw's idle floor — the
+# submitted run gates ITSELF on the ratio of its floor to this one, so
+# a uniformly loaded window can no longer read as clean.
 json.dump({"sha": os.environ["CTL_SHA"], "sf": cur.get("sf", ""),
            "total": ctl.get("value") or 0.0,
+           "sentinel_floor": ctl.get("sentinel_floor_sec") or 0.0,
            "queries_min": kmin},
           open("BENCH_CONTROL.json", "w"))
 n_reg = sum(1 for m in movers if m["verdict"] == "regression")
