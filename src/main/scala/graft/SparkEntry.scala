@@ -29,4 +29,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ GeneralQueries.oracles ++ LlmQueries.oracles ++
       StreamingQueries.oracles
+
+  /** Adjudication notes for queries WITHOUT an oracleSql entry — the
+    * driver records those as `err: no_oracle`, which reads as a
+    * failure to anyone without the round history (VERDICT r13 ask #7).
+    * Verify dumps this beside oracle_sql.json so the round artifact is
+    * self-describing: each note says WHY no deterministic cross-engine
+    * oracle can exist and which green bound-checked b-variant carries
+    * the correctness claim instead.
+    */
+  def oracleNotes: Map[String, String] = Map(
+    "q18_approx_distinct" -> ("rows_only_by_design: Spark's " +
+      "approx_count_distinct is HyperLogLog++ with Spark's own hash and " +
+      "register layout; DuckDB's approx_count_distinct is its own HLL — " +
+      "the two estimates differ by construction, so no deterministic " +
+      "cross-engine rendering exists. Correctness rides " +
+      "q18b_approx_distinct_bound (full rows+schema+hash pass): every " +
+      "group's estimate within the configured rsd of DuckDB's EXACT " +
+      "count distinct."),
+    "q27_approx_quantiles" -> ("rows_only_by_design: Spark's " +
+      "approx_percentile is Greenwald-Khanna; DuckDB's approx_quantile " +
+      "is t-digest — different sketches, different (both within-bound) " +
+      "answers, no deterministic cross-engine rendering. Correctness " +
+      "rides q27b_approx_quantiles_bound (full pass): each approximate " +
+      "quantile within the configured accuracy's rank error of DuckDB's " +
+      "EXACT quantile."),
+    "q33_heavy_hitters" -> ("rows_only_by_design: Misra-Gries summaries " +
+      "report frequency ESTIMATES whose exact values depend on stream " +
+      "merge order; DuckDB has no Misra-Gries at all. Correctness rides " +
+      "q33b_heavy_hitters_bound (full pass): the sketch's support set " +
+      "and error bound checked against DuckDB's exact counts."))
 }

@@ -54,6 +54,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // adjudication notes for the oracle-less entries (VERDICT r13 ask
+    // #7): the driver records them as `err: no_oracle`; this sidecar
+    // makes the round artifact self-describing — rows-only BY DESIGN,
+    // with the green b-variant that carries the correctness claim
+    Files.writeString(Paths.get(s"$outDir/oracle_notes.json"),
+      SparkEntry.oracleNotes
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (failed.nonEmpty)

@@ -295,7 +295,17 @@ object Dedup {
     * O(batch), the same delta economics as the label fold.
     */
   def foldIndexDistinct(index: DataFrame, batchIndex: DataFrame,
-                        idCol: String): DataFrame = {
+                        idCol: String): DataFrame =
+    index.unionByName(freshIndexRows(index, batchIndex, idCol))
+
+  /** Just the batch rows [[foldIndexDistinct]] would ADD — the
+    * persisted posture's append set: a maintenance loop writes these
+    * to the index table (mode append) instead of rewriting the union,
+    * so the on-disk index grows by signature-distinct rows only
+    * (ScaleSmoke's streammaint stage pins the growth accounting).
+    */
+  def freshIndexRows(index: DataFrame, batchIndex: DataFrame,
+                     idCol: String): DataFrame = {
     // band-0 slice: one row per batch signature; null sigs never
     // equi-join (array equality over nulls is null), so they fall out
     // of `matched` and every null-sig batch row is kept — correct by
@@ -304,8 +314,7 @@ object Dedup {
     val matched = index.filter(col("band") === 0).select("sig")
       .join(broadcast(batchSigs), Seq("sig"), "left_semi")
       .distinct()
-    val fresh = batchIndex.join(broadcast(matched), Seq("sig"), "left_anti")
-    index.unionByName(fresh)
+    batchIndex.join(broadcast(matched), Seq("sig"), "left_anti")
   }
 
   /** Incremental near-dup detection: a NEW batch of documents against

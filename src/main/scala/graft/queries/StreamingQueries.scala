@@ -1575,8 +1575,13 @@ object StreamingQueries {
             // the fold must not re-write the label table a second time
             labels = Dedup.incrementalComponents(labels, delta,
               "doc_a", "doc_b", materialize = false).localCheckpoint(true)
-            index = index
-              .union(Dedup.bandIndexDistinct(batch, "text", "doc_id"))
+            // foldIndexDistinct, not a plain union (ADVICE r13): a
+            // recurring signature must not gain one rep row per batch
+            // over the stream's life — the fold keeps the existing
+            // representative (connectivity identical; the probe above
+            // already edge-connected this batch's copy to it)
+            index = Dedup.foldIndexDistinct(index,
+                Dedup.bandIndexDistinct(batch, "text", "doc_id"), "doc_id")
               .localCheckpoint(true)
             ()
           }
