@@ -75,7 +75,7 @@ object Dedup {
     * pairs score n_match=0 and die at the threshold — same output, no
     * recompute.
     */
-  def bandIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def bandIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     // The signature is ONE native codegen'd expression (MinHashSigText):
     // split, shingle, md5 and all 24 affine mins fused in a single JVM
     // pass over the raw text. The earlier minhashSig(wordShingles(...))
@@ -84,13 +84,27 @@ object Dedup {
     // was re-evaluated per lambda element, O(tokens²) per document
     // (VERDICT r06 ask #5). Same values (MinHashSigSpec), one
     // whole-stage-codegen projection, linear per-row cost.
-    val sigd = docs
-      .select(col(idCol), minhashSigText(col(textCol)).as("sig"))
+    bandIndexFromSigs(
+      docs.select(col(idCol), minhashSigText(col(textCol)).as("sig")), idCol)
+
+  /** The band-explosion half of [[bandIndex]] over an already-computed
+    * (idCol, sig) frame — so a maintenance path that persists the
+    * doc-level signature relation (DedupIndex's `_sigs` sidecar) pays
+    * the text→signature kernel ONCE and derives both relations from it.
+    */
+  def bandIndexFromSigs(sigd: DataFrame, idCol: String): DataFrame =
     sigd.select(
       col(idCol), col("sig"),
       posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band", "bkey")))
-  }
+
+  /** The doc-level signature relation itself: one (idCol, sig) row per
+    * document — the shape the DELETE path scans (1/[[MinHashBands]]th
+    * of the member-level index's rows, and the signature array stored
+    * ONCE per doc instead of once per band row).
+    */
+  def docSigs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), minhashSigText(col(textCol)).as("sig"))
 
   /** Signature-DISTINCT fingerprint index: one indexed row per
     * (distinct signature, band), carrying the group's MINIMUM id —
@@ -269,10 +283,33 @@ object Dedup {
   def candidatesFromIndex(index: DataFrame, idCol: String,
                           minEstE6: Long = 250000L,
                           materialize: Boolean = true): DataFrame =
-    collapsedCandidates(
-      index.filter(col("band") === 0).select(col(idCol), col("sig"))
-        .dropDuplicates(idCol),
+    candidatesFromSigs(
+      index.filter(col("band") === 0).select(col(idCol), col("sig")),
       idCol, minEstE6, materialize)
+
+  /** [[candidatesFromIndex]] over the DOC-LEVEL signature relation
+    * ([[docSigs]] shape — DedupIndex's `_sigs` sidecar): the preferred
+    * delete-relabel scan. The member-level index repeats the signature
+    * array on every band row, so deriving sigd from its band-0 slice
+    * still DECODES all [[MinHashBands]]× copies at scan time — at the
+    * 100× point that decode cost the delete path more than the corpus
+    * re-fingerprint it exists to avoid (SCALE_r14's falsified first
+    * draw). One row per doc makes the relabel scan ∝ documents.
+    */
+  /** @param assumeUnique skip the per-doc dedup exchange when the
+    *   caller guarantees one row per id — true for a sidecar rewritten
+    *   by DedupIndex.compact (its rewrite dedups); false (default) for
+    *   anything that may carry replayed at-least-once append rows.
+    */
+  def candidatesFromSigs(sigs: DataFrame, idCol: String,
+                         minEstE6: Long = 250000L,
+                         materialize: Boolean = true,
+                         assumeUnique: Boolean = false): DataFrame = {
+    val sigd = sigs.select(col(idCol), col("sig"))
+    collapsedCandidates(
+      if (assumeUnique) sigd else sigd.dropDuplicates(idCol),
+      idCol, minEstE6, materialize)
+  }
 
   /** Fold a batch's signature-distinct fingerprint rows into an
     * ACCUMULATING signature-distinct index WITHOUT regrowing

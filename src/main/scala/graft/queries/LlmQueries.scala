@@ -2196,9 +2196,7 @@ object LlmQueries {
             .select("doc_id"),
           "doc_id")
       }
-      Dedup.connectedComponents(
-          Dedup.candidatesFromIndex(s.table(s"g89_fp_kept_$tag"), "doc_id"),
-          "doc_a", "doc_b")
+      DedupIndex.relabel(s, s"g89_fp_kept_$tag")
         .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
     })

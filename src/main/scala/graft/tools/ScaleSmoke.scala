@@ -157,53 +157,94 @@ object ScaleSmoke {
   }
 
   /** Round-14 DELETION point (VERDICT r13 ask #1): the corpus is
-    * fingerprinted ONCE into the persisted member-level band index, a
-    * tombstone batch (every 10th doc) lands, and labels are recomputed
-    * two ways — the DELETE path (anti-join the index, candidates from
-    * RETAINED fingerprint rows, CC: DedupIndex.deleteAndRelabel's
-    * relational core) vs the honest control (re-fingerprint corpus∖
-    * deleted from text + CC). Labels must agree exactly; the delete
-    * path's candidate stage must beat the control's, because it skips
-    * the corpus-wide text→signature kernel — the claim "delete cost ∝
-    * retained-pair rescan, not corpus re-fingerprint".
+    * fingerprinted ONCE into the persisted pair (member-level band
+    * index + doc-level `_sigs` sidecar), a tombstone batch (every 10th
+    * doc) lands, and labels are recomputed two ways — the DELETE path
+    * (anti-join the sidecar, candidates from RETAINED signature rows,
+    * CC: DedupIndex.deleteAndRelabel's relational core) vs the honest
+    * control (re-fingerprint corpus∖deleted from text + CC). Labels
+    * must agree exactly; the delete path must beat the control because
+    * it never touches document TEXT — its cost is ∝ retained docs
+    * (fixed ~200 B of signature each), while the control's
+    * text→signature kernel is linear in document LENGTH. The base
+    * fixture's ~60-char docs make that kernel artificially cheaper
+    * than the signatures it produces (the one corpus where
+    * re-fingerprinting can win), so this stage runs at a realistic
+    * ~0.5 KB/doc — still SHORT for web data — by repeating each text
+    * 8×: similarity structure is preserved, both paths see the same
+    * corpus, and the length-independence claim gets measured instead
+    * of asserted.
     */
   private def deleteStage(docs: DataFrame, tmp: String): Unit = {
     val spark = docs.sparkSession
-    timed("delete state build (one-time: persisted member-level index)") {
-      Dedup.bandIndex(docs, "text", "doc_id")
-        .write.mode("overwrite").parquet(s"$tmp/del_index")
-    }
-    val index = spark.read.parquet(s"$tmp/del_index")
-    val (delLabels, tDel) =
-      timed("DELETE path (tombstone anti-join + retained-pair relabel)") {
-        val retained = index.filter(col("doc_id") % 10 =!= 3)
-        val l = Dedup.connectedComponents(
-          Dedup.candidatesFromIndex(retained, "doc_id"), "doc_a", "doc_b")
-          .localCheckpoint(true)
-        println(s"  labeled nodes: ${l.count()}")
-        l
-      }
-    val (fullLabels, tFull) =
-      timed("full RE-FINGERPRINT control (text -> candidates + CC)") {
-        val l = Dedup.connectedComponents(
-          Dedup.minhashCandidates(docs.filter(col("doc_id") % 10 =!= 3),
-            "text", "doc_id"), "doc_a", "doc_b")
-          .localCheckpoint(true)
-        println(s"  labeled nodes: ${l.count()}")
-        l
-      }
     def ck(l: DataFrame): (Long, Long, Long) = {
       val r = l.agg(count(lit(1)), countDistinct(col("label")),
         sum(pmod(hash(col("node"), col("label")).cast("long"),
           lit(1000000007L)))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val cd = ck(delLabels); val cf = ck(fullLabels)
-    require(cd == cf, s"delete-path labels != re-fingerprint labels: $cd vs $cf")
-    println(f"  labels identical (nodes/clusters/checksum $cd); delete path " +
-      f"$tDel%.2f s vs re-fingerprint $tFull%.2f s (${tFull / tDel}%.1fx) — " +
-      "the delete rescans RETAINED fingerprints; the control re-pays the " +
-      "corpus-wide text->signature kernel")
+    // (docBytes, tDelete, tRefingerprint) per length point
+    val points = Seq.newBuilder[(Long, Double, Double)]
+    for (rep <- Seq(1, 8, 32)) {
+      val fat0 = docs.select(col("doc_id"),
+        concat_ws(" ", array_repeat(col("text"), rep)).as("text"))
+      val fat = if (rep == 1) docs
+        else fat0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val bytes = fat.agg(avg(length(col("text")))).head().getDouble(0).toLong
+      println(s"delete @ ~$bytes B/doc (x$rep text):")
+      // the persisted artifact is DedupIndex's pair — the bucketed
+      // member-level band rows (the PROBE access path) plus the
+      // doc-level `_sigs` sidecar (the DELETE access path; one
+      // signature kernel run, checkpointed, feeds both). The first
+      // draft relabeled from the member-level rows' band-0 slice and
+      // LOST to the re-fingerprint control: the slice decodes all 24
+      // per-band copies of the signature array at scan time.
+      timed("  state build (one-time: band index + doc-level sigs)") {
+        val sigd = Dedup.docSigs(fat, "text", "doc_id")
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        sigd.write.mode("overwrite").parquet(s"$tmp/del_sigs")
+        Dedup.bandIndexFromSigs(sigd, "doc_id")
+          .write.mode("overwrite").parquet(s"$tmp/del_index")
+      }
+      val (delLabels, tDel) =
+        timed("  DELETE path (tombstone anti-join + retained-sigs relabel)") {
+          val retained = spark.read.parquet(s"$tmp/del_sigs")
+            .filter(col("doc_id") % 10 =!= 3)
+          // assumeUnique: the relabel posture — CC is multiplicity-blind
+          val l = Dedup.connectedComponents(
+            Dedup.candidatesFromSigs(retained, "doc_id", assumeUnique = true),
+            "doc_a", "doc_b")
+            .localCheckpoint(true)
+          l.count(); l
+        }
+      val (fullLabels, tFull) =
+        timed("  full RE-FINGERPRINT control (text -> candidates + CC)") {
+          val l = Dedup.connectedComponents(
+            Dedup.minhashCandidates(fat.filter(col("doc_id") % 10 =!= 3),
+              "text", "doc_id"), "doc_a", "doc_b")
+            .localCheckpoint(true)
+          l.count(); l
+        }
+      val cd = ck(delLabels); val cf = ck(fullLabels)
+      require(cd == cf, s"delete-path labels != re-fingerprint labels: $cd vs $cf")
+      println(s"  labels identical (nodes/clusters/checksum $cd)")
+      points += ((bytes, tDel, tFull))
+    }
+    val ps = points.result()
+    println("  doc bytes | delete s | re-fingerprint s | ratio")
+    ps.foreach { case (b, d, f) =>
+      println(f"  $b%9d | $d%8.2f | $f%16.2f | ${f / d}%.2fx")
+    }
+    // the claim under measurement: the delete path never touches text,
+    // so its wall is ~flat in document length while the control's
+    // text->signature kernel grows linearly — by web-page sizes the
+    // control must have crossed over decisively
+    val (_, dSmall, _) = ps.head
+    val (_, dBig, fBig) = ps.last
+    require(dBig <= dSmall * 1.8,
+      f"delete wall not length-flat: $dSmall%.2f -> $dBig%.2f s")
+    require(fBig > dBig,
+      f"re-fingerprint should exceed the delete path at ~2 KB docs: $fBig%.2f vs $dBig%.2f s")
   }
 
   /** Round-14 STREAMING-MAINTENANCE point (VERDICT r13 ask #5): st29's
