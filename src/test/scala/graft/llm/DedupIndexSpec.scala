@@ -93,4 +93,51 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestSession {
       spark.sql("DROP TABLE IF EXISTS dedup_idx2")
     }
   }
+
+  test("MinhashDedupIndex.delete: generation bump, sidecar compaction, a " +
+    "component split, and append-after-delete all through the adapter") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("dedup_idx_del")
+    try {
+      // the bridge corpus from DedupSpec's split case: {1,2}≈A, {10,11}≈C,
+      // doc 5 = half A + half C bridges them into one component
+      val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+      val c = "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+      val bridge = (a.split(" ").take(6) ++ c.split(" ").take(6)).mkString(" ")
+      Seq((1L, a), (2L, a), (5L, bridge), (10L, c), (11L, c))
+        .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+      val idx = graft.operators.MinhashDedupIndex(s"$dir/docs", "text",
+        "doc_id", "dedup_del_t", s"$dir/idx", buckets = 2)
+      idx.create(s)
+      val before = DedupIndex.relabel(s, "dedup_del_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(before === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L))
+
+      val labels = idx.delete(s, Seq(5L).toDF("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+        s"deleting the bridge through the adapter must split, got $labels")
+      // the generation flipped: content() no longer holds the tombstoned doc
+      assert(idx.content(s).filter(col("doc_id") === 5L).isEmpty)
+      // the sidecar compacted with it (relabel reads it, no text touched)
+      val again = DedupIndex.relabel(s, "dedup_del_t_g1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(again === labels)
+
+      // the lifecycle continues: a post-delete append is probe-visible
+      // and folds into the post-delete clusters
+      val pre = graft.operators.ZoneMap.dataFiles(s, s"$dir/docs").toSet
+      Seq((20L, a)).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$dir/docs")
+      idx.append(s, graft.operators.ZoneMap.dataFiles(s, s"$dir/docs")
+        .filterNot(pre).toSeq)
+      val after = DedupIndex.relabel(s, "dedup_del_t_g1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(after === Map(1L -> 1L, 2L -> 1L, 20L -> 1L, 10L -> 10L, 11L -> 10L),
+        s"post-delete append must fold into the A cluster, got $after")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dedup_del_t")
+      spark.sql("DROP TABLE IF EXISTS dedup_del_t_g1")
+    }
+  }
 }
