@@ -242,15 +242,45 @@ object IndexAdvisor {
     * dedup) a grown base means the probe answers for the OLD corpus,
     * which is exactly what the gate must be loud about.
     */
+  /** (statsPath → (dir mtime, recorded fingerprints)) memo for the
+    * gate's stats-relation read — the expensive half of the check (a
+    * driver-side parquet job per call). Safe on the stats DIR's mtime:
+    * the sidecars are flat directories rewritten whole by their
+    * maintenance verbs (append/compact/reset), every rewrite bumps it.
+    * The base LISTING is never memoized — it is the live side of the
+    * diff and must stay fresh (and it is cheap: one recursive
+    * listStatus, the same scale every scan planner pays).
+    */
+  private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[(String, Long, Long)])]()
+
   def stalenessOf(spark: SparkSession, tablePath: String,
-                  e: CatalogEntry): (Seq[String], Seq[String], Boolean) =
+                  e: CatalogEntry): (Seq[String], Seq[String], Boolean) = {
+    // ONE stats-relation read + ONE base listing serve BOTH file
+    // signals: the per-object staleFiles/unseenFiles helpers each pay
+    // their own read+listing, and the first bench draw showed the gate
+    // doubling q76's wall (3.05× mover) on exactly that duplication
+    def both(statsPath: String): (Seq[String], Seq[String]) = {
+      val p = new org.apache.hadoop.fs.Path(statsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime = fs.getFileStatus(p).getModificationTime
+      val hit = statsMemo.get(statsPath)
+      val rec =
+        if (hit != null && hit._1 == mtime) hit._2
+        else {
+          val r = spark.read.parquet(statsPath)
+            .select("file", "flen", "fmtime").distinct()
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          statsMemo.put(statsPath, (mtime, r))
+          r
+        }
+      val live = graft.operators.IndexStat.liveStatus(spark, tablePath)
+      (graft.operators.IndexStat.staleOf(rec, live),
+       graft.operators.IndexStat.unseenOf(rec.map(_._1), live))
+    }
     e.kind match {
-      case "zonemap" =>
-        (graft.operators.ZoneMap.staleFiles(spark, tablePath, e.path),
-         graft.operators.ZoneMap.unseenFiles(spark, tablePath, e.path), false)
-      case "bloom" =>
-        (graft.operators.FileBloom.staleFiles(spark, tablePath, e.path),
-         graft.operators.FileBloom.unseenFiles(spark, tablePath, e.path), false)
+      case "zonemap" | "bloom" =>
+        val (st, un) = both(e.path); (st, un, false)
       // the contribution kinds ride the Provenance sidecar at
       // `<path>_prov`. An index built OUTSIDE the PersistedIndex
       // lifecycle (SketchIndex.writeMonthly / DedupIndex.create called
@@ -259,17 +289,17 @@ object IndexAdvisor {
       case "ivfpq" =>
         val prov = e.path + "_prov"
         if (!pathExists(spark, prov)) (Nil, Nil, false)
-        else (graft.operators.Provenance.staleFiles(spark, tablePath, prov),
-          graft.operators.Provenance.unseenFiles(spark, tablePath, prov),
-          ivfPqDiscovered(spark, tablePath).exists(_.staleQuantizer(spark)))
+        else {
+          val (st, un) = both(prov)
+          (st, un, ivfPqDiscovered(spark, tablePath).exists(_.staleQuantizer(spark)))
+        }
       case "sketch" | "dedup" =>
         val prov = e.path + "_prov"
         if (!pathExists(spark, prov)) (Nil, Nil, false)
-        else (graft.operators.Provenance.staleFiles(spark, tablePath, prov),
-          graft.operators.Provenance.unseenFiles(spark, tablePath, prov),
-          false)
+        else { val (st, un) = both(prov); (st, un, false) }
       case k => throw new IllegalArgumentException(s"unknown index kind '$k'")
     }
+  }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
