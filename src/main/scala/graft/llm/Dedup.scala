@@ -127,16 +127,24 @@ object Dedup {
     * rule).
     */
   def bandIndexDistinct(docs: DataFrame, textCol: String,
-                        idCol: String): DataFrame = {
-    val sigd = docs.select(col(idCol), minhashSigText(col(textCol)).as("sig"))
+                        idCol: String): DataFrame =
+    bandIndexDistinctFromSigs(
+      docs.select(col(idCol), minhashSigText(col(textCol)).as("sig")), idCol)
+
+  /** [[bandIndexDistinct]] over an already-computed (idCol, sig) frame
+    * — the DELETION-side rebuild: after tombstones shrink the
+    * doc-level signature relation, the signature-distinct index is
+    * re-derived from the RETAINED sigs alone (a deleted doc may have
+    * BEEN its signature group's kept representative; the window
+    * re-elects the next member — no text is ever re-shingled).
+    */
+  def bandIndexDistinctFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
     val wSig = Window.partitionBy("sig")
-    val reps = sigd.withColumn("rep",
+    val reps = sigs.withColumn("rep",
         when(col("sig").getItem(0).isNull, col(idCol))
           .otherwise(min(col(idCol)).over(wSig)))
       .filter(col("rep") === col(idCol)).drop("rep")
-    reps.select(col(idCol), col("sig"),
-      posexplode(array((0 until MinHashBands).map(b => bandKey(col("sig"), b)): _*))
-        .as(Seq("band", "bkey")))
+    bandIndexFromSigs(reps, idCol)
   }
 
   /** @param collapseExact collapse EXACT-signature duplicate groups

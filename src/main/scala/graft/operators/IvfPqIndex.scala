@@ -286,6 +286,71 @@ final case class IvfPqIndex(tablePath: String, dir: String,
     Provenance.compact(spark, provPath)
   }
 
+  /** DELETE vectors from the inverted lists — the ANN side of the
+    * round-14 deletion story (the dedup family's is
+    * [[graft.llm.DedupIndex.deleteAndRelabel]]): drop every code row
+    * of the tombstoned ids, rewriting ONLY the cluster directories
+    * that actually contain one (the [[compact]] dirty-directory
+    * discipline — dynamic partition overwrite; untouched lists keep
+    * their files byte-identical, pinned by file identity in
+    * IvfPqIndexSpec). Nothing re-encodes and the quantizers stay
+    * FROZEN, so a post-delete probe answers exactly as an index
+    * encoded over corpus∖deleted with the same quantizers — encoding
+    * is per-vector, so dropping rows IS that rebuild's code relation
+    * (x90 pins the equality under the DuckDB oracle). A cluster whose
+    * every member is tombstoned empties: dynamic overwrite writes no
+    * partition for it, so its directory is removed explicitly —
+    * otherwise the stale files would survive and keep answering.
+    *
+    * The drift sidecar is untouched: its rows record ENCODING fit at
+    * write time (a historical signal for [[staleQuantizer]]), not
+    * corpus membership. Base-table deletion is the table service's
+    * own pass; this verb keeps the INDEX from serving deleted ids
+    * regardless of when that happens.
+    */
+  def delete(spark: SparkSession, tombstones: DataFrame): Unit = {
+    val ids = tombstones.select(col(idCol).cast("long").as("neighbor_id"))
+      .distinct()
+    // one scan finds the dirty lists: the tombstone set is batch-sized
+    // (broadcast), the codes relation streams — a maintenance-pass
+    // cost, same as compact's listing sweep
+    val dirty = content(spark)
+      .join(broadcast(ids), Seq("neighbor_id"), "left_semi")
+      .select("cluster").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    if (dirty.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(codesPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirtyDirs = dirty.map(c => s"$codesPath/cluster=$c")
+    // snapshot BEFORE the overwrite deletes the directories being read
+    // (the compact rule); DISK_ONLY — a hot cluster's list can be
+    // data-sized
+    val snap = spark.read.option("basePath", codesPath)
+      .parquet(dirtyDirs: _*)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val retained = snap.join(broadcast(ids), Seq("neighbor_id"), "left_anti")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // the raw partition column infers as INT for small cluster ids —
+    // canon to long like content() does before comparing
+    val survivors = retained.select(col("cluster").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      retained.repartition(col("cluster")).sortWithinPartitions("cluster")
+        .write.partitionBy("cluster").mode("overwrite").parquet(codesPath)
+    finally prev match {
+      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // emptied lists: no partition in `retained` → dynamic overwrite
+    // left the old directory — remove it
+    dirty.filterNot(survivors).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cluster=$c"), true)
+    }
+  }
+
   /** The code rows (neighbor_id, subspace, code, cluster) — cluster
     * comes back from the directory names as the partition column.
     */

@@ -2199,6 +2199,34 @@ object LlmQueries {
       DedupIndex.relabel(s, s"g89_fp_kept_$tag")
         .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
+    }),
+
+    // ANN DELETION (x89's sibling for the other content index family):
+    // tombstoned vectors (vec_id % 9 == 4) leave the persisted IVF-PQ
+    // index via IvfPqIndex.delete — only dirty cluster directories are
+    // rewritten (dynamic partition overwrite; emptied lists removed),
+    // quantizers stay FROZEN, nothing re-encodes. The oracle encodes
+    // corpus∖deleted against the PRE-DELETION quantizers (the full
+    // table's id-prefix sample — frozen-quantizer semantics) and runs
+    // the x41 ADC arithmetic over retained vectors only: the hash
+    // match proves dropping code rows IS the retained rebuild's
+    // answer. Probes are retained ids (% 97 == 0 ∧ % 9 != 4 — deleted
+    // docs don't query). Build + delete are lifecycle fixture; the
+    // timed path is the post-delete probe a deployment serves.
+    "x90_ann_delete" -> ((s, d) => {
+      val root = graft.core.Scratch.cachedDir(s"x90_anndel_$d") { r =>
+        s.read.parquet(s"$d/embeddings.parquet").write.parquet(s"$r/vecs")
+        val idx = graft.operators.IvfPqIndex(s"$r/vecs", s"$r/idx")
+        idx.create(s)
+        idx.delete(s, s.read.parquet(s"$r/vecs")
+          .filter(col("vec_id") % 9 === 4).select("vec_id"))
+      }
+      graft.operators.IvfPqIndex(s"$root/vecs", s"$root/idx")
+        .probe(s,
+          Tables.embeddings(s, d)
+            .filter(col("vec_id") % 97 === 0 && col("vec_id") % 9 =!= 4),
+          k = 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
     })
   )
 
@@ -2217,20 +2245,37 @@ object LlmQueries {
 
   /** CTEs `cb` (codes 0..7 in vec-id order), `sub` (subspaces 0..7),
     * and `codes` (the PQ-encoded corpus) — the DuckDB rendering of
-    * Similarity.pqCodebooks + pqEncode.
+    * Similarity.pqCodebooks + pqEncode. `src` is the encoded relation;
+    * the codebooks ALWAYS train on the full table's id-prefix sample
+    * (frozen-quantizer semantics — x90 encodes corpus∖deleted against
+    * the quantizers trained before the deletion).
     */
-  private val pqCodesCtes: String =
+  private def pqCodesCtesOver(src: String): String =
     s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cvec
        |       FROM embeddings WHERE vec_id < 8),
        |sub AS (SELECT unnest(range(0, 8)) AS m),
        |pq_d AS (SELECT e.vec_id, s.m AS subspace, c.code,
        |                ${pqDistSql("e.embedding")} AS dist
-       |         FROM embeddings e, sub s, cb c),
+       |         FROM $src e, sub s, cb c),
        |pq_best AS (SELECT vec_id, subspace, code,
        |                   row_number() OVER (PARTITION BY vec_id, subspace
        |                                      ORDER BY dist, code) AS rn
        |            FROM pq_d),
        |codes AS (SELECT vec_id, subspace, code FROM pq_best WHERE rn = 1)""".stripMargin
+
+  private val pqCodesCtes: String = pqCodesCtesOver("embeddings")
+
+  /** The full transitive-closure clustering oracle over `documents
+    * WHERE keptWhere` — the shared truth for every cluster-maintenance
+    * entry (x88/st29 fold over the whole corpus; x89/st30 delete, so
+    * their kept set excludes tombstones): whatever the incremental
+    * history, labels must equal from-scratch clusters of what remains.
+    */
+  def closureOracleOver(keptWhere: String): String =
+    s"""WITH RECURSIVE kept AS (SELECT * FROM documents WHERE $keptWhere),
+       |${minhashBandsCtesOver("kept", "text")},
+       |$ccClosureCtes
+       |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin
 
   /** CTEs `cents` / `all_sc` / `asg` / `resid` / `scb` — coarse
     * assignment, per-vector residuals, and the residual codebooks
@@ -3658,11 +3703,46 @@ object LlmQueries {
     // pair relabel must equal a from-scratch run on the retained
     // corpus — component splits included (the %10=3 set contains a
     // bridge doc at sf0.01)
-    "x89_delete_relabel" ->
-      s"""WITH RECURSIVE kept AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
-         |${minhashBandsCtesOver("kept", "text")},
-         |$ccClosureCtes
-         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin,
+    "x89_delete_relabel" -> closureOracleOver("doc_id % 10 <> 3"),
+
+    // x41's ADC arithmetic over corpus∖deleted, quantizers trained on
+    // the FULL table's id-prefix sample (frozen — they predate the
+    // deletion): dropping code rows must equal this retained rebuild
+    "x90_ann_delete" ->
+      s"""WITH kept AS (SELECT * FROM embeddings WHERE vec_id % 9 <> 4),
+         |${pqCodesCtesOver("kept")},
+         |cents AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         |corpus_sc AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM kept e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM corpus_sc) WHERE c_rnk = 1),
+         |probe_sc AS (
+         |  SELECT e.vec_id AS probe_id, c.cent_id, ${cosSql("e.embedding", "c.c_vec")} AS c_score
+         |  FROM kept e, cents c WHERE e.vec_id % 97 = 0),
+         |p_assigned AS (
+         |  SELECT probe_id, cent_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY c_score DESC, cent_id) AS c_rnk
+         |    FROM probe_sc) WHERE c_rnk <= 2),
+         |lut AS (SELECT p.vec_id AS probe_id, s.m AS subspace, c.code,
+         |               CAST(floor(${pqDistSql("p.embedding")} * 1000000000) AS BIGINT) AS pd_e9
+         |        FROM kept p, sub s, cb c WHERE p.vec_id % 97 = 0),
+         |sc AS (SELECT pa.probe_id, a.vec_id AS neighbor_id,
+         |              CAST(sum(l.pd_e9) AS BIGINT) AS dist_e9
+         |       FROM codes k
+         |       JOIN assigned a USING (vec_id)
+         |       JOIN p_assigned pa ON pa.cluster = a.cluster
+         |       JOIN lut l ON l.probe_id = pa.probe_id
+         |                 AND l.subspace = k.subspace AND l.code = k.code
+         |       WHERE a.vec_id <> pa.probe_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY dist_e9, neighbor_id) AS rnk
+         |      FROM sc)
+         |SELECT probe_id, neighbor_id, dist_e9, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     // the HLL accuracy bound holds on every group (see the query's
     // scaladoc — the exact side is DuckDB's, the predicate is the

@@ -1599,6 +1599,103 @@ object StreamingQueries {
 
       labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
+    }),
+
+    // Streaming ADD + DELETE cluster maintenance — st29 plus the
+    // round-14 deletion verb in its streaming posture: additions fold
+    // incrementally (incrementalComponents — O(batch), the corpus'
+    // edges never recomputed), while a DELETION batch triggers the
+    // documented recompute-from-retained path (incrementalComponents
+    // is additions-only BY DESIGN: a deletion can split a component
+    // and min-label state retains no edges) — labels re-derived from
+    // the RETAINED doc-level signature state via candidatesFromSigs
+    // and the signature-distinct index re-elected from the same sigs
+    // (bandIndexDistinctFromSigs; a deleted doc may have BEEN its
+    // group's representative). The schedule interleaves the verbs and
+    // includes a DELETE-THEN-RE-ADD id (doc 30's shape: deleted by the
+    // %30 batch, re-added by the second add batch), so the state
+    // machine is exercised through every transition. The oracle is the
+    // transitive closure over the FINAL live set — whatever the
+    // add/delete interleaving, the state must land on exactly the
+    // from-scratch clusters of what remains.
+    "st30_streaming_add_delete" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.llm.Dedup
+
+      val root = graft.core.Scratch.cachedDir(s"st30_state_$d") { r =>
+        val old = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+          .filter(col("doc_id") % 10 =!= 0)
+        Dedup.connectedComponents(
+            Dedup.minhashCandidates(old, "text", "doc_id"), "doc_a", "doc_b")
+          .write.parquet(s"$r/labels")
+        val sigs = Dedup.docSigs(old, "text", "doc_id")
+          .localCheckpoint(true)
+        sigs.write.parquet(s"$r/sigs")
+        Dedup.bandIndexDistinctFromSigs(sigs, "doc_id")
+          .write.parquet(s"$r/index")
+      }
+      var labels = s.read.parquet(s"$root/labels")
+      var sigs = s.read.parquet(s"$root/sigs")
+      var index = s.read.parquet(s"$root/index")
+      // three batches: add %20==0, delete (%30==0 ∧ %20≠10), add %20==10
+      // — op rides the rows so the stream is ONE source, the CDC shape
+      val feed = graft.core.Scratch.cachedValue(s"st30_feed_fixture_$d") {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+          .as[(Long, String)].collect()
+        val a1 = docs.filter(_._1 % 20 == 0).map { case (i, t) => ("add", i, t) }
+        val del = docs.filter(r => r._1 % 30 == 0 && r._1 % 20 != 10)
+          .map { case (i, _) => ("del", i, "") }
+        val a2 = docs.filter(_._1 % 20 == 10).map { case (i, t) => ("add", i, t) }
+        Seq(a1.toSeq, del.toSeq, a2.toSeq)
+      }
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("op", "doc_id", "text")
+          .writeStream
+          .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+            val batch = batch0.localCheckpoint(true)
+            val adds = batch.filter(col("op") === "add").select("doc_id", "text")
+            val dels = batch.filter(col("op") === "del").select("doc_id")
+            if (!adds.isEmpty) {
+              val delta = Dedup.incrementalCandidates(adds, index,
+                  "text", "doc_id")
+                .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+                .unionByName(Dedup.minhashCandidates(adds, "text", "doc_id")
+                  .select("doc_a", "doc_b"))
+              labels = Dedup.incrementalComponents(labels, delta,
+                "doc_a", "doc_b", materialize = false).localCheckpoint(true)
+              sigs = sigs.unionByName(Dedup.docSigs(adds, "text", "doc_id"))
+                .localCheckpoint(true)
+              index = Dedup.foldIndexDistinct(index,
+                  Dedup.bandIndexDistinct(adds, "text", "doc_id"), "doc_id")
+                .localCheckpoint(true)
+            }
+            if (!dels.isEmpty) {
+              // the deletion verb: shrink the doc-level signature
+              // state, then RECOMPUTE labels + the distinct index from
+              // what remains — no text is re-shingled (the sigs frame
+              // carries everything), splits handled by construction
+              sigs = sigs.join(dels, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              labels = Dedup.connectedComponents(
+                  Dedup.candidatesFromSigs(sigs, "doc_id",
+                    assumeUnique = true), "doc_a", "doc_b")
+                .localCheckpoint(true)
+              index = Dedup.bandIndexDistinctFromSigs(sigs, "doc_id")
+                .localCheckpoint(true)
+            }
+            ()
+          }
+          .start()
+        try {
+          feed.foreach { b => in.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+      }
+
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1937,6 +2034,14 @@ object StreamingQueries {
     // label state must equal full CC over the whole corpus
     "st29_streaming_clusters" ->
       graft.queries.LlmQueries.oracles("x88_incremental_clusters"),
+
+    // closure over the FINAL live set — old ∪ both add batches minus
+    // the delete batch (doc 30's delete-then-re-add nets to live):
+    // whatever the interleaving, the streamed state must equal
+    // from-scratch clusters of what remains
+    "st30_streaming_add_delete" ->
+      graft.queries.LlmQueries.closureOracleOver(
+        "NOT (doc_id % 30 = 0 AND doc_id % 20 <> 10)"),
 
     // draining the whole directory once = the plain batch aggregate
     "st11_file_stream_agg" ->

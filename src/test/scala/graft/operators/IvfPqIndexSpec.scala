@@ -332,6 +332,81 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(!idx.retrainIfStale(s), "a re-baselined signal must not retrain again")
   }
 
+  test("delete: tombstoned vectors leave the lists, only dirty cluster " +
+    "dirs are rewritten, emptied lists vanish, and the probe equals a " +
+    "rebuild over the retained corpus") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("ivfpq_delete")
+    val table = s"$root/vecs"
+    writeVecs(table, 0 until 64)
+    val idx = IvfPqIndex(table, s"$root/idx", m = 4, subDim = 4)
+    idx.create(s)
+
+    def filesByCluster(): Map[String, Set[String]] = {
+      val fs = new org.apache.hadoop.fs.Path(s"$root/idx/codes")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/idx/codes"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).filter(_.isFile)
+            .map(f => s"${f.getPath.getName}@${f.getLen}@${f.getModificationTime}")
+            .toSet)
+        .toMap
+    }
+    val before = filesByCluster()
+
+    // tombstones DISJOINT from the quantizer sample (ids < 8), so a
+    // rebuild over the retained base trains the SAME quantizers and
+    // the probe comparison isolates the delete verb itself
+    val deadIds = (8 until 64).filter(_ % 7 === 5).map(_.toLong)
+    val dirtyClusters = idx.content(s)
+      .filter(col("neighbor_id").isin(deadIds: _*))
+      .select("cluster").distinct().collect().map(_.getLong(0))
+      .map(c => s"cluster=$c").toSet
+    idx.delete(s, deadIds.toDF("vec_id"))
+
+    // clean lists keep their files byte-identical; dirty ones changed
+    val after = filesByCluster()
+    before.keys.filterNot(dirtyClusters).foreach { c =>
+      assert(after(c) === before(c), s"clean list $c was rewritten")
+    }
+    dirtyClusters.foreach { c =>
+      assert(after.get(c).forall(_ != before(c)), s"dirty list $c untouched")
+    }
+
+    // the index no longer holds (or serves) any tombstoned id
+    assert(idx.content(s).filter(col("neighbor_id").isin(deadIds: _*)).isEmpty)
+    val probes = s.read.parquet(table)
+      .filter(col("vec_id") % 11 === 0 && !col("vec_id").isin(deadIds: _*))
+      .localCheckpoint(true)
+    val got = idx.probe(s, probes, k = 3, nprobe = 2)
+    assert(got.filter(col("neighbor_id").isin(deadIds: _*)).isEmpty,
+      "a probe served a deleted vector")
+
+    // probe == a from-scratch index over corpus∖deleted (frozen-
+    // quantizer equality: encoding is per-vector, dropping rows IS the
+    // rebuild's code relation)
+    val keptTable = s"$root/vecs_kept"
+    s.read.parquet(table).filter(!col("vec_id").isin(deadIds: _*))
+      .write.parquet(keptTable)
+    val rebuilt = IvfPqIndex(keptTable, s"$root/idx_rebuilt", m = 4, subDim = 4)
+    rebuilt.create(s)
+    assert(digest(got) === digest(rebuilt.probe(s, probes, k = 3, nprobe = 2)),
+      "post-delete probe drifted from a rebuild over the retained corpus")
+
+    // an entirely-tombstoned list's directory is REMOVED, not left as
+    // stale files the dynamic overwrite couldn't touch
+    val victim = idx.content(s).groupBy("cluster")
+      .agg(collect_set("neighbor_id").as("members"))
+      .orderBy("cluster").head()
+    val victimCluster = victim.getLong(0)
+    val victimIds = victim.getSeq[Long](1)
+    idx.delete(s, victimIds.toDF("vec_id"))
+    assert(!filesByCluster().contains(s"cluster=$victimCluster"),
+      s"emptied list cluster=$victimCluster left stale files behind")
+    assert(idx.content(s).filter(col("cluster") === victimCluster).isEmpty)
+  }
+
   test("probe scans only the probed inverted lists (partition pruning)") {
     val s = spark
     val root = graft.core.Scratch.dir("ivfpq_prune")
