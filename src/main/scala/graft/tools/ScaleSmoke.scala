@@ -22,7 +22,7 @@ import graft.operators.CmSketch
   * stages: dedup prefix ivfpq bpe stream theta cm skew shardstate
   *         spike planning selection temporal ordering bloom dpp
   *         quality fullouter bloomstream advisor ivfpqindex inccc
-  *         delete streammaint
+  *         delete streammaint anndelete
   *         (default: all)
   *
   * This is measurement tooling, not a correctness gate (the oracle
@@ -151,9 +151,74 @@ object ScaleSmoke {
     if (stages("inccc")) incCcStage(docs, tmp, mult, docStride)
     if (stages("delete")) deleteStage(docs, tmp)
     if (stages("streammaint")) streamMaintStage(docs, tmp, mult, docStride)
+    if (stages("anndelete")) annDeleteStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
+  }
+
+  /** Round-14 ANN-DELETION point (x90's scale row): at deployment
+    * dials (sampleSize ≈ √corpus → hundreds of inverted lists) a
+    * tombstone batch touches FEW lists, and `IvfPqIndex.delete` must
+    * cost ∝ those dirty lists — never a corpus re-encode. Tombstones
+    * are drawn from exactly 3 lists' members; the stage pins (a) every
+    * CLEAN list's files byte-identical (file identity — the 100-TB
+    * claim is that delete I/O is dirty-lists-only), (b) no deleted id
+    * ever served, and (c) delete wall ≪ the create wall the naive
+    * "rebuild without them" pays.
+    */
+  private def annDeleteStage(spark: SparkSession, sfDir: String, mult: Int,
+                             tmp: String): Unit = {
+    val base = graft.queries.Tables.embeddings(spark, sfDir)
+    val table = s"$tmp/ann_del_vecs"
+    val emb = scaled(base, "vec_id", mult, table)
+    println(s"anndelete embeddings: ${emb.count()} ($mult x ${base.count()})")
+    // deployment dials: many lists, Lloyd-refined — the layout where
+    // dirty-directory pruning has something to prune
+    val idx = graft.operators.IvfPqIndex(table, s"$tmp/ann_del_idx",
+      sampleSize = 64, lloydRounds = 1)
+    val (_, tCreate) = timed("anndelete CREATE (train + full encode, once)") {
+      idx.create(spark)
+    }
+    def filesByCluster(): Map[String, Set[String]] = {
+      val root = new org.apache.hadoop.fs.Path(s"$tmp/ann_del_idx/codes")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).filter(_.isFile)
+            .map(f => s"${f.getPath.getName}@${f.getLen}@${f.getModificationTime}")
+            .toSet)
+        .toMap
+    }
+    val before = filesByCluster()
+    // tombstones: every member of 3 specific lists' first rows — the
+    // shape a takedown batch has (correlated content lands together)
+    val victims = idx.content(spark).select("cluster").distinct()
+      .orderBy("cluster").limit(3).collect().map(_.getLong(0))
+    val dead = idx.content(spark)
+      .filter(col("cluster").isin(victims: _*))
+      .select("neighbor_id").distinct().localCheckpoint(true)
+    println(s"  tombstoning ${dead.count()} vectors from lists ${victims.mkString(",")} " +
+      s"of ${before.size}")
+    val (_, tDelete) = timed("anndelete DELETE (dirty lists only)") {
+      idx.delete(spark, dead.withColumnRenamed("neighbor_id", "vec_id"))
+    }
+    val after = filesByCluster()
+    val dirtyNames = victims.map(c => s"cluster=$c").toSet
+    val untouched = before.keys.filterNot(dirtyNames)
+      .count(c => after.get(c).contains(before(c)))
+    require(untouched == before.size - dirtyNames.size,
+      s"clean lists rewritten: $untouched of ${before.size - dirtyNames.size} intact")
+    println(s"  $untouched of ${before.size} lists byte-identical (only the " +
+      s"${dirtyNames.size} dirty lists moved)")
+    require(idx.content(spark)
+      .join(dead, Seq("neighbor_id"), "left_semi").isEmpty,
+      "a deleted vector survived in the lists")
+    println(f"  delete/create ratio: ${tDelete / tCreate}%.3f — delete cost is " +
+      "dirty-lists I/O + one tombstone-probe scan, never a re-encode")
+    require(tDelete < tCreate / 2,
+      f"delete $tDelete%.2f s not decoupled from rebuild $tCreate%.2f s")
   }
 
   /** Round-14 DELETION point (VERDICT r13 ask #1): the corpus is
