@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   * The underlying objects keep their full, index-specific APIs (and
   * their own specs, unchanged); the adapters below delegate — no
   * behavior change, hashes identical.
+  *
+  * DELETION (round 14) is deliberately NOT a trait verb: it only
+  * means something for the content-bearing families, and each needs
+  * its own shape — [[MinhashDedupIndex.delete]] tombstone-compacts and
+  * relabels from retained fingerprints, [[graft.operators.IvfPqIndex
+  * .delete]] rewrites only dirty inverted lists, and
+  * [[MonthlySketchIndex.delete]] rebuilds only tombstoned months
+  * (KMV sketches are not subtractive). The per-FILE statistics kinds
+  * ([[ZoneMapIndex]], [[BloomIndex]]) have no row-level delete to
+  * speak: their unit of description is the base file, and a removed
+  * or rewritten base file is already handled by the live-listing
+  * anchor every probe path holds (StalenessSpec) plus the
+  * staleFiles/unseenFiles maintenance signals.
   */
 trait PersistedIndex {
 
@@ -238,6 +251,21 @@ final case class MonthlySketchIndex(tablePath: String, monthCol: String,
     SketchIndex.read(spark, dir, monthCol)
   override def staleFiles(spark: SparkSession): Seq[String] =
     Provenance.staleFiles(spark, tablePath, provPath)
+
+  /** The deletion verb ([[SketchIndex.deleteRebuild]]'s adapter form):
+    * `tombstones` are the deleted (monthCol, keyCol) rows; the
+    * retained relation is the base minus them (the base table's own
+    * physical deletion is the table service's pass — this keeps the
+    * INDEX in step regardless of when that lands), and only the
+    * tombstoned months rebuild.
+    */
+  def delete(spark: SparkSession, tombstones: DataFrame): Unit = {
+    val retained = spark.read.parquet(tablePath)
+      .join(tombstones.select(col(monthCol), col(keyCol)),
+        Seq(monthCol, keyCol), "left_anti")
+    SketchIndex.deleteRebuild(spark, retained, tombstones,
+      monthCol, keyCol, dir, k)
+  }
 }
 
 /** [[graft.llm.DedupIndex]] (bucketed minhash fingerprints) as a

@@ -148,6 +148,57 @@ object SketchIndex {
     folded
   }
 
+  /** DELETE keys from the index — the sketch family's deletion
+    * adjudication, completing the round-14 story across all three
+    * contribution families (dedup: tombstone-compact + retained-sigs
+    * relabel; ANN: dirty-list rewrite; sketches: THIS): a KMV sketch
+    * is a k-minimum hash SAMPLE and is NOT subtractive — removing a
+    * key's hash cannot restore values the insertion threshold already
+    * evicted — so deletion REBUILDS exactly the months the tombstones
+    * touch from the RETAINED base rows, partition-level. Untouched
+    * months keep their files (dynamic partition overwrite); a month
+    * whose every row was deleted has its directory removed explicitly
+    * (dynamic overwrite writes no partition for it — the IvfPqIndex
+    * .delete lesson). Staging is folded first when present: staged
+    * partials may carry deleted keys' contributions for the affected
+    * months as DATA rows merge-on-read would re-union after the
+    * rewrite.
+    *
+    * @param retained the base relation with deletions already applied
+    *   (the table service's output — this verb keeps the INDEX in
+    *   step); only the affected months of it are scanned.
+    * @param tombstones the deleted rows — only their `monthCol` values
+    *   are read (which months to rebuild).
+    */
+  def deleteRebuild(spark: SparkSession, retained: DataFrame,
+                    tombstones: DataFrame, monthCol: String, keyCol: String,
+                    dir: String, k: Int): Unit = {
+    val months = tombstones.select(col(monthCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    if (months.isEmpty) return
+    if (exists(spark, stagingDir(dir))) compact(spark, dir, k, monthCol)
+    val kmv = udaf(new KmvSketchAggregator(k))
+    val rebuilt = retained.filter(col(monthCol).isin(months: _*))
+      .select(col(monthCol), KmvSketch.hash63(col(keyCol)).as("h"))
+      .groupBy(monthCol).agg(kmv(col("h")).as("sk"))
+      .localCheckpoint(true) // KBs; breaks lineage to the dirs rewritten below
+    val conf = spark.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try rebuilt.write.partitionBy(monthCol).mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+    val survivors = rebuilt.select(col(monthCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    months.filterNot(survivors).foreach { m =>
+      fs.delete(new Path(s"$dir/$monthCol=$m"), true)
+    }
+  }
+
   /** The whole index — compacted hive level ∪ staging level — month
     * type normalized to long.
     */

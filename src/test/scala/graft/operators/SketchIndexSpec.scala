@@ -186,4 +186,64 @@ class SketchIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(SketchIndex.read(spark, dir).schema("month_sec").dataType ==
       org.apache.spark.sql.types.LongType)
   }
+
+  test("deleteRebuild: affected months rebuild bit-identical to a " +
+    "from-scratch index over the retained rows; untouched months keep " +
+    "their files; an emptied month's directory vanishes; staging folds first") {
+    val s = spark
+    import s.implicits._
+    val all = rows(5000, 7).localCheckpoint(true)
+    val dir = graft.core.Scratch.dir("ski_delete")
+    SketchIndex.writeMonthly(all, "month_sec", "key", dir, K)
+    // staged partials for month 2 — deleteRebuild must fold them first
+    // or merge-on-read would re-union deleted contributions after the
+    // rewrite
+    SketchIndex.appendStaged(
+      all.filter(col("month_sec") === 2L * Month), "month_sec", "key", dir, K)
+
+    def filesByMonth(): Map[String, Set[String]] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("month_sec="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).filter(_.isFile)
+            .map(f => s"${f.getPath.getName}@${f.getLen}@${f.getModificationTime}")
+            .toSet)
+        .toMap
+    }
+
+    // tombstones: odd keys of month 2, EVERY row of month 5
+    val tomb = all.filter(
+      (col("month_sec") === 2L * Month && col("key") % 2 === 1) ||
+        col("month_sec") === 5L * Month)
+    val retained = all.join(tomb, Seq("month_sec", "key"), "left_anti")
+      .localCheckpoint(true)
+    SketchIndex.deleteRebuild(s, retained, tomb, "month_sec", "key", dir, K)
+    val after = filesByMonth()
+
+    // staging folded + cleared; emptied month 5 is GONE, not stale
+    assert(!after.contains(s"month_sec=${5L * Month}"),
+      "an entirely-deleted month left its directory behind")
+    // the index now answers exactly as a from-scratch build over the
+    // retained rows — sketch bytes included
+    val freshDir = graft.core.Scratch.dir("ski_delete_fresh")
+    SketchIndex.writeMonthly(retained, "month_sec", "key", freshDir, K)
+    def dump(d: String): Seq[String] =
+      SketchIndex.read(s, d).orderBy("month_sec")
+        .collect().map(r => s"${r.getLong(0)}:${r.get(1)}").toSeq
+    assert(dump(dir) === dump(freshDir),
+      "post-delete index drifted from a from-scratch build over retained rows")
+
+    // untouched months keep their files byte-identical through a
+    // SECOND delete that doesn't name them
+    val tomb2 = all.filter(col("month_sec") === 7L * Month && col("key") % 3 === 0)
+    val retained2 = retained.join(tomb2, Seq("month_sec", "key"), "left_anti")
+    val beforeSecond = filesByMonth()
+    SketchIndex.deleteRebuild(s, retained2, tomb2, "month_sec", "key", dir, K)
+    val afterSecond = filesByMonth()
+    beforeSecond.keys.filterNot(_ == s"month_sec=${7L * Month}").foreach { m =>
+      assert(afterSecond(m) === beforeSecond(m), s"untouched month $m rewritten")
+    }
+  }
 }
