@@ -1892,6 +1892,52 @@ object GeneralQueries {
             col("l_orderkey").isin(7L, 388L, 1123L))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // SKETCH-INDEX DELETION under the oracle (q62's probe after the
+    // round-14 deletion verb): a takedown removes every order row of
+    // o_custkey % 5 == 2 inside the probed year, and
+    // SketchIndex.deleteRebuild rebuilds ONLY those months from the
+    // retained rows (KMV is a k-minimum sample — not subtractive;
+    // untouched months keep their files, SketchIndexSpec). The probe
+    // then estimates distinct RETAINED custkeys per month and for the
+    // merged range; exact sides are computed over the retained rows in
+    // both engines, so the within-bound predicate is the oracle-gated
+    // proof that deletion left the index answering for corpus∖deleted.
+    "q77_sketch_index_delete" -> ((s, d) => {
+      import graft.functions.KmvSketch._
+      import graft.operators.SketchIndex
+      val K = 256
+      val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(K))
+      val ord = Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("long").as("month_sec"),
+        col("o_custkey"))
+      val root = graft.core.Scratch.dir("graft_sketch_del_part")
+      val ordPath = s"$root/ord"
+      ord.write.parquet(ordPath)
+      SketchIndex.writeMonthly(s.read.parquet(ordPath),
+        "month_sec", "o_custkey", s"$root/sk", K)
+      val From = 820454400L  // 1996-01-01T00:00:00Z
+      val Until = 852076800L // 1997-01-01T00:00:00Z
+      val deadRule = col("month_sec") >= From && col("month_sec") < Until &&
+        col("o_custkey") % 5 === 2
+      val tomb = s.read.parquet(ordPath).filter(deadRule)
+      val retained = s.read.parquet(ordPath).filter(!deadRule)
+      SketchIndex.deleteRebuild(s, retained, tomb,
+        "month_sec", "o_custkey", s"$root/sk", K)
+      val probed = SketchIndex.probeRange(s, s"$root/sk", From, Until)
+      val inRange = retained.filter(
+        col("month_sec") >= From && col("month_sec") < Until)
+      val monthly = probed
+        .join(inRange.groupBy("month_sec")
+          .agg(countDistinct("o_custkey").as("exact")), "month_sec")
+        .select(col("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      val total = probed.agg(kmvMerge(col("sk")).as("sk"))
+        .crossJoin(broadcast(inRange.agg(countDistinct("o_custkey").as("exact"))))
+        .select(lit(-1L).as("month_sec"), col("exact"),
+          withinPct(estimate(col("sk"), K), col("exact"), 25).as("within_rsd"))
+      monthly.union(total).orderBy("month_sec")
     })
   )
 
@@ -2656,6 +2702,23 @@ object GeneralQueries {
         |           FROM orders
         |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |             AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT month_sec, exact, CAST(1 AS BIGINT) AS within_rsd FROM (
+        |  SELECT month_sec, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+        |  FROM m GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m
+        |) ORDER BY month_sec""".stripMargin,
+
+    // q62's shape over corpus∖deleted: the exact sides count RETAINED
+    // custkeys only — the index, having rebuilt exactly the tombstoned
+    // months, must estimate those same retained sets within bound
+    "q77_sketch_index_delete" ->
+      """WITH m AS (SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec,
+        |                  o_custkey
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-01-01'
+        |             AND o_custkey % 5 <> 2)
         |SELECT month_sec, exact, CAST(1 AS BIGINT) AS within_rsd FROM (
         |  SELECT month_sec, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
         |  FROM m GROUP BY 1
