@@ -351,12 +351,24 @@ object Dedup {
     */
   def freshIndexRows(index: DataFrame, batchIndex: DataFrame,
                      idCol: String): DataFrame = {
-    // band-0 slice: one row per batch signature; null sigs never
-    // equi-join (array equality over nulls is null), so they fall out
-    // of `matched` and every null-sig batch row is kept — correct by
-    // the bandIndexDistinct rule
-    val batchSigs = batchIndex.filter(col("band") === 0).select("sig")
-    val matched = index.filter(col("band") === 0).select("sig")
+    // band-0 slice: one row per batch signature. Null signatures are
+    // EXCLUDED from `matched` explicitly (ADVICE r14): Spark's EqualTo
+    // on ArrayType is ordering-based and treats null ELEMENTS as
+    // equal, so an all-null sig in the index would equi-join every
+    // later all-null batch sig and the anti-join below would drop
+    // null-sig batch docs — violating the bandIndexDistinct rule that
+    // every null-sig doc is its own representative. With null sigs
+    // filtered from both slices, a null-sig batch row matches nothing
+    // in `matched` and always passes through. (Connectivity was never
+    // at risk — null band keys match no probe — but the index rows
+    // themselves must exist.) sig[0] decides null-ness: minhash
+    // positions are all-or-nothing null (see minhashCandidates).
+    val batchSigs = batchIndex
+      .filter(col("band") === 0 && col("sig").getItem(0).isNotNull)
+      .select("sig")
+    val matched = index
+      .filter(col("band") === 0 && col("sig").getItem(0).isNotNull)
+      .select("sig")
       .join(broadcast(batchSigs), Seq("sig"), "left_semi")
       .distinct()
     batchIndex.join(broadcast(matched), Seq("sig"), "left_anti")

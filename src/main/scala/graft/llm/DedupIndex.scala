@@ -29,12 +29,21 @@ import graft.sources.GenericSource
   */
 object DedupIndex {
 
-  /** Scheme-free canonical form of a filesystem path, so the sidecar
-    * path computed from create's raw `path` equals the one derived
-    * from the metastore's Location URI ("file:/…" vs "/…").
+  /** Fully-QUALIFIED canonical form of a filesystem path, so the
+    * sidecar path computed from create's raw `path` equals the one
+    * derived from the metastore's Location URI ("file:/…" vs "/…").
+    * Qualification PRESERVES scheme and authority (ADVICE r14: the
+    * earlier toUri.getPath form stripped them, silently relocating the
+    * `_sigs` sidecar to the default filesystem for s3a://bucket/… or
+    * hdfs://nn/… tables — and colliding two buckets' same-keyed
+    * paths); both sides meet at the same qualified string, and the
+    * convention now matches the Provenance sidecar's full-URI one.
     */
-  private def canonPath(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  private def canonPath(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+  }
 
   /** The DOC-LEVEL signature sidecar beside the table's directory:
     * one (idCol, sig) row per document. The bucketed table repeats the
@@ -47,10 +56,11 @@ object DedupIndex {
     * `_sigs`-suffixed NEXT TO the table dir, same placement as the
     * Provenance sidecar.
     */
-  private def sigsPathOfDir(path: String): String = canonPath(path) + "_sigs"
+  private def sigsPathOfDir(spark: SparkSession, path: String): String =
+    canonPath(spark, path) + "_sigs"
 
   private def tableLocation(spark: SparkSession, table: String): String =
-    canonPath(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+    canonPath(spark, spark.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location").head().getString(1))
 
   /** The table's doc-level signature sidecar path (may not exist for
@@ -77,7 +87,7 @@ object DedupIndex {
              table: String, path: String, buckets: Int = 32): Unit = {
     val sigd = Dedup.docSigs(docs, textCol, idCol)
       .localCheckpoint(true, Dedup.DataSized)
-    sigd.write.mode("overwrite").parquet(sigsPathOfDir(path))
+    sigd.write.mode("overwrite").parquet(sigsPathOfDir(docs.sparkSession, path))
     GenericSource.writeBucketed(
       Dedup.bandIndexFromSigs(sigd, idCol), table, path, buckets,
       keys = Seq("band", "bkey"))
@@ -145,7 +155,7 @@ object DedupIndex {
     // array — measured at 5.5 s of a 10.4 s relabel at the 100× point)
     sig0.join(tombstones.select(col(idCol)), Seq(idCol), "left_anti")
       .dropDuplicates(idCol)
-      .write.mode("overwrite").parquet(sigsPathOfDir(toPath))
+      .write.mode("overwrite").parquet(sigsPathOfDir(spark, toPath))
   }
 
   /** Recompute cluster labels from the index's persisted state alone

@@ -277,6 +277,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(probe.toSeq === Seq((30L, 1L)))
   }
 
+  test("foldIndexDistinct: null-sig-in-index vs null-sig-in-batch — every " +
+    "null-sig doc stays its own representative (ADVICE r14)") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // the index already holds a NULL-sig doc (too short to shingle);
+    // Spark's ordering-based array equality treats null elements as
+    // EQUAL, so without the explicit null filter the later null-sig
+    // batch docs matched it in `matched` and anti-joined out
+    val base = Dedup.bandIndexDistinct(docs((1L, text), (5L, "solo")),
+      "text", "doc_id").localCheckpoint(true)
+    val b1 = Dedup.bandIndexDistinct(docs((11L, "alone"), (12L, "brief")),
+      "text", "doc_id")
+    val folded = Dedup.foldIndexDistinct(base, b1, "doc_id")
+    val ids = folded.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 5L, 11L, 12L),
+      s"null-sig batch docs must pass through the fold, got ids $ids")
+  }
+
   test("dropNearDuplicates keeps cluster representatives and loners") {
     val s = spark; import s.implicits._
     // 1 and 3 are identical (near-dup cluster, rep = 1); 7 is unrelated
