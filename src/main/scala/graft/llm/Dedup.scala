@@ -797,6 +797,146 @@ object Dedup {
     updatedOld.unionByName(newNodes)
   }
 
+  /** The DELETION-side complement of [[incrementalComponents]], SCOPED
+    * to tombstone-touched components (VERDICT r14 ask #1): a deletion
+    * can only change components that CONTAINED a deleted doc — edges
+    * are pure functions of their two endpoints' signatures, so removing
+    * docs deletes edges but never creates or rewires one, and every
+    * label outside the touched components is invariant. The round-14
+    * form recomputed CC over the ENTIRE retained signature relation per
+    * deletion batch — O(corpus) for a takedown touching a handful of
+    * clusters; this recomputes over exactly the touched slice and
+    * stitches.
+    *
+    * Inputs: `sigs` is the doc-level signature relation ([[docSigs]]
+    * shape — DedupIndex's `_sigs` sidecar or a stream's accumulated
+    * state; tombstoned rows may still be present, the slice anti-joins
+    * them out, so the verb works before OR after the physical
+    * compact). `priorLabels` must be the CC fixpoint over the current
+    * pre-deletion corpus ((node, label = component min), complete —
+    * exactly what [[connectedComponents]] / [[incrementalComponents]] /
+    * a previous call of this maintain).
+    *
+    * Correctness: the touched slice is CLOSED under candidate pairs —
+    * any pair crossing out of it would connect a touched component to
+    * an untouched one, contradicting priorLabels' fixpoint — so CC over
+    * the slice's pairs equals the from-scratch components restricted to
+    * it (splits included: the slice carries every retained member, and
+    * the recompute is from pairs, not from min-label state). Untouched
+    * rows pass through VERBATIM (never re-derived — DedupSpec proves it
+    * by poisoning them and watching the poison survive); x92 pins the
+    * whole answer against the DuckDB closure over corpus∖deleted.
+    *
+    * Scale: the label table and the signature relation are each
+    * scanned ONCE, streamed against broadcast batch-sized frames
+    * (tombstones → touched labels → touched members); the only
+    * shuffles — the candidate self-join and CC — run on the touched
+    * slice, so the recompute cost is ∝ touched-component rows, flat in
+    * corpus size (SCALE_r15 measures it against r14's full-corpus
+    * form). The broadcast hints are gated on MEASURED counts (the
+    * incrementalComponents 2M-row rule) so a mass takedown degrades to
+    * shuffle joins instead of a driver OOM.
+    *
+    * @param materialize checkpoint `priorLabels` before its three
+    *   streamed scans (default); pass `false` when it is already
+    *   materialized (parquet-backed, or a fold loop's own checkpoint —
+    *   st30's shape).
+    */
+  def relabelScopedFromSigs(sigs: DataFrame, tombstones: DataFrame,
+                            priorLabels: DataFrame, idCol: String,
+                            minEstE6: Long = 250000L,
+                            materialize: Boolean = true): DataFrame = {
+    val (slice, untouched) =
+      scopedDeleteParts(sigs, tombstones, priorLabels, idCol, materialize)
+    // assumeUnique: CC is multiplicity-blind (the relabel rule), so
+    // replayed sidecar rows never force the dedup exchange here either
+    untouched.unionByName(
+      connectedComponents(
+        candidatesFromSigs(slice, idCol, minEstE6, assumeUnique = true),
+        "doc_a", "doc_b"))
+  }
+
+  /** [[relabelScopedFromSigs]]' two halves, exposed as a seam so the
+    * spec can prove the SCOPE claim directly: returns (the retained
+    * tombstone-touched signature slice — the ONLY rows fed to the
+    * candidate + CC recompute, and the untouched prior labels — passed
+    * through verbatim, never recomputed).
+    */
+  private[graft] def scopedDeleteParts(sigs: DataFrame, tombstones: DataFrame,
+                                       priorLabels: DataFrame, idCol: String,
+                                       materialize: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val lab0 = priorLabels.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("label"))
+      .filter(col("node").isNotNull && col("label").isNotNull)
+    val lab = if (materialize) lab0.localCheckpoint(true, DataSized) else lab0
+    // tombstones: two consumers (label lookup + slice anti-join),
+    // batch-sized — default storage level
+    val dead = tombstones.select(col(idCol).cast("long").as("node"))
+      .distinct().localCheckpoint(true)
+    val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
+    // labels of components containing a tombstone: one streamed label
+    // scan; a tombstoned doc absent from the labels was a CC singleton
+    // — no pairs, nothing to recompute for it
+    val touchedLabels = lab.join(deadSide, Seq("node"), "left_semi")
+      .select("label").distinct().localCheckpoint(true)
+    val tlSide = if (touchedLabels.count() <= 2000000L) broadcast(touchedLabels)
+                 else touchedLabels
+    val untouched = lab.join(tlSide, Seq("label"), "left_anti")
+    // every member of a touched component, tombstoned or not — the
+    // recompute must see all retained members to re-derive splits
+    val touchedDocs = lab.join(tlSide, Seq("label"), "left_semi")
+      .select("node").localCheckpoint(true)
+    val tdSide = if (touchedDocs.count() <= 2000000L) broadcast(touchedDocs)
+                 else touchedDocs
+    val slice = sigs.select(col(idCol), col("sig"))
+      .join(tdSide.withColumnRenamed("node", idCol), Seq(idCol), "left_semi")
+      .join(deadSide.withColumnRenamed("node", idCol), Seq(idCol), "left_anti")
+    (slice, untouched.select("node", "label"))
+  }
+
+  /** Remove tombstoned docs from an accumulating SIGNATURE-DISTINCT
+    * index ([[bandIndexDistinct]] shape) without re-deriving it from
+    * the full signature relation — the index-maintenance half of the
+    * scoped deletion verb (round 14 rebuilt the whole index per delete
+    * batch via [[bandIndexDistinctFromSigs]]). Only signature groups
+    * whose KEPT REPRESENTATIVE was deleted change: their next-minimum
+    * retained member is re-elected from `retainedSigs` (a deleted doc
+    * may have BEEN its group's rep); every other index row passes
+    * through. Null-signature docs are each their own representative,
+    * so a deleted one just drops — and null sigs are excluded from the
+    * re-election sig-joins explicitly (the freshIndexRows ordering-
+    * based-array-equality rule, ADVICE r14).
+    *
+    * Scale: the index and the signature relation are each streamed
+    * ONCE against broadcast batch-sized sets (tombstones; dead-rep
+    * signatures, bounded by |tombstones|); the re-election window
+    * shuffles only the dead-rep groups' retained members.
+    *
+    * @param retainedSigs the doc-level signature relation — tombstoned
+    *   rows may still be present (they are anti-joined out here).
+    */
+  def deleteFromIndexDistinct(index: DataFrame, retainedSigs: DataFrame,
+                              tombstones: DataFrame, idCol: String): DataFrame = {
+    // measured broadcast gates (the incrementalComponents 2M rule): a
+    // mass takedown must degrade to shuffle joins, not driver-OOM
+    val dead = tombstones.select(col(idCol)).distinct().localCheckpoint(true)
+    val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
+    val deadRepSigs = index
+      .filter(col("band") === 0 && col("sig").getItem(0).isNotNull)
+      .join(deadSide, Seq(idCol), "left_semi")
+      .select("sig").distinct().localCheckpoint(true)
+    val drsSide = if (deadRepSigs.count() <= 2000000L) broadcast(deadRepSigs)
+                  else deadRepSigs
+    val kept = index.join(deadSide, Seq(idCol), "left_anti")
+    val reElect = bandIndexDistinctFromSigs(
+      retainedSigs.select(col(idCol), col("sig"))
+        .filter(col("sig").getItem(0).isNotNull)
+        .join(drsSide, Seq("sig"), "left_semi")
+        .join(deadSide, Seq(idCol), "left_anti"), idCol)
+    kept.unionByName(reElect)
+  }
+
   /** Exact token-set jaccard from a probe subset to the whole corpus
     * via an inverted-index join: explode distinct tokens, equi-join on
     * the token, count co-occurrences, jaccard = |∩| / (|A|+|B|−|∩|).

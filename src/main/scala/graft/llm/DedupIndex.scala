@@ -212,6 +212,61 @@ object DedupIndex {
     relabel(spark, toTable, minEstE6)
   }
 
+  /** [[relabel]] SCOPED to tombstone-touched components (VERDICT r14
+    * ask #1): [[deleteAndRelabel]] recomputed CC over the whole
+    * retained sidecar per deletion batch — O(corpus) for a takedown
+    * touching a handful of clusters. This reads the table's signature
+    * sidecar ONCE against broadcast tombstone-derived sets and
+    * recomputes candidates + CC over exactly the touched components'
+    * retained members; untouched labels pass through verbatim
+    * ([[Dedup.relabelScopedFromSigs]] carries the correctness
+    * argument; x92 pins the answer under the same DuckDB closure
+    * oracle as x89). The tombstones are applied LOGICALLY — the verb
+    * works against the pre-compact table, so the physical rewrite
+    * ([[compact]]) stays a separately-scheduled maintenance pass run
+    * at whatever tombstone ratio makes it worth it, and the
+    * per-takedown cost is ∝ touched-component rows, flat in corpus
+    * size (SCALE_r15).
+    *
+    * @param priorLabels the current (node, label) fixpoint over the
+    *   pre-deletion corpus — what [[relabel]] / a previous scoped call
+    *   returned (a deployment persists it next to the index).
+    * @param materialize checkpoint `priorLabels` before its three
+    *   streamed scans; pass `false` when it is already materialized
+    *   (parquet-backed — the persisted-deployment shape).
+    */
+  def relabelScoped(spark: SparkSession, table: String,
+                    tombstones: DataFrame, priorLabels: DataFrame,
+                    minEstE6: Long = 250000L,
+                    materialize: Boolean = true): DataFrame = {
+    val idCol = idColOf(spark, table)
+    val sp = sigsPath(spark, table)
+    val sigs =
+      if (pathExists(spark, sp)) spark.read.parquet(sp)
+      else spark.table(table).filter(col("band") === 0)
+        .select(col(idCol), col("sig"))
+    Dedup.relabelScopedFromSigs(sigs, tombstones, priorLabels, idCol,
+      minEstE6, materialize)
+  }
+
+  /** The scoped deletion lifecycle in one call: the SCOPED relabel
+    * (touched components only) plus the physical tombstone [[compact]]
+    * into `toTable` — x89's [[deleteAndRelabel]] shape with the
+    * O(corpus) relabel replaced by the touched-slice recompute. The
+    * labels are materialized BEFORE the compact so the returned frame
+    * never races the rewrite.
+    */
+  def deleteAndRelabelScoped(spark: SparkSession, fromTable: String,
+                             toTable: String, toPath: String,
+                             tombstones: DataFrame, idCol: String,
+                             priorLabels: DataFrame,
+                             minEstE6: Long = 250000L): DataFrame = {
+    val labels = relabelScoped(spark, fromTable, tombstones, priorLabels,
+      minEstE6).localCheckpoint(true)
+    compact(spark, fromTable, toTable, toPath, tombstones, idCol)
+    labels
+  }
+
   /** New-vs-corpus candidates against the PERSISTED index (the shape
     * st04 streams through): the index side joins in its bucket layout
     * — no exchange — and only the batch pays signature + shuffle.

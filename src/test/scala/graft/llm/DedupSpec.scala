@@ -277,6 +277,134 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(probe.toSeq === Seq((30L, 1L)))
   }
 
+  private def sigDocs(rows: (Long, Seq[Long])*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "sig")
+  }
+
+  test("scoped delete relabel: the recompute sees ONLY the touched slice, " +
+    "untouched labels pass through verbatim (poison-proof), and a deleted " +
+    "bridge's split is re-derived") {
+    val s = spark; import s.implicits._
+    // fabricated 24-long signatures (12 bands x 2 rows): A—B—C is a
+    // chain through bridge B (A,B share the first half = bands 0..5;
+    // B,C the second half = bands 6..11; A,C nothing), D a separate
+    // exact-dup pair, E a singleton
+    val aHalf = (1L to 12L); val shared = (501L to 512L)
+    val A = aHalf ++ (21L to 32L)
+    val B = aHalf ++ shared
+    val C = (301L to 312L) ++ shared
+    val D = (601L to 612L) ++ (701L to 712L)
+    val E = (801L to 812L) ++ (901L to 912L)
+    val sigs = sigDocs(1L -> A, 2L -> A, 3L -> B, 4L -> C, 5L -> C,
+      10L -> D, 11L -> D, 20L -> E)
+    val prior = Dedup.connectedComponents(
+      Dedup.candidatesFromSigs(sigs, "doc_id", assumeUnique = true),
+      "doc_a", "doc_b").localCheckpoint(true)
+    assert(prior.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L))
+
+    // the seam: deleting bridge 3 feeds CC exactly the touched
+    // component's RETAINED members — the untouched pair {10,11} (and
+    // singleton 20) never enter the recompute
+    val tomb = Seq(3L).toDF("doc_id")
+    val (slice, untouched) =
+      Dedup.scopedDeleteParts(sigs, tomb, prior, "doc_id")
+    assert(slice.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 4L, 5L),
+      "the CC recompute must see exactly the touched component's retained members")
+    assert(untouched.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(10L -> 10L, 11L -> 10L))
+
+    // poison-proof: rewrite the untouched component's labels to a
+    // value NO recompute would produce (a recompute restores the
+    // component minimum 10); the scoped path must carry the poison
+    // through — direct evidence untouched labels are never re-derived
+    val poisoned = prior.select(col("node"),
+      when(col("label") === 10L, lit(9910L)).otherwise(col("label")).as("label"))
+    val got = Dedup.relabelScopedFromSigs(sigs, tomb, poisoned, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 9910L, 11L -> 9910L),
+      "split re-derived for the touched component; poison preserved for the untouched one")
+
+    // deleting a CC singleton (doc 20 — in the sigs, never in a pair)
+    // touches no component: labels unchanged
+    val noop = Dedup.relabelScopedFromSigs(sigs, Seq(20L).toDF("doc_id"),
+        prior, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(noop === prior.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
+  test("scoped delete relabel + scoped index delete equal from-scratch " +
+    "recomputes across randomized deletion batches") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(15L)
+    // signatures assembled from a small pool of half-blocks so random
+    // docs overlap on bands (each shared half = 12 matching positions
+    // = est 0.5 >= the 0.25 threshold)
+    val halves = Vector.tabulate(5)(h => ((h * 100 + 1).toLong to (h * 100 + 12).toLong).toSeq)
+    var live: Map[Long, Seq[Long]] = (1L to 18L).map { id =>
+      id -> (halves(rnd.nextInt(5)) ++ halves(rnd.nextInt(5)))
+    }.toMap
+    def sigsOf(m: Map[Long, Seq[Long]]) = sigDocs(m.toSeq.sortBy(_._1): _*)
+    def scratchLabels(m: Map[Long, Seq[Long]]) = Dedup.connectedComponents(
+      Dedup.candidatesFromSigs(sigsOf(m), "doc_id", assumeUnique = true),
+      "doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def indexRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("band").cast("long"), col("bkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    var labels = Dedup.connectedComponents(
+      Dedup.candidatesFromSigs(sigsOf(live), "doc_id", assumeUnique = true),
+      "doc_a", "doc_b").localCheckpoint(true)
+    var index = Dedup.bandIndexDistinctFromSigs(sigsOf(live), "doc_id")
+      .localCheckpoint(true)
+    (1 to 3).foreach { step =>
+      val dead = live.keys.filter(_ => rnd.nextInt(3) == 0).toSet
+      if (dead.nonEmpty) {
+        val before = sigsOf(live)
+        val deadDf = dead.toSeq.sorted.toDF("doc_id")
+        labels = Dedup.relabelScopedFromSigs(before, deadDf, labels,
+            "doc_id", materialize = false).localCheckpoint(true)
+        index = Dedup.deleteFromIndexDistinct(index, before, deadDf, "doc_id")
+          .localCheckpoint(true)
+        live --= dead
+        val gotLabels = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(gotLabels === scratchLabels(live),
+          s"scoped labels diverged from scratch at step $step (deleted $dead)")
+        assert(indexRows(index) ===
+          indexRows(Dedup.bandIndexDistinctFromSigs(sigsOf(live), "doc_id")),
+          s"scoped index diverged from scratch at step $step (deleted $dead)")
+      }
+    }
+  }
+
+  test("deleteFromIndexDistinct re-elects a deleted representative and " +
+    "keeps null-sig docs independent") {
+    val s = spark; import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words entirely here now for this doc"
+    // sig group {1,2,3} (rep 1), loner 5, null-sig docs 7 and 8
+    val corpus = docs((1L, text), (2L, text), (3L, text), (5L, other),
+      (7L, "solo"), (8L, "alone"))
+    val sigs = Dedup.docSigs(corpus, "text", "doc_id").localCheckpoint(true)
+    val index = Dedup.bandIndexDistinctFromSigs(sigs, "doc_id")
+      .localCheckpoint(true)
+    // delete the group's REP (1) and one null-sig doc (7): the group
+    // re-elects 2; null-sig doc 8 must survive untouched
+    val got = Dedup.deleteFromIndexDistinct(index, sigs,
+      Seq(1L, 7L).toDF("doc_id"), "doc_id")
+    val retained = sigs.filter(!col("doc_id").isin(1L, 7L))
+    val scratch = Dedup.bandIndexDistinctFromSigs(retained, "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("band").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(2L, 5L, 8L))
+    assert(rows(got) === rows(scratch))
+  }
+
   test("foldIndexDistinct: null-sig-in-index vs null-sig-in-batch — every " +
     "null-sig doc stays its own representative (ADVICE r14)") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
