@@ -22,7 +22,8 @@ final case class MediaFeatures(
     checksum: Long,
     byte_hist: Array[Long], // 16 buckets over the high nibble
     n_frames: Int,
-    mime: String)
+    mime: String,
+    dhash60: Long) // difference-hash perceptual fingerprint ([[Multimodal.dhash60OfBytes]])
 
 /** Multimodal-column plumbing (builder brief): treat image/audio/video
   * as opaque `binary` + typed metadata, with decode / feature-extract
@@ -70,7 +71,114 @@ object Multimodal {
       i += 1
     }
     MediaFeatures(r.doc_id, r.media.length.toLong, sum, hist,
-      n_frames = (r.media.length + 63) / 64, mime = r.mime)
+      n_frames = (r.media.length + 63) / 64, mime = r.mime,
+      dhash60 = dhash60OfBytes(r.media))
+  }
+
+  /** dHash-style 60-bit PERCEPTUAL fingerprint of a decoded payload —
+    * the classic difference hash (resize to a fixed grid, set a bit
+    * per adjacent-intensity comparison), computed here over the
+    * byte stream as a 1-D signal: 61 nearest-neighbor samples at
+    * positions (i·len) DIV 61 for i = 0..60, bit i (weight 2^i) set
+    * when sample(i+1) > sample(i), compared UNSIGNED. 60 bits keeps
+    * the repo's hash60 integer-exact convention (bit 59's weight 2^59
+    * never overflows a signed long) and the arithmetic is pure integer
+    * compares — DuckDB renders it exactly (x91's oracle), like
+    * TF.hash60. Empty payloads fingerprint to 0.
+    *
+    * Robustness is dHash's: uniform re-scaling, brightness-monotone
+    * transforms and small local edits preserve most comparisons, so
+    * near-duplicate payloads land within a few bits — the property
+    * [[perceptualNearDupPairs]]' Hamming banding exploits. It lives in
+    * the DECODE stage (one pass over the already-decoded bytes) where
+    * a real deployment computes it over the grayscale grid; a
+    * deployment swaps [[decodeStub]], not the pipeline around it.
+    */
+  def dhash60OfBytes(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 0L
+    var h = 0L
+    var prev = bytes(0) & 0xff // sample 0 at position 0
+    var i = 1
+    while (i <= 60) {
+      val cur = bytes(((i.toLong * bytes.length) / 61L).toInt) & 0xff
+      if (cur > prev) h |= 1L << (i - 1)
+      prev = cur
+      i += 1
+    }
+    h
+  }
+
+  /** The perceptual-hash bands for the candidate join: 4 bands of 15
+    * bits. Pigeonhole: a pair within Hamming distance 3 differs in at
+    * most 3 bits, which can dirty at most 3 of the 4 bands — the pair
+    * agrees on at least one FULL band, so the union of the four band
+    * equi-joins misses no qualifying pair (the x26 simhash posture,
+    * proven complete against brute force in MultimodalSpec).
+    */
+  private val DHashBands = 4
+  private val DHashBandBits = 15
+
+  /** Perceptual NEAR-DUPLICATE candidate pairs over a fingerprint
+    * relation (`idCol`, `hashCol` — [[dhash60OfBytes]] values from the
+    * decode stage): the multimodal counterpart of text dedup's
+    * simhash/minhash operators, the step an image-text pipeline runs
+    * right after text dedup. Emits (doc_a < doc_b, ph_a, ph_b,
+    * hamming) for every pair within `maxHamming` bits.
+    *
+    * Shape: EXACT-hash groups collapse first (the minhash
+    * collapseExact theorem, verbatim: identical fingerprints carry
+    * identical band keys and distance 0 to anything any member is near
+    * — each group links member → group-minimum id as a STAR edge and
+    * only distinct-hash representatives enter the band self-join), so
+    * candidate pairs are LINEAR in duplicate-group size — mass-copied
+    * images cannot go quadratic. Then the banded join: 4×15-bit band
+    * keys, union of equi-joins, exact bit_count(xor) confirm — never
+    * all-pairs; bucket sizes are n/2^15-ish so candidates are
+    * Σ bucket², the LSH economics every dedup family here uses.
+    * Clustering-exact like minhash's collapse: member-level pairs are
+    * implied through representatives whose fingerprint (hence every
+    * band key and distance) equals their members'.
+    */
+  /** @param materialize checkpoint the (id, hash, rep) frame before its
+    *   two consumers (star edges + the banded rep join) — without it
+    *   the whole upstream fingerprint pipeline (typically the decode
+    *   mapPartitions stage) re-runs per consumer, the same trap
+    *   minhashCandidates documents. DISK_ONLY: the frame is corpus-
+    *   sized (three longs per item), the data-sized rule.
+    */
+  def perceptualNearDupPairs(fps: DataFrame, idCol: String, hashCol: String,
+                             maxHamming: Long = 3L,
+                             materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withRep0 = fps
+      .select(col(idCol), col(hashCol).cast("long").as("ph"))
+      .withColumn("rep", min(col(idCol)).over(Window.partitionBy("ph")))
+    val withRep =
+      if (materialize)
+        withRep0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else withRep0
+    val star = withRep.filter(col("rep") =!= col(idCol))
+      .select(col("rep").as("doc_a"), col(idCol).as("doc_b"),
+        col("ph").as("ph_a"), col("ph").as("ph_b"), lit(0L).as("hamming"))
+    val reps = withRep.filter(col("rep") === col(idCol))
+      .select(col(idCol), col("ph"))
+    val banded = reps.select(col(idCol), col("ph"),
+        posexplode(array((0 until DHashBands).map(b =>
+          shiftright(col("ph"), b * DHashBandBits)
+            .bitwiseAND(lit((1L << DHashBandBits) - 1))): _*))
+          .as(Seq("band", "bkey")))
+    val a = banded.select(col(idCol).as("doc_a"), col("ph").as("ph_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("doc_b"), col("ph").as("ph_b"),
+      col("band").as("band_b"), col("bkey").as("bkey_b"))
+    val repPairs = a.join(b,
+        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    repPairs.unionByName(star)
   }
 
   /** Partition-batched feature extraction: one decoder "session" per
@@ -97,6 +205,24 @@ object Multimodal {
     val out = new Array[Byte]((r.media.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+    r.copy(media = out)
+  }
+
+  /** STUB upscale — [[resizeStub]]'s other direction: nearest-neighbor
+    * ×`factor` (each payload byte repeated `factor` times), the stub
+    * for "the same asset ingested again at a higher resolution". The
+    * point-sampled [[dhash60OfBytes]] is EXACTLY invariant under it:
+    * sample i of the upscale reads upscaled[⌊i·kn/61⌋] =
+    * orig[⌊⌊i·kn/61⌋/k⌋] = orig[⌊i·n/61⌋] (⌊⌊kx⌋/k⌋ = ⌊x⌋), the
+    * original's own sample — so a rendition fingerprints identically
+    * whatever the length, which is the property x91's fixture stands
+    * on (MultimodalSpec pins it for every random length).
+    */
+  def upscaleStub(r: MediaRecord, factor: Int): MediaRecord = {
+    require(factor >= 1, "upscale factor must be >= 1")
+    val out = new Array[Byte](r.media.length * factor)
+    var i = 0
+    while (i < out.length) { out(i) = r.media(i / factor); i += 1 }
     r.copy(media = out)
   }
 

@@ -2229,6 +2229,49 @@ object LlmQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // PERCEPTUAL-HASH multimodal near-dup (VERDICT r14 ask #3 — the
+    // multimodal category's first similarity operator, the step an
+    // image-text pipeline runs right after text dedup): the decode
+    // stage emits a dHash-style 60-bit difference fingerprint over the
+    // decoded payload bytes (Multimodal.dhash60OfBytes — 61
+    // nearest-neighbor samples, one bit per adjacent unsigned
+    // comparison; integer-exact, so DuckDB renders it bit-for-bit),
+    // then exact-hash groups collapse to star edges (candidates LINEAR
+    // in duplicate-group size — the minhash collapseExact theorem) and
+    // distinct-hash representatives meet through 4×15-bit Hamming
+    // bands (pigeonhole: ≤3 differing bits leave ≥1 band clean) with
+    // an exact bit_count(xor) confirm — never all-pairs. The corpus is
+    // the MULTI-RENDITION ingest perceptual dedup exists for: every
+    // asset arrives again as a 2× nearest-neighbor upscale (different
+    // bytes, same image — fingerprint-IDENTICAL by the ⌊⌊kx⌋/k⌋=⌊x⌋
+    // sampling identity, so renditions land as star edges), and a
+    // fifth once more with one corrupted sample ("re-encode artifact"
+    // — hamming 1–2, the banded join's true positives; 64 such pairs
+    // at sf0.01). The oracle reconstructs the renditions AND the
+    // fingerprints character by character and lists pairs brute-force
+    // over representatives — deliberately WITHOUT the banding — so
+    // the hash match proves the fingerprint arithmetic, the upscale
+    // invariance, and the 4-band pigeonhole's completeness at once.
+    "x91_perceptual_neardup" -> ((s, d) => {
+      import graft.llm.Multimodal.mediaRecordEnc
+      val media = Multimodal.fromDocuments(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"))
+      val up = Multimodal.resize(media, 2, Multimodal.upscaleStub)
+      val renditions = up.map(r => r.copy(doc_id = r.doc_id + 1000000L))
+      val corrupted = up.filter((r: graft.llm.MediaRecord) => r.doc_id % 5 == 0)
+        .map { r =>
+          val b = r.media.clone()
+          if (b.nonEmpty) b((30L * b.length / 61L).toInt) = 'z'.toByte
+          r.copy(doc_id = r.doc_id + 2000000L, media = b)
+        }
+      val feats = Multimodal.extractFeatures(
+          media.unionByName(renditions).unionByName(corrupted)).toDF()
+        .select(col("doc_id"), col("dhash60"))
+      Multimodal.perceptualNearDupPairs(feats, "doc_id", "dhash60",
+          maxHamming = 3L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SCOPED deletion relabel (VERDICT r14 ask #1 — x89's verb with
     // the O(corpus) recompute replaced): deletions can only change
     // components that CONTAINED a tombstone (edges are pure functions
@@ -3747,6 +3790,52 @@ object LlmQueries {
     // (touched components recomputed, untouched labels passed through)
     // must land on exactly the full recompute's answer, split included
     "x92_delete_relabel_scoped" -> closureOracleOver("doc_id % 10 <> 3"),
+
+    // the multi-rendition corpus (2× upscale via repeat(char, 2); the
+    // corrupted rendition via substr splice at sample 30's position)
+    // and the dHash fingerprints re-derived character by character
+    // (ascii(char) == byte for this asserted-ASCII corpus — the x21
+    // convention), then the pair set brute-force over representatives
+    // — deliberately WITHOUT the banding, so the compare proves the
+    // 4-band pigeonhole misses nothing (the x70 discipline)
+    "x91_perceptual_neardup" -> {
+      val bits = (0 until 60).map { i =>
+        s"CASE WHEN ascii(substr(payload, (${i + 1}*length(payload))//61 + 1, 1)) > " +
+          s"ascii(substr(payload, ($i*length(payload))//61 + 1, 1)) " +
+          s"THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH up AS (
+         |  SELECT doc_id, CASE WHEN length(text) = 0 THEN '' ELSE
+         |    list_reduce(list_transform(generate_series(1, length(text)),
+         |      j -> repeat(substr(text, CAST(j AS INTEGER), 1), 2)),
+         |      (a, b) -> a || b) END AS u
+         |  FROM documents),
+         |media AS (
+         |  SELECT doc_id, text AS payload FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, u AS payload FROM up
+         |  UNION ALL SELECT doc_id + 2000000,
+         |    CASE WHEN length(u) = 0 THEN u ELSE
+         |      substr(u, 1, CAST((30*length(u))//61 AS INTEGER)) || 'z' ||
+         |      substr(u, CAST((30*length(u))//61 + 2 AS INTEGER)) END AS payload
+         |  FROM up WHERE doc_id % 5 = 0),
+         |ph AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(payload) = 0 THEN 0 ELSE $bits END AS BIGINT) AS ph
+         |  FROM media),
+         |wreps AS (SELECT doc_id, ph, min(doc_id) OVER (PARTITION BY ph) AS rep
+         |          FROM ph),
+         |star AS (SELECT rep AS doc_a, doc_id AS doc_b, ph AS ph_a, ph AS ph_b,
+         |                CAST(0 AS BIGINT) AS hamming
+         |         FROM wreps WHERE rep <> doc_id),
+         |r AS (SELECT doc_id, ph FROM wreps WHERE rep = doc_id),
+         |rp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              a.ph AS ph_a, b.ph AS ph_b,
+         |              CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |       FROM r a JOIN r b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.ph, b.ph)) <= 3)
+         |SELECT doc_a, doc_b, ph_a, ph_b, hamming FROM rp
+         |UNION ALL SELECT doc_a, doc_b, ph_a, ph_b, hamming FROM star
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // x41's ADC arithmetic over corpus∖deleted, quantizers trained on
     // the FULL table's id-prefix sample (frozen — they predate the

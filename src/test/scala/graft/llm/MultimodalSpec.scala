@@ -51,4 +51,83 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(feats.map(f => (f.doc_id, f.byte_len)).toSeq === Seq((1L, 11L), (2L, 7L)))
     assert(feats.forall(_.mime === "application/octet-stream"))
   }
+
+  test("dhash60OfBytes matches the sampled-comparison definition and is " +
+    "robust to uniform rescaling") {
+    // empty payload fingerprints to 0; a monotone-nonincreasing signal
+    // sets no bits
+    assert(Multimodal.dhash60OfBytes(Array.empty) === 0L)
+    assert(Multimodal.dhash60OfBytes(Array[Byte](9, 9, 9, 9)) === 0L)
+    // definition check against a direct re-computation
+    def reference(bytes: Array[Byte]): Long =
+      if (bytes.isEmpty) 0L
+      else (0 until 60).map { i =>
+        val p = bytes(((i.toLong * bytes.length) / 61L).toInt) & 0xff
+        val c = bytes((((i + 1).toLong * bytes.length) / 61L).toInt) & 0xff
+        if (c > p) 1L << i else 0L
+      }.sum
+    val rnd = new scala.util.Random(91L)
+    (1 to 20).foreach { _ =>
+      val bytes = Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(128).toByte)
+      assert(Multimodal.dhash60OfBytes(bytes) === reference(bytes))
+    }
+    // unsigned compare: byte 0x80 (-128 signed) must read as 128 > 127
+    val hi = Array.tabulate[Byte](122)(i => if (i < 61) 127 else 0x80.toByte)
+    assert(Multimodal.dhash60OfBytes(hi) !== 0L)
+    // the perceptual property x91's fixture stands on: a nearest-
+    // neighbor upscale keeps the sampled grid (hence the fingerprint)
+    // EXACTLY identical — for any length and any integer factor
+    // (the floor(floor(kx)/k) = floor(x) identity)
+    (1 to 15).foreach { _ =>
+      val img = MediaRecord(1L,
+        Array.fill(1 + rnd.nextInt(400))(rnd.nextInt(128).toByte), "m", "l", "s")
+      Seq(2, 3, 5).foreach { k =>
+        assert(Multimodal.dhash60OfBytes(Multimodal.upscaleStub(img, k).media) ===
+          Multimodal.dhash60OfBytes(img.media),
+          s"upscale x$k must preserve the fingerprint (len ${img.media.length})")
+      }
+    }
+    assert(Multimodal.upscaleStub(
+      MediaRecord(1L, Array[Byte](1, 2), "m", "l", "s"), 3).media.toSeq ===
+      Seq[Byte](1, 1, 1, 2, 2, 2))
+  }
+
+  test("perceptual near-dup: banded candidates equal brute force on planted " +
+    "hamming neighbors, and exact-dup groups stay linear (star edges)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(191L)
+    // distinct random 60-bit hashes, each with a planted partner 1-3
+    // bit-flips away, plus one exact-dup group of 5 sharing hash h0
+    val mask = (1L << 60) - 1
+    val bases = Seq.fill(40)(rnd.nextLong() & mask).distinct
+    val planted = bases.zipWithIndex.map { case (h, i) =>
+      var p = h
+      (0 to i % 3).foreach(_ => p ^= 1L << rnd.nextInt(60))
+      p
+    }
+    val h0 = bases.head
+    val rows = (bases ++ planted).zipWithIndex.map { case (h, i) => (i.toLong, h) } ++
+      (100L to 104L).map(id => (id, h0))
+    val fps = rows.toDF("doc_id", "dhash60")
+    val got = Multimodal.perceptualNearDupPairs(fps, "doc_id", "dhash60")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // brute force over the same exact-collapse semantics: reps = min id
+    // per hash; star edges + all rep pairs within hamming 3
+    val repOf = rows.groupBy(_._2).map { case (h, g) => h -> g.map(_._1).min }
+    val star = rows.filter { case (id, h) => repOf(h) != id }
+      .map { case (id, h) => (repOf(h), id, 0L) }.toSet
+    val reps = repOf.toSeq.map { case (h, id) => (id, h) }
+    val brute = (for {
+      (ia, ha) <- reps; (ib, hb) <- reps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === (brute ++ star),
+      "banded pairs must equal brute force (pigeonhole completeness) plus star edges")
+    // linearity: the 6-member exact group (h0's rep + ids 100..104)
+    // contributes exactly 5 star edges, never the 15-pair clique
+    val h0Members = rows.filter(_._2 == h0).map(_._1).toSet
+    val within = got.filter(p => h0Members(p._1) && h0Members(p._2))
+    assert(within.size === h0Members.size - 1,
+      s"exact-dup group must stay linear: $within")
+  }
 }
