@@ -918,8 +918,25 @@ object Dedup {
     */
   def deleteFromIndexDistinct(index: DataFrame, retainedSigs: DataFrame,
                               tombstones: DataFrame, idCol: String): DataFrame = {
-    // measured broadcast gates (the incrementalComponents 2M rule): a
+    // measured broadcast gate (the incrementalComponents 2M rule): a
     // mass takedown must degrade to shuffle joins, not driver-OOM
+    val dead = tombstones.select(col(idCol)).distinct().localCheckpoint(true)
+    val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
+    index.join(deadSide, Seq(idCol), "left_anti")
+      .unionByName(reElectIndexRows(index, retainedSigs, tombstones, idCol))
+  }
+
+  /** Just the rows [[deleteFromIndexDistinct]] would ADD — the
+    * re-elected representatives of sig groups whose kept rep was
+    * deleted: the persisted posture's APPEND set ([[freshIndexRows]]'
+    * deletion-side twin). A maintenance loop appends these to the
+    * index table and lets readers anti-join the tombstone set
+    * (merge-on-read) until the scheduled compact folds both — so a
+    * delete batch writes O(touched groups) rows, never the relation
+    * (ScaleSmoke's interleave stage runs exactly this posture).
+    */
+  def reElectIndexRows(index: DataFrame, retainedSigs: DataFrame,
+                       tombstones: DataFrame, idCol: String): DataFrame = {
     val dead = tombstones.select(col(idCol)).distinct().localCheckpoint(true)
     val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
     val deadRepSigs = index
@@ -928,13 +945,11 @@ object Dedup {
       .select("sig").distinct().localCheckpoint(true)
     val drsSide = if (deadRepSigs.count() <= 2000000L) broadcast(deadRepSigs)
                   else deadRepSigs
-    val kept = index.join(deadSide, Seq(idCol), "left_anti")
-    val reElect = bandIndexDistinctFromSigs(
+    bandIndexDistinctFromSigs(
       retainedSigs.select(col(idCol), col("sig"))
         .filter(col("sig").getItem(0).isNotNull)
         .join(drsSide, Seq("sig"), "left_semi")
         .join(deadSide, Seq(idCol), "left_anti"), idCol)
-    kept.unionByName(reElect)
   }
 
   /** Exact token-set jaccard from a probe subset to the whole corpus

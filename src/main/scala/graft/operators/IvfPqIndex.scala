@@ -63,10 +63,18 @@ final case class IvfPqIndex(tablePath: String, dir: String,
   private def codesPath = s"$dir/codes"
   private def provPath = dir + "_prov"
   private def driftPath = s"$dir/drift"
+  private def fitPath = s"$dir/fit"
 
-  /** The deterministic training sample: ids below `sampleSize` — the
-    * same discipline x39/x41 use (`vec_id < 8`), so the trained
-    * quantizers are oracle-reproducible.
+  /** The deterministic training sample: the `sampleSize` LOWEST LIVE
+    * ids. On a dense id space this is exactly `vec_id < sampleSize` —
+    * the discipline x39/x41 use, so the trained quantizers are
+    * oracle-reproducible — but after a DELETION it keeps its SIZE by
+    * drawing from the retained corpus: the literal `id < sampleSize`
+    * form silently shrank with the id prefix (a dominant-mode
+    * takedown left a 19-vector sample holding 5 rows), and a
+    * retrain-after-takedown must train on sampleSize live vectors or
+    * the rebuilt books cannot follow the survivors (VERDICT r14 ask
+    * #4's recovery leg; IvfPqIndexSpec's post-delete drift case).
     *
     * The `sampleSize = 8` DEFAULT is that oracle discipline, not a
     * deployment setting: 8 coarse cells and 8-codeword books keep
@@ -82,7 +90,7 @@ final case class IvfPqIndex(tablePath: String, dir: String,
     * the toy sample's recall on a shifted corpus).
     */
   private def sample(spark: SparkSession): DataFrame =
-    spark.read.parquet(tablePath).filter(col(idCol) < sampleSize)
+    spark.read.parquet(tablePath).orderBy(idCol).limit(sampleSize)
 
   private def readCentroids(spark: SparkSession): DataFrame =
     spark.read.parquet(centroidsPath)
@@ -129,6 +137,31 @@ final case class IvfPqIndex(tablePath: String, dir: String,
     agg.coalesce(1).write.mode(mode).parquet(driftPath)
   }
 
+  /** `corpus`'s quantizer-fit rows PER INVERTED LIST — (cluster, n,
+    * sum_err_e9) against the persisted quantizers: the CURRENT-FIT
+    * sidecar [[delete]] maintains cluster-locally (VERDICT r14 ask
+    * #4). The per-phase [[driftPath]] relation records fit at WRITE
+    * time and is deliberately historical (x87's monitoring view); this
+    * one tracks the fit of what the index currently SERVES, so a mass
+    * deletion that shifts the retained distribution surfaces in
+    * [[staleQuantizer]] even though no row was ever re-encoded. The
+    * cluster key is the same nprobe=1 assignment the encoder uses, so
+    * a delete can replace exactly the dirty lists' rows.
+    */
+  private def clusterFit(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val cents = readCentroids(spark)
+    val cbs = readCodebooks(spark)
+    val errs = Similarity.pqRawErrors(corpus, cbs, subDim, idCol, vecCol)
+    val asg = Similarity.probeClusters(corpus, cents, nprobe = 1, idCol, vecCol)
+      .select(col("probe_id").as(idCol), col("cluster"))
+    errs.join(asg, idCol)
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum("err_e9"), lit(0L)).as("sum_err_e9"))
+      .select(col("cluster").cast("long").as("cluster"), col("n"),
+        col("sum_err_e9"))
+  }
+
   override def create(spark: SparkSession): Unit = {
     val base = spark.read.parquet(tablePath)
     val samp = sample(spark)
@@ -147,6 +180,7 @@ final case class IvfPqIndex(tablePath: String, dir: String,
       .coalesce(1).write.mode("overwrite").parquet(codebooksPath)
     encodeInto(spark, base, mode = "overwrite")
     recordDrift(spark, base, phase = "create", mode = "overwrite")
+    clusterFit(spark, base).coalesce(1).write.mode("overwrite").parquet(fitPath)
     Provenance.reset(spark, provPath, ZoneMap.dataFiles(spark, tablePath))
   }
 
@@ -155,6 +189,7 @@ final case class IvfPqIndex(tablePath: String, dir: String,
       val batch = spark.read.parquet(files: _*)
       encodeInto(spark, batch, mode = "append")
       recordDrift(spark, batch, phase = "append", mode = "append")
+      clusterFit(spark, batch).coalesce(1).write.mode("append").parquet(fitPath)
       Provenance.record(spark, provPath, files)
     }
 
@@ -186,14 +221,40 @@ final case class IvfPqIndex(tablePath: String, dir: String,
   def staleQuantizer(spark: SparkSession, ratioE6: Long = 2000000L): Boolean = {
     val rows = quantizerDrift(spark).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    rows.get("append") match {
-      case None => false // no appends yet — nothing can have drifted
+    val (nBase, sumBase) = rows.getOrElse("create", (0L, 0L))
+    val baseMean = if (nBase > 0) math.max(sumBase / nBase, 1L) else 1L
+    val appendDrift = rows.get("append") match {
+      case None => false // no appends yet — appends can't have drifted
       case Some((nApp, sumApp)) =>
-        val (nBase, sumBase) = rows.getOrElse("create", (0L, 0L))
-        val baseMean = if (nBase > 0) math.max(sumBase / nBase, 1L) else 1L
         val appMean = if (nApp > 0) sumApp / nApp else 0L
         appMean * 1000000L > baseMean * ratioE6
     }
+    appendDrift || retainedFitDrift(spark, baseMean, ratioE6)
+  }
+
+  /** The POST-DELETE face of the drift signal (VERDICT r14 ask #4):
+    * per-phase drift rows record encoding fit at WRITE time, so a mass
+    * deletion that shifts the retained distribution — the dominant
+    * mode taken down, the frozen quantizers left fitting almost
+    * nothing they still serve — fired no signal. The current-fit
+    * sidecar ([[clusterFit]], maintained by create/append and
+    * recomputed dirty-lists-only by [[delete]]) pools to the fit of
+    * exactly what the index serves NOW; its mean is compared against
+    * the same create-time baseline under the same ratio. Pre-fit
+    * indexes (built before the sidecar existed) skip the check — same
+    * tolerance as the params-less catalog.
+    */
+  private def retainedFitDrift(spark: SparkSession, baseMean: Long,
+                               ratioE6: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(fitPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val row = spark.read.parquet(fitPath)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("sum_err_e9"), lit(0L)).as("s")).head()
+    val (n, s) = (row.getLong(0), row.getLong(1))
+    val curMean = if (n > 0) s / n else 0L
+    curMean * 1000000L > baseMean * ratioE6
   }
 
   /** The retrain ORCHESTRATION for [[staleQuantizer]]'s signal (VERDICT
@@ -283,6 +344,14 @@ final case class IvfPqIndex(tablePath: String, dir: String,
         .localCheckpoint(true)
       pooled.coalesce(1).write.mode("overwrite").parquet(driftPath)
     }
+    // the current-fit sidecar pools per cluster the same way
+    if (fs.exists(new org.apache.hadoop.fs.Path(fitPath))) {
+      val pooledFit = spark.read.parquet(fitPath)
+        .groupBy("cluster")
+        .agg(sum("n").as("n"), sum("sum_err_e9").as("sum_err_e9"))
+        .localCheckpoint(true)
+      pooledFit.coalesce(1).write.mode("overwrite").parquet(fitPath)
+    }
     Provenance.compact(spark, provPath)
   }
 
@@ -302,11 +371,18 @@ final case class IvfPqIndex(tablePath: String, dir: String,
     * partition for it, so its directory is removed explicitly —
     * otherwise the stale files would survive and keep answering.
     *
-    * The drift sidecar is untouched: its rows record ENCODING fit at
-    * write time (a historical signal for [[staleQuantizer]]), not
-    * corpus membership. Base-table deletion is the table service's
-    * own pass; this verb keeps the INDEX from serving deleted ids
-    * regardless of when that happens.
+    * The per-phase drift sidecar is untouched (its rows record
+    * ENCODING fit at write time — x87's historical monitoring view),
+    * but the CURRENT-FIT sidecar is re-evaluated for the dirty lists
+    * only (VERDICT r14 ask #4): a mass deletion can shift the retained
+    * distribution so the frozen quantizers no longer fit what the
+    * index still serves, and [[staleQuantizer]] must see that —
+    * IvfPqIndexSpec pins the dominant-mode-takedown trip, the
+    * answer-parity-deletion non-trip, and the retrain recovery.
+    * Base-table deletion is the table service's own pass; this verb
+    * keeps the INDEX from serving deleted ids regardless of when that
+    * happens (run the base pass first if [[retrainIfStale]] may fire —
+    * create() re-reads the base table).
     */
   def delete(spark: SparkSession, tombstones: DataFrame): Unit = {
     val ids = tombstones.select(col(idCol).cast("long").as("neighbor_id"))
@@ -348,6 +424,38 @@ final case class IvfPqIndex(tablePath: String, dir: String,
     // left the old directory — remove it
     dirty.filterNot(survivors).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cluster=$c"), true)
+    }
+    // POST-DELETE drift input (VERDICT r14 ask #4): re-evaluate the
+    // current-fit rows for EXACTLY the dirty lists — the retained
+    // members (already snapshotted above, one row per vector at
+    // subspace 0) join the base table for their raw vectors, pooled
+    // reconstruction error lands per cluster, and untouched clusters'
+    // rows stream through. An emptied cluster gets no recomputed row,
+    // so its old fit leaves the pool with it. Quantizers stay frozen;
+    // [[staleQuantizer]] now sees the fit of what the index SERVES.
+    // Pre-fit indexes (no sidecar) skip — nothing to maintain.
+    if (fs.exists(new org.apache.hadoop.fs.Path(fitPath))) {
+      val cbs = readCodebooks(spark)
+      val members = retained.filter(col("subspace") === 0)
+        .select(col("neighbor_id").as(idCol),
+          col("cluster").cast("long").as("cluster"))
+      val vecs = spark.read.parquet(tablePath)
+        .select(col(idCol).cast("long").as(idCol), col(vecCol))
+        .join(members.select(idCol), Seq(idCol), "left_semi")
+      val recomputed = Similarity.pqRawErrors(vecs, cbs, subDim, idCol, vecCol)
+        .join(members, idCol)
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum("err_e9"), lit(0L)).as("sum_err_e9"))
+        .select(col("cluster"), col("n"), col("sum_err_e9"))
+      val keptFit = spark.read.parquet(fitPath)
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          col("sum_err_e9"))
+        .filter(!col("cluster").isin(dirty: _*))
+      // eager checkpoint: the union reads the fitPath files the write
+      // below overwrites (the compact rule); KBs — lists × 3 longs
+      val next = keptFit.unionByName(recomputed).localCheckpoint(true)
+      next.coalesce(1).write.mode("overwrite").parquet(fitPath)
     }
   }
 

@@ -374,4 +374,31 @@ final case class MinhashDedupIndex(tablePath: String, textCol: String,
     Provenance.compact(spark, provPath)
     labels
   }
+
+  /** [[delete]] with the relabel SCOPED to tombstone-touched
+    * components ([[graft.llm.DedupIndex.relabelScoped]] — VERDICT r14
+    * ask #1): `priorLabels` is the persisted pre-deletion fixpoint,
+    * untouched labels pass through verbatim, and only the touched
+    * components' retained members reach the candidate + CC recompute.
+    * The scoped relabel runs against the PRE-compact generation (it
+    * applies the tombstones logically), then the physical
+    * tombstone-compact flips the generation exactly as [[delete]]
+    * does — so the two verbs differ only in relabel cost, never in
+    * answer (TakedownSpec pins the label equality).
+    */
+  def deleteScoped(spark: SparkSession, tombstones: DataFrame,
+                   priorLabels: DataFrame,
+                   minEstE6: Long = 250000L): DataFrame = {
+    val next = readGeneration(spark) + 1
+    val prev = currentTable(spark)
+    val labels = graft.llm.DedupIndex.relabelScoped(spark, prev,
+        tombstones, priorLabels, minEstE6)
+      .localCheckpoint(true)
+    graft.llm.DedupIndex.compact(spark, prev,
+      s"${table}_g$next", s"${path}_g$next", tombstones, idCol)
+    writeGeneration(spark, next)
+    spark.sql(s"DROP TABLE IF EXISTS $prev")
+    Provenance.compact(spark, provPath)
+    labels
+  }
 }

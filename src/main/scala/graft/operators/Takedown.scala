@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.IndexAdvisor
+
+/** ONE takedown verb across every index family (VERDICT r14 ask #5):
+  * the catalog already speaks all five kinds, but deletion was a
+  * per-family call — a real takedown (GDPR erasure, a licensing pull,
+  * a contamination scrub) has to reach EVERY index the table has, or
+  * a forgotten family keeps serving the deleted rows. [[apply]]
+  * discovers the table's registered indexes and dispatches each
+  * family's own delete verb:
+  *
+  *  - dedup  → [[MinhashDedupIndex.delete]] (tombstone-compact into
+  *    the next generation + relabel), or [[MinhashDedupIndex
+  *    .deleteScoped]] when the caller supplies the persisted prior
+  *    labels — the touched-components-only recompute. Returns the
+  *    recomputed labels. The generation flip rides the `_gen` marker
+  *    at the REGISTERED path, so the catalog row stays valid — no
+  *    re-register needed.
+  *  - ivfpq  → [[IvfPqIndex.delete]]: dirty inverted lists rewritten,
+  *    emptied lists removed, quantizers frozen, and the retained-fit
+  *    drift input re-evaluated so [[IvfPqIndex.staleQuantizer]] sees
+  *    what the index now serves.
+  *  - sketch → [[MonthlySketchIndex.delete]]: KMV is not subtractive,
+  *    so exactly the tombstoned months rebuild from retained rows.
+  *  - zonemap / bloom → per-FILE statistics re-anchor on the live
+  *    listing (a rebuild over the current files): the base deletion
+  *    pass rewrote or removed data files, and while the row-mismatch
+  *    demote-to-scan rule keeps scans CORRECT meanwhile
+  *    (StalenessSpec), a takedown must not leave dead files'
+  *    fingerprints in the stats relation.
+  *
+  * Ordering contract: run AFTER the table service's own base-row
+  * deletion pass. The contribution kinds re-read the base table for
+  * retained rows (sketch rebuilds tombstoned months from it; ivfpq's
+  * fit re-evaluation joins it; a post-takedown retrainIfStale re-reads
+  * it whole), and the per-file kinds anchor on the live listing —
+  * both are only right once the base no longer holds the deleted
+  * rows. `tombstones` carries the deleted rows (at minimum every
+  * registered key column: dedup/ivfpq read their id column, sketch
+  * its month + key columns).
+  *
+  * Scale: each family's verb is its own delta-priced maintenance pass
+  * (touched components / dirty lists / tombstoned months); the
+  * takedown adds one catalog read and no data work of its own.
+  */
+object Takedown {
+
+  /** One row per registered index the takedown touched. `labels` is
+    * populated for the dedup family (the recomputed cluster fixpoint —
+    * a deployment persists it as the NEXT takedown's priorLabels).
+    */
+  final case class Applied(kind: String, path: String, action: String,
+                           labels: Option[DataFrame] = None)
+
+  /** The contribution kinds' Provenance sidecars record which BASE
+    * FILES the index has described — and the base deletion pass that
+    * precedes a takedown rewrote them, so without a re-anchor the
+    * catalog's staleness gate would warn "stale files" forever on an
+    * index that is in fact exactly current. The index delete just
+    * brought the index in step with the live base (same tombstone
+    * set — the [[apply]] contract), so recording the live listing is
+    * the truth. Absent sidecars (indexes built outside the
+    * PersistedIndex lifecycle) are left absent — same tolerance as
+    * the staleness gate itself.
+    */
+  private def reanchorProv(spark: SparkSession, tablePath: String,
+                           indexPath: String): Unit = {
+    val prov = indexPath + "_prov"
+    val p = new org.apache.hadoop.fs.Path(prov)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Provenance.reset(spark, prov, ZoneMap.dataFiles(spark, tablePath))
+  }
+
+  def apply(spark: SparkSession, tablePath: String, tombstones: DataFrame,
+            priorLabels: Option[DataFrame] = None,
+            minEstE6: Long = 250000L): Seq[Applied] =
+    IndexAdvisor.catalog(spark, tablePath).map { e =>
+      e.kind match {
+        case "zonemap" =>
+          ZoneMapIndex(tablePath, e.columns, e.path).create(spark)
+          Applied("zonemap", e.path, "stats re-anchored on the live listing")
+        case "bloom" =>
+          BloomIndex(tablePath, e.columns.head, e.path,
+            m = e.params.getOrElse("m", "8192").toInt,
+            k = e.params.getOrElse("k", "4").toInt).create(spark)
+          Applied("bloom", e.path, "filters re-anchored on the live listing")
+        case "ivfpq" =>
+          IndexAdvisor.ivfPqDiscovered(spark, tablePath).get
+            .delete(spark, tombstones)
+          reanchorProv(spark, tablePath, e.path)
+          Applied("ivfpq", e.path,
+            "dirty inverted lists rewritten; retained fit re-evaluated")
+        case "sketch" =>
+          IndexAdvisor.sketchDiscovered(spark, tablePath).get
+            .delete(spark, tombstones)
+          reanchorProv(spark, tablePath, e.path)
+          Applied("sketch", e.path, "tombstoned months rebuilt")
+        case "dedup" =>
+          val idx = IndexAdvisor.dedupDiscovered(spark, tablePath).get
+          val labels = priorLabels match {
+            case Some(pl) => idx.deleteScoped(spark, tombstones, pl, minEstE6)
+            case None => idx.delete(spark, tombstones, minEstE6)
+          }
+          reanchorProv(spark, tablePath, e.path)
+          Applied("dedup", e.path,
+            "fingerprints tombstone-compacted; labels recomputed",
+            Some(labels))
+        case k => throw new IllegalArgumentException(s"unknown index kind '$k'")
+      }
+    }
+}

@@ -254,6 +254,44 @@ object IndexAdvisor {
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Seq[(String, Long, Long)])]()
 
+  /** (ivfpq dir → ((drift dir mtime, fit dir mtime), verdict)) memo
+    * for the quantizer-drift half of the gate (ADVICE r14): under the
+    * default `warn` policy every probeDiscovered call ran
+    * staleQuantizer — an unmemoized Spark job over the drift sidecar —
+    * so a probe-per-batch loop paid it per batch while the file
+    * signals rode statsMemo. Same mtime discipline: both sidecars are
+    * flat directories rewritten whole by their maintenance verbs
+    * (create/append/compact rewrite drift; delete rewrites fit), so
+    * every verdict-changing write bumps a key component.
+    */
+  private val quantMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), Boolean)]()
+
+  /** Quantizer-drift evaluations actually run (memo misses) — the
+    * test hook mirroring [[catalogLoads]].
+    */
+  private[sources] val quantChecks =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def quantVerdict(spark: SparkSession, tablePath: String,
+                           e: CatalogEntry): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(e.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mt(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.getFileStatus(hp).getModificationTime else -1L
+    }
+    val key = (mt(e.path + "/drift"), mt(e.path + "/fit"))
+    val hit = quantMemo.get(e.path)
+    if (hit != null && hit._1 == key) hit._2
+    else {
+      quantChecks.incrementAndGet()
+      val v = ivfPqDiscovered(spark, tablePath).exists(_.staleQuantizer(spark))
+      quantMemo.put(e.path, (key, v))
+      v
+    }
+  }
+
   def stalenessOf(spark: SparkSession, tablePath: String,
                   e: CatalogEntry): (Seq[String], Seq[String], Boolean) = {
     // ONE stats-relation read + ONE base listing serve BOTH file
@@ -291,7 +329,7 @@ object IndexAdvisor {
         if (!pathExists(spark, prov)) (Nil, Nil, false)
         else {
           val (st, un) = both(prov)
-          (st, un, ivfPqDiscovered(spark, tablePath).exists(_.staleQuantizer(spark)))
+          (st, un, quantVerdict(spark, tablePath, e))
         }
       case "sketch" | "dedup" =>
         val prov = e.path + "_prov"

@@ -152,9 +152,228 @@ object ScaleSmoke {
     if (stages("delete")) deleteStage(docs, tmp)
     if (stages("streammaint")) streamMaintStage(docs, tmp, mult, docStride)
     if (stages("anndelete")) annDeleteStage(spark, sfDir, mult, tmp)
+    if (stages("scopeddelete")) scopedDeleteStage(spark, sfDir, mult, tmp)
+    if (stages("interleave")) interleaveStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
+  }
+
+  /** A mult-scaled documents corpus whose duplicate structure is
+    * mult-INDEPENDENT: each copy's text interleaves a per-copy token
+    * between every word, so word-bigram shingle sets are disjoint
+    * across copies and near-dup components live WITHIN a copy — the
+    * shape a real growing corpus has (new data is new content), and
+    * the precondition for measuring "deletion cost ∝ touched
+    * components, flat in corpus size": on the identical-copies corpus
+    * the other stages use, every component spans all mult copies and
+    * a takedown's touched rows would grow with the corpus by
+    * construction, saying nothing about the verb.
+    */
+  private def taggedScaled(spark: SparkSession, sfDir: String, mult: Int,
+                           out: String): (DataFrame, Long) = {
+    val base = graft.queries.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
+    (0 until mult).map { k =>
+      base.select((col("doc_id") + lit(k.toLong * stride)).as("doc_id"),
+        (if (k == 0) col("text")
+         else regexp_replace(col("text"), " ", s" z$k ")).as("text"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(out)
+    (spark.read.parquet(out), stride)
+  }
+
+  private def labelCk(l: DataFrame): (Long, Long, Long) = {
+    val r = l.agg(count(lit(1)), countDistinct(col("label")),
+      sum(pmod(hash(col("node"), col("label")).cast("long"),
+        lit(1000000007L)))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Round-15 SCOPED-DELETION point (VERDICT r14 ask #1's scale row,
+    * the number that grew 5.4 s → 52 s from 100× to 500× under the
+    * full-corpus relabel): a takedown tombstones ~25 base-copy docs —
+    * a fixed, corpus-size-INDEPENDENT set of touched components — and
+    * the scoped relabel (touched-slice candidates + CC, untouched
+    * labels streamed through) must cost ∝ those components while the
+    * r14 full-retained-relabel control re-pays the corpus; both label
+    * sets must agree exactly. The one-time state (doc-level sigs +
+    * the prior label fixpoint) is the artifact a deployment maintains,
+    * timed separately.
+    */
+  private def scopedDeleteStage(spark: SparkSession, sfDir: String, mult: Int,
+                                tmp: String): Unit = {
+    val (corpus, stride) = taggedScaled(spark, sfDir, mult, s"$tmp/sd_docs")
+    println(s"scopeddelete corpus: ${corpus.count()} docs " +
+      s"($mult tagged copies)")
+    timed("scopeddelete state build (one-time: sigs + prior labels)") {
+      val sigd = Dedup.docSigs(corpus, "text", "doc_id")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      sigd.write.mode("overwrite").parquet(s"$tmp/sd_sigs")
+      Dedup.connectedComponents(
+          Dedup.candidatesFromSigs(sigd, "doc_id", assumeUnique = true),
+          "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$tmp/sd_labels")
+    }
+    val sigs = spark.read.parquet(s"$tmp/sd_sigs")
+    val labels = spark.read.parquet(s"$tmp/sd_labels")
+    // the takedown: ~25 docs of copy 0 — component count and size are
+    // properties of the BASE corpus, not of mult
+    val tombs = corpus.filter(col("doc_id") < stride &&
+        col("doc_id") % 200 === 3)
+      .select("doc_id").localCheckpoint(true)
+    val (slice, _) = Dedup.scopedDeleteParts(sigs, tombs, labels, "doc_id",
+      materialize = false)
+    println(s"  tombstones: ${tombs.count()}; touched-component slice: " +
+      s"${slice.count()} retained sigs (of ${sigs.count()})")
+    val (scoped, tScoped) = timed("  SCOPED relabel (touched components only)") {
+      val l = Dedup.relabelScopedFromSigs(sigs, tombs, labels, "doc_id",
+          materialize = false)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      l.count(); l
+    }
+    val (full, tFull) = timed("  full retained relabel CONTROL (the r14 path)") {
+      val l = Dedup.connectedComponents(
+          Dedup.candidatesFromSigs(
+            sigs.join(tombs, Seq("doc_id"), "left_anti"), "doc_id",
+            assumeUnique = true), "doc_a", "doc_b")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      l.count(); l
+    }
+    val cs = labelCk(scoped); val cf = labelCk(full)
+    require(cs == cf, s"scoped labels != full relabel labels: $cs vs $cf")
+    println(s"  labels identical (nodes/clusters/checksum $cs)")
+    println(f"  scoped $tScoped%.2f s vs full $tFull%.2f s — ${tFull / tScoped}%.2fx")
+    require(tScoped < tFull,
+      f"scoped relabel must beat the full recompute: $tScoped%.2f vs $tFull%.2f")
+  }
+
+  /** Round-15 STREAMING ADD+DELETE INTERLEAVE point (VERDICT r14 ask
+    * #7 — st30's posture with measured walls) in the PERSISTED
+    * merge-on-read form a deployment runs: sigs and the
+    * signature-distinct index live as parquet tables; an ADD batch
+    * appends its doc-level sigs and only its [[Dedup.freshIndexRows]]
+    * (signature-distinct growth), a DELETE batch appends tombstones to
+    * an accumulated set, runs the SCOPED relabel, and appends only the
+    * re-elected representatives ([[Dedup.reElectIndexRows]]) — readers
+    * see table∖tombstones (merge-on-read), and the scheduled compact
+    * folds both (DedupIndex.compact's pass, not per batch). Per-batch
+    * WRITES are O(batch)/O(touched); per-batch walls are reported for
+    * both verbs, and the final labels/index must equal from-scratch
+    * runs over the live set (st30's oracle shape at scale). The corpus
+    * is the tagged-copies one, so delete cost is governed by touched
+    * components, not corpus size; tombstone sets are copy-0-sized
+    * (corpus-size-independent).
+    */
+  private def interleaveStage(spark: SparkSession, sfDir: String, mult: Int,
+                              tmp: String): Unit = {
+    val (corpus, stride) = taggedScaled(spark, sfDir, mult, s"$tmp/il_docs")
+    println(s"interleave corpus: ${corpus.count()} docs ($mult tagged copies)")
+    val sigsDir = s"$tmp/il_sigs"
+    val idxDir = s"$tmp/il_index"
+    timed("interleave state build (one-time: sigs + distinct index + labels)") {
+      val sigd = Dedup.docSigs(corpus, "text", "doc_id")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      sigd.write.mode("overwrite").parquet(sigsDir)
+      Dedup.bandIndexDistinctFromSigs(sigd, "doc_id")
+        .write.mode("overwrite").parquet(idxDir)
+      Dedup.connectedComponents(
+          Dedup.candidatesFromSigs(sigd, "doc_id", assumeUnique = true),
+          "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$tmp/il_labels")
+    }
+    var labels = spark.read.parquet(s"$tmp/il_labels")
+    // the accumulated tombstone set (batch-sized; a table service
+    // keeps it as a sidecar) — every reader anti-joins it
+    var tombAcc = spark.emptyDataFrame
+    def sigsView = {
+      val s0 = spark.read.parquet(sigsDir)
+      if (tombAcc.isEmpty) s0
+      else s0.join(broadcast(tombAcc), Seq("doc_id"), "left_anti")
+    }
+    def indexView = {
+      val i0 = spark.read.parquet(idxDir)
+      if (tombAcc.isEmpty) i0
+      else i0.join(broadcast(tombAcc), Seq("doc_id"), "left_anti")
+    }
+    val addWalls = Seq.newBuilder[Double]
+    val delWalls = Seq.newBuilder[Double]
+    val batchDirs = Seq.newBuilder[String]
+    (1 to 2).foreach { k =>
+      // ADD: one base-sized batch of novel content (fresh copy tag)
+      // except every 5th doc, which duplicates a live doc's text
+      // exactly (the fold must add ZERO rows for those signatures)
+      corpus.filter(col("doc_id") < stride)
+        .select((col("doc_id") + lit(stride * (mult + k).toLong)).as("doc_id"),
+          when(col("doc_id") % 5 === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), " ", s" a$k ")).as("text"))
+        .write.mode("overwrite").parquet(s"$tmp/il_batch$k")
+      batchDirs += s"$tmp/il_batch$k"
+      val batch = spark.read.parquet(s"$tmp/il_batch$k")
+      val (_, tAdd) = timed(s"interleave ADD batch $k " +
+        "(probe + label fold + sig/index appends)") {
+        val index = indexView
+        val delta = Dedup.incrementalCandidates(batch, index, "text", "doc_id")
+          .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+          .unionByName(Dedup.minhashCandidates(batch, "text", "doc_id")
+            .select("doc_a", "doc_b"))
+        labels = Dedup.incrementalComponents(labels, delta, "doc_a", "doc_b",
+          materialize = false).localCheckpoint(true)
+        labels.count()
+        val batchSigs = Dedup.docSigs(batch, "text", "doc_id")
+          .localCheckpoint(true)
+        batchSigs.write.mode("append").parquet(sigsDir)
+        Dedup.freshIndexRows(index,
+            Dedup.bandIndexDistinctFromSigs(batchSigs, "doc_id"), "doc_id")
+          .write.mode("append").parquet(idxDir)
+      }
+      addWalls += tAdd
+      // DELETE: a copy-0-sized takedown (fixed across mult) — touched
+      // components, never corpus scans; writes = the re-elected reps
+      val tombs = sigsView.filter(col("doc_id") < stride &&
+          col("doc_id") % 50 === (7 * k).toLong)
+        .select("doc_id").localCheckpoint(true)
+      val (_, tDel) = timed(s"interleave DELETE batch $k " +
+        s"(${tombs.count()} tombstones: scoped relabel + rep re-elect append)") {
+        val preSigs = sigsView
+        labels = Dedup.relabelScopedFromSigs(preSigs, tombs, labels, "doc_id",
+          materialize = false).localCheckpoint(true)
+        labels.count()
+        Dedup.reElectIndexRows(indexView, preSigs, tombs, "doc_id")
+          .write.mode("append").parquet(idxDir)
+        tombAcc = (if (tombAcc.isEmpty) tombs
+                   else tombAcc.unionByName(tombs)).localCheckpoint(true)
+      }
+      delWalls += tDel
+    }
+    val live = batchDirs.result().map(spark.read.parquet(_))
+      .foldLeft(corpus)(_ unionByName _)
+      .join(broadcast(tombAcc), Seq("doc_id"), "left_anti")
+    val (fullLabels, _) =
+      timed("interleave FULL RE-RUN control (final live set)") {
+        val l = Dedup.connectedComponents(
+            Dedup.minhashCandidates(live, "text", "doc_id"), "doc_a", "doc_b")
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        l.count(); l
+      }
+    val ci = labelCk(labels); val cf = labelCk(fullLabels)
+    require(ci == cf, s"interleaved labels != full re-run: $ci vs $cf")
+    println(s"  final labels identical to the from-scratch live-set run " +
+      s"(nodes/clusters/checksum $ci)")
+    // the merge-on-read index view equals a from-scratch signature-
+    // distinct rebuild over the live sigs (rows keyed (doc, band, bkey))
+    val scratchIdx = Dedup.bandIndexDistinctFromSigs(sigsView, "doc_id")
+    val idxDiff = indexView.select("doc_id", "band", "bkey")
+      .unionByName(scratchIdx.select("doc_id", "band", "bkey"))
+      .groupBy("doc_id", "band", "bkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 2).count()
+    require(idxDiff == 0,
+      s"index view != from-scratch rebuild ($idxDiff rows differ)")
+    println("  merge-on-read index view row-identical to a from-scratch rebuild")
+    val (as, ds) = (addWalls.result(), delWalls.result())
+    println(f"  add walls: ${as.map(w => f"$w%.2f").mkString(", ")} s; " +
+      f"delete walls: ${ds.map(w => f"$w%.2f").mkString(", ")} s")
   }
 
   /** Round-14 ANN-DELETION point (x90's scale row): at deployment

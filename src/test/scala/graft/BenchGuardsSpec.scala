@@ -26,4 +26,30 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(!BenchGuards.contendedRun(99.0, Some(0.0)))
     assert(!BenchGuards.contendedRun(99.0, Some(-1.0)))
   }
+
+  test("a fabricated MID-RUN burst: the tracker attributes a hot reading " +
+    "to exactly the entries since the last clean one (VERDICT r14 ask #2)") {
+    val t = new BenchGuards.BurstTracker(floor = 0.1, maxSpan = 4)
+    // entries complete under a quiet sentinel — no reading due yet
+    assert(!t.ran("a") && !t.ran("b") && !t.ran("c"))
+    // span reached → the caller draws; the reading is CLEAN → vouched
+    assert(t.ran("d"))
+    assert(t.observed(0.12) === Nil)
+    // the burst arrives mid-run: the next window's entries are the
+    // suspects — and ONLY they are (a–d were vouched by the clean
+    // reading; exactly the x75-in-BENCH_r14 hole)
+    t.ran("e"); t.ran("f")
+    assert(t.observed(0.5) === Seq("e", "f"),
+      "a hot reading must surface everything since the last clean one")
+    // the suspect list was handed off — a follow-up reading only
+    // covers NEW completions
+    t.ran("g")
+    assert(t.observed(0.5) === Seq("g"))
+    // a heavy entry's own gate reading (drawn before the span) also
+    // feeds the tracker: clean → clears, and the span counter resets
+    t.ran("h")
+    assert(t.observed(0.1) === Nil)
+    assert(!t.ran("i") && !t.ran("j") && !t.ran("k"))
+    assert(t.ran("l"), "the span must be measured from the last reading")
+  }
 }

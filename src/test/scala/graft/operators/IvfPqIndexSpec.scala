@@ -407,6 +407,88 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(idx.content(s).filter(col("cluster") === victimCluster).isEmpty)
   }
 
+  test("post-delete drift: a dominant-mode takedown trips staleQuantizer " +
+    "over the retained rows, answer-parity deletions never do, and " +
+    "retrainIfStale recovers recall on the survivors") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("ivfpq_del_drift")
+    // two modes, well mixed in id space: ids ≡ 1 (mod 4) live +20.0
+    // away (the minority the frozen books COLLAPSE — every +20
+    // sub-vector maps to the same nearest in-range codeword, so ADC
+    // distances degenerate — and the mode the takedown leaves behind);
+    // everything else is the dominant mode the quantizers were
+    // accepted on. Low minority ids (1,5,9,13,17) sit inside the
+    // id-prefix sample, the retrain-follows precondition the
+    // retrainIfStale test documents.
+    def vec(i: Int): Seq[Float] =
+      if (i % 4 == 1) emb(i).map(_ + 20.0f) else emb(i)
+    def writeBase(table: String): Unit =
+      (0 until 360).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(table)
+
+    // answer-parity deletion: both modes thinned evenly — the retained
+    // distribution is the accepted one, the signal must stay quiet
+    val t1 = s"$root/vecs_parity"
+    writeBase(t1)
+    val parity = IvfPqIndex(t1, s"$root/idx_parity", m = 4, subDim = 4,
+      sampleSize = 19, lloydRounds = 2)
+    parity.create(s)
+    assert(!parity.staleQuantizer(s), "fresh index must read clean")
+    parity.delete(s, s.read.parquet(t1)
+      .filter(col("vec_id") % 7 === 3).select("vec_id"))
+    assert(!parity.staleQuantizer(s),
+      "an answer-parity deletion tripped the retained-fit signal")
+
+    // dominant-mode takedown: the retained corpus is the minority mode
+    // the frozen quantizers never fit — no row was re-encoded, so the
+    // per-phase drift rows are silent BY CONSTRUCTION and only the
+    // retained-fit re-evaluation can see it
+    val t2 = s"$root/vecs_take"
+    writeBase(t2)
+    val idx = IvfPqIndex(t2, s"$root/idx_take", m = 4, subDim = 4,
+      sampleSize = 19, lloydRounds = 2)
+    idx.create(s)
+    assert(!idx.staleQuantizer(s))
+    // the table service's base pass runs first (the Takedown ordering
+    // contract — retrain re-reads the base), then the index delete
+    val retainedRows = s.read.parquet(t2)
+      .filter(col("vec_id") % 4 === 1).localCheckpoint(true)
+    val tomb = s.read.parquet(t2).filter(col("vec_id") % 4 =!= 1)
+      .select("vec_id").localCheckpoint(true)
+    retainedRows.coalesce(1).write.mode("overwrite").parquet(t2)
+    idx.delete(s, tomb)
+    assert(idx.staleQuantizer(s),
+      "a dominant-mode takedown must trip the retained-fit drift signal")
+
+    // recall on the survivors before vs after the retrain, against
+    // exact L2 ground truth over the retained corpus
+    val all = s.read.parquet(t2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val probeIds = all.keys.toSeq.filter(_ % 36 == 1)
+    val exact: Set[(Long, Long)] = probeIds.flatMap { p =>
+      all.keys.filter(_ != p).toSeq
+        .sortBy(n => (l2(all(p), all(n)), n)).take(3).map(p -> _)
+    }.toSet
+    val probes = s.read.parquet(t2).filter(col("vec_id") % 36 === 1)
+      .localCheckpoint(true)
+    def recall(): Double = {
+      val got = idx.probe(s, probes, k = 3, nprobe = 4)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val before = recall()
+    assert(idx.retrainIfStale(s), "retrainIfStale must fire while stale")
+    assert(!idx.staleQuantizer(s),
+      "retrain must re-baseline the retained-fit signal")
+    val after = recall()
+    info(f"recall@3 on the survivors: pre-retrain $before%.3f, post-retrain $after%.3f")
+    assert(after > before,
+      f"retrain must recover recall on the retained mode ($before%.3f -> $after%.3f)")
+  }
+
   test("probe scans only the probed inverted lists (partition pruning)") {
     val s = spark
     val root = graft.core.Scratch.dir("ivfpq_prune")

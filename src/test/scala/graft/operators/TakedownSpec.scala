@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.sources.IndexAdvisor
+
+/** One takedown verb across every registered index family (VERDICT
+  * r14 ask #5): a table carrying ALL FIVE kinds goes through a single
+  * [[Takedown.apply]], and each family's post-delete read must equal
+  * its own x89/x90/q77-shaped truth over the retained corpus — plus
+  * the staleness gate must read CLEAN afterwards (the provenance
+  * re-anchor), because a takedown that leaves every index warning
+  * "stale" has not finished the job.
+  */
+class TakedownSpec extends AnyFunSuite with SparkTestSession {
+
+  private def emb(i: Int, dim: Int = 16): Seq[Float] =
+    (0 until dim).map(t => ((i * 13 + t * 7) % 97) / 97.0f - 0.5f)
+
+  test("a five-family takedown: every index answers for corpus∖deleted, " +
+    "and every staleness signal reads clean") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("takedown")
+    val table = s"$root/docs"
+
+    // one table every family indexes: near-dup text groups (ids
+    // sharing i/4 duplicate each other), months, embeddings
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    def rows(ids: Seq[Int]) = ids.map { i =>
+      (i.toLong, s"$text group${i / 4}", (i % 6).toLong * 2592000L, emb(i))
+    }.toDF("doc_id", "text", "month_sec", "embedding")
+    rows(0 until 200).coalesce(1).write.parquet(table)
+
+    s.sql("DROP TABLE IF EXISTS takedown_fp")
+    s.sql("DROP TABLE IF EXISTS takedown_fp_g1")
+    ZoneMapIndex(table, Seq("month_sec"), s"$root/zm").create(s)
+    BloomIndex(table, "doc_id", s"$root/bm").create(s)
+    IvfPqIndex(table, s"$root/ivf", m = 4, subDim = 4, sampleSize = 8,
+      idCol = "doc_id", vecCol = "embedding").create(s)
+    MonthlySketchIndex(table, "month_sec", "doc_id", s"$root/sk", k = 64)
+      .create(s)
+    MinhashDedupIndex(table, "text", "doc_id", "takedown_fp",
+      s"$root/fp", buckets = 4).create(s)
+
+    IndexAdvisor.register(s, table, "zonemap", s"$root/zm", Seq("month_sec"))
+    IndexAdvisor.register(s, table, "bloom", s"$root/bm", Seq("doc_id"))
+    IndexAdvisor.register(s, table, "ivfpq", s"$root/ivf",
+      Seq("doc_id", "embedding"),
+      Map("m" -> "4", "subDim" -> "4", "sampleSize" -> "8"))
+    IndexAdvisor.register(s, table, "sketch", s"$root/sk",
+      Seq("month_sec", "doc_id"), Map("k" -> "64"))
+    IndexAdvisor.register(s, table, "dedup", s"$root/fp", Seq("text", "doc_id"),
+      Map("table" -> "takedown_fp", "buckets" -> "4"))
+
+    // the persisted pre-deletion label fixpoint (scoped relabel input)
+    val priorLabels = graft.llm.DedupIndex.relabel(s, "takedown_fp")
+      .localCheckpoint(true)
+
+    // tombstones: doc_id % 10 == 9 — disjoint from the id-prefix
+    // quantizer sample (ids < 8), so the ivfpq rebuild comparison
+    // isolates the delete verb. Captured as FULL rows BEFORE the base
+    // pass (sketch reads month_sec, dedup/ivfpq read doc_id).
+    val dead = col("doc_id") % 10 === 9
+    val tomb = s.read.parquet(table).filter(dead).localCheckpoint(true)
+    val retained = s.read.parquet(table).filter(!dead).localCheckpoint(true)
+    // the table service's own base deletion pass runs FIRST (the
+    // Takedown ordering contract) — and it rewrites DATA FILES, not
+    // the table directory: `_`-prefixed sidecars (the catalog, like a
+    // lake format's _delta_log) survive any row-level delete
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    retained.coalesce(1).write.parquet(s"$root/docs_tmp")
+    ZoneMap.dataFiles(s, table).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/docs_tmp"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .foreach(f => fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(s"$table/${f.getPath.getName}")))
+
+    val applied = Takedown(s, table, tomb, priorLabels = Some(priorLabels))
+    assert(applied.map(_.kind).sorted ===
+      Seq("bloom", "dedup", "ivfpq", "sketch", "zonemap"))
+
+    // ---- dedup: the returned labels equal a from-scratch closure
+    // over the retained corpus (the x89/x92 truth)
+    val scratch = graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.minhashCandidates(
+          s.read.parquet(table), "text", "doc_id"), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gotLabels = applied.find(_.kind == "dedup").get.labels.get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotLabels === scratch,
+      "takedown labels diverged from the from-scratch closure over retained docs")
+    // ...and the flipped generation holds no tombstoned fingerprints
+    val fpIdx = IndexAdvisor.dedupDiscovered(s, table).get
+    assert(fpIdx.content(s).filter(col("doc_id") % 10 === 9).isEmpty)
+
+    // ---- ivfpq: post-delete probe == a rebuild over corpus∖deleted
+    // (same id-prefix sample → same frozen quantizers — the x90 truth)
+    val probes = s.read.parquet(table).filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("embedding")).localCheckpoint(true)
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rnk").collect()
+        .map(r => s"${r.getLong(0)}>${r.getLong(1)}@${r.getLong(2)}#${r.getLong(3)}")
+        .toSeq
+    val rebuilt = IvfPqIndex(table, s"$root/ivf_rebuilt", m = 4, subDim = 4,
+      sampleSize = 8, idCol = "doc_id", vecCol = "embedding")
+    rebuilt.create(s)
+    val served = IndexAdvisor.ivfPqDiscovered(s, table).get
+      .probe(s, probes, k = 3, nprobe = 2)
+    assert(digest(served) === digest(rebuilt.probe(s, probes, k = 3, nprobe = 2)),
+      "post-takedown ANN probe diverged from a rebuild over retained vectors")
+
+    // ---- sketch: month sketches bit-equal a from-scratch build over
+    // the retained rows (the q77 truth)
+    SketchIndex.writeMonthly(s.read.parquet(table), "month_sec", "doc_id",
+      s"$root/sk_scratch", k = 64)
+    def sketchBytes(dir: String) =
+      SketchIndex.read(s, dir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+        .map { case (m, sk) => (m, sk.toList) }
+    assert(sketchBytes(s"$root/sk") === sketchBytes(s"$root/sk_scratch"),
+      "post-takedown sketches diverged from a retained-rows rebuild")
+
+    // ---- every family's staleness signals read CLEAN: the per-file
+    // kinds re-anchored on the live listing, the contribution kinds'
+    // provenance was reset, and no quantizer drift fired (the parity
+    // deletion here thins groups evenly)
+    IndexAdvisor.catalog(s, table).foreach { e =>
+      val (stale, unseen, quant) = IndexAdvisor.stalenessOf(s, table, e)
+      assert(stale.isEmpty && unseen.isEmpty && !quant,
+        s"${e.kind} reads stale after the takedown: " +
+          s"(${stale.size} stale, ${unseen.size} unseen, quant=$quant)")
+    }
+  }
+}

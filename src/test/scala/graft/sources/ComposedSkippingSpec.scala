@@ -492,6 +492,49 @@ class ComposedSkippingSpec extends AnyFunSuite with SparkTestSession {
       "the typo'd unregister must not have touched the catalog")
   }
 
+  test("the quantizer-drift verdict memoizes on the drift/fit sidecars' " +
+    "mtimes: a probe-per-batch loop pays one evaluation, maintenance " +
+    "invalidates (ADVICE r14)") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("composed_quantmemo")
+    val vecs = s"$root/vecs"
+    (0 until 64).map(i =>
+        (i.toLong, (0 until 16).map(tt => ((i * 13 + tt * 7) % 97) / 97.0f - 0.5f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(vecs)
+    val idx = graft.operators.IvfPqIndex(vecs, s"$root/ivf", m = 4, subDim = 4)
+    idx.create(s)
+    IndexAdvisor.register(s, vecs, "ivfpq", s"$root/ivf",
+      Seq("vec_id", "embedding"), Map("m" -> "4", "subDim" -> "4"))
+    val probes = s.read.parquet(vecs).filter(col("vec_id") === 0L)
+      .localCheckpoint(true)
+    def checksDuring(body: => Unit): Long = {
+      val before = IndexAdvisor.quantChecks.get()
+      body
+      IndexAdvisor.quantChecks.get() - before
+    }
+    val first = checksDuring(
+      IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2).count())
+    assert(first === 1L,
+      s"first discovery should evaluate the drift verdict once, got $first")
+    val rest = checksDuring((1 to 5).foreach { _ =>
+      IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2).count()
+    })
+    assert(rest === 0L,
+      s"a probe-per-batch loop must not re-run the drift job per batch, got $rest")
+    // maintenance invalidates: an append rewrites the drift sidecar
+    // (and a delete the fit sidecar), bumping the memo's mtime key
+    val pre = graft.operators.ZoneMap.dataFiles(s, vecs).toSet
+    s.read.parquet(vecs)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(vecs)
+    idx.append(s, graft.operators.ZoneMap.dataFiles(s, vecs)
+      .filterNot(pre).toSeq)
+    val again = checksDuring(
+      IndexAdvisor.probeDiscovered(s, vecs, probes, k = 3, nprobe = 2).count())
+    assert(again === 1L,
+      "a drift-sidecar rewrite must invalidate the memoized verdict")
+  }
+
   test("a file landed after both indexes were built is always scanned") {
     val s = spark; import s.implicits._
     val (table, zm, bm) = layout
