@@ -848,13 +848,39 @@ object Dedup {
                             materialize: Boolean = true): DataFrame = {
     val (slice, untouched) =
       scopedDeleteParts(sigs, tombstones, priorLabels, idCol, materialize)
-    // assumeUnique: CC is multiplicity-blind (the relabel rule), so
-    // replayed sidecar rows never force the dedup exchange here either
     untouched.unionByName(
-      connectedComponents(
-        candidatesFromSigs(slice, idCol, minEstE6, assumeUnique = true),
-        "doc_a", "doc_b"))
+      scopedDeltaOf(slice, idCol, minEstE6))
   }
+
+  /** The CHANGED label rows ALONE — [[relabelScopedFromSigs]]'
+    * merge-on-read form, and the shape whose MATERIALIZATION is
+    * O(touched-component rows) rather than O(corpus): the recomputed
+    * labels of the touched components' retained members. The full
+    * post-deletion table is (priorLabels ∖ touched-component rows) ∪
+    * this delta — dropped rows are the tombstones', untouched labels
+    * are invariant by the scoping theorem — so a deployment stores the
+    * delta beside the label table and folds it at compaction cadence,
+    * exactly the tombstone/merge-on-read discipline every index here
+    * uses. A takedown's WRITE cost is then ∝ what it touched; writing
+    * the stitched table per batch would re-pay the corpus however
+    * scoped the recompute was (ScaleSmoke's scopeddelete stage reports
+    * both walls).
+    */
+  def relabelScopedDelta(sigs: DataFrame, tombstones: DataFrame,
+                         priorLabels: DataFrame, idCol: String,
+                         minEstE6: Long = 250000L,
+                         materialize: Boolean = true): DataFrame =
+    scopedDeltaOf(
+      scopedDeleteParts(sigs, tombstones, priorLabels, idCol, materialize)._1,
+      idCol, minEstE6)
+
+  // assumeUnique: CC is multiplicity-blind (the relabel rule), so
+  // replayed sidecar rows never force the dedup exchange here either
+  private def scopedDeltaOf(slice: DataFrame, idCol: String,
+                            minEstE6: Long): DataFrame =
+    connectedComponents(
+      candidatesFromSigs(slice, idCol, minEstE6, assumeUnique = true),
+      "doc_a", "doc_b")
 
   /** [[relabelScopedFromSigs]]' two halves, exposed as a seam so the
     * spec can prove the SCOPE claim directly: returns (the retained

@@ -329,6 +329,14 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       10L -> 9910L, 11L -> 9910L),
       "split re-derived for the touched component; poison preserved for the untouched one")
 
+    // the DELTA form — the changed rows alone (what a takedown
+    // materializes; O(touched), the merge-on-read write): exactly the
+    // touched component's recomputed labels, nothing else
+    val delta = Dedup.relabelScopedDelta(sigs, tomb, prior, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(delta === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L),
+      "the delta must carry exactly the recomputed touched rows")
+
     // deleting a CC singleton (doc 20 — in the sigs, never in a pair)
     // touches no component: labels unchanged
     val noop = Dedup.relabelScopedFromSigs(sigs, Seq(20L).toDF("doc_id"),
