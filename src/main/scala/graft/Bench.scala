@@ -256,10 +256,14 @@ object Bench {
         case None => samplesByName(name) = (more.toList, stat)
       }
     // a hot window's suspects: one merged re-draw each while the
-    // budget holds (the min reported then comes from a vouched-clean
-    // sample), and a contended stamp when the re-draw window is
+    // budget holds, and a contended stamp when the re-draw window is
     // itself still hot (or the budget is gone) — the entry is then
-    // self-labeled noise in the artifact instead of a phantom mover
+    // self-labeled noise in the artifact instead of a phantom mover.
+    // Every re-drawn entry is FLIPPED to min reporting (ADVICE r15):
+    // for a stat=true (median-reported) entry the merged clean sample
+    // only repaired queries_min while the REPORTED median stayed
+    // inflated by the burst window's samples and escaped the stamp —
+    // min is the one statistic the vouched-clean re-draw repairs.
     def handleSuspects(suspects: Seq[String]): Unit = {
       val sus = suspects.distinct.filter(samplesByName.contains)
       if (sus.isEmpty) return
@@ -269,6 +273,9 @@ object Bench {
         if (elapsed <= BudgetSecs)
           queries.get(n).foreach { fn =>
             runOnce(n, fn).foreach(smp => addSamples(n, Seq(smp), stat = false))
+            samplesByName.get(n).foreach { case (ss, _) =>
+              samplesByName(n) = (ss, false)
+            }
           }
       }
       val post = sentinelSecs()
@@ -387,6 +394,8 @@ object Bench {
       " for cheap queries; >" + SentinelGateSecs.toInt +
       "s runs are sentinel-gated best-of-<=3; mid-run sentinel windows " +
       "(every <=4 entries) re-draw or flag entries a burst overlapped " +
+      "(re-drawn entries flip to min reporting so the burst window's " +
+      "samples cannot inflate a median) " +
       "(entries in `contended` never saw a clean sentinel and are inflated " +
       "by co-tenant load; sentinel floor " +
       n3(sentinelFloor) + "s); past the " + BudgetSecs.toInt +

@@ -945,11 +945,16 @@ object Dedup {
   def deleteFromIndexDistinct(index: DataFrame, retainedSigs: DataFrame,
                               tombstones: DataFrame, idCol: String): DataFrame = {
     // measured broadcast gate (the incrementalComponents 2M rule): a
-    // mass takedown must degrade to shuffle joins, not driver-OOM
+    // mass takedown must degrade to shuffle joins, not driver-OOM.
+    // The deduped/checkpointed dead frame and its gated side are built
+    // ONCE and passed into the re-election (ADVICE r15: the public
+    // overload rebuilt, re-counted, and re-checkpointed the identical
+    // frame — two extra eager jobs per delete batch on the hot
+    // maintenance path).
     val dead = tombstones.select(col(idCol)).distinct().localCheckpoint(true)
     val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
     index.join(deadSide, Seq(idCol), "left_anti")
-      .unionByName(reElectIndexRows(index, retainedSigs, tombstones, idCol))
+      .unionByName(reElectRows(index, retainedSigs, deadSide, idCol))
   }
 
   /** Just the rows [[deleteFromIndexDistinct]] would ADD — the
@@ -965,6 +970,16 @@ object Dedup {
                        tombstones: DataFrame, idCol: String): DataFrame = {
     val dead = tombstones.select(col(idCol)).distinct().localCheckpoint(true)
     val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
+    reElectRows(index, retainedSigs, deadSide, idCol)
+  }
+
+  /** [[reElectIndexRows]] over an already-deduped/checkpointed/gated
+    * tombstone side — so [[deleteFromIndexDistinct]] shares one dead
+    * frame between its anti-join and the re-election instead of paying
+    * the distinct+count+checkpoint twice per delete batch (ADVICE r15).
+    */
+  private def reElectRows(index: DataFrame, retainedSigs: DataFrame,
+                          deadSide: DataFrame, idCol: String): DataFrame = {
     val deadRepSigs = index
       .filter(col("band") === 0 && col("sig").getItem(0).isNotNull)
       .join(deadSide, Seq(idCol), "left_semi")

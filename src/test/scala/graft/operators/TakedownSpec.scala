@@ -134,4 +134,126 @@ class TakedownSpec extends AnyFunSuite with SparkTestSession {
           s"(${stale.size} stale, ${unseen.size} unseen, quant=$quant)")
     }
   }
+
+  test("per-file re-anchor is delta-priced: only the rewritten file is " +
+    "rescanned, untouched files' stats rows pass through verbatim") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("takedown_delta")
+    val table = s"$root/docs"
+    // four deterministic data files: one coalesced append per id range
+    (0 until 4).foreach { g =>
+      (g * 50 until (g + 1) * 50).map(i => (i.toLong, (i % 6).toLong * 2592000L))
+        .toDF("doc_id", "month_sec")
+        .coalesce(1).write.mode("append").parquet(table)
+    }
+    ZoneMapIndex(table, Seq("doc_id"), s"$root/zm").create(s)
+    BloomIndex(table, "doc_id", s"$root/bm").create(s)
+    IndexAdvisor.register(s, table, "zonemap", s"$root/zm", Seq("doc_id"))
+    IndexAdvisor.register(s, table, "bloom", s"$root/bm", Seq("doc_id"))
+
+    // the rows of every UNTOUCHED file, captured whole — the x90
+    // file-identity discipline applied to stats rows: the re-anchor
+    // must not re-derive (or even perturb) what the takedown didn't touch
+    def rowsByFile(path: String) = s.read.parquet(path).collect()
+      .map(r => r.getAs[String]("file") -> r.toSeq.map(String.valueOf).mkString("|"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // tombstones live in exactly ONE file (ids 150..199, the 4th
+    // append); the base pass rewrites that file alone
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val victim = s.read.parquet(table)
+      .filter(col("doc_id") >= 150).select(input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(victim.length === 1, s"fixture: expected one victim file, got ${victim.toSeq}")
+    val tomb = s.read.parquet(table).filter(col("doc_id") % 10 === 3 &&
+      col("doc_id") >= 150).localCheckpoint(true)
+    s.read.parquet(victim.head)
+      .join(tomb.select("doc_id"), Seq("doc_id"), "left_anti")
+      .coalesce(1).write.parquet(s"$root/rewrite_tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(victim.head), false)
+    val landed = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/rewrite_tmp"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")).map(_.getPath)
+    assert(landed.length === 1)
+    val newFile = s"$table/${landed.head.getName}"
+    fs.rename(landed.head, new org.apache.hadoop.fs.Path(newFile))
+
+    val zmBefore = rowsByFile(s"$root/zm")
+    val bmBefore = rowsByFile(s"$root/bm")
+    val applied = Takedown(s, table, tomb)
+    assert(applied.map(_.kind).sorted === Seq("bloom", "zonemap"))
+
+    // delta pricing: the ONLY rescanned file is the rewritten one
+    applied.foreach { a =>
+      assert(a.rescanned.map(IndexStat.canon) === Seq(IndexStat.canon(newFile)),
+        s"${a.kind} rescanned ${a.rescanned} — expected only the rewritten file")
+    }
+    // untouched files' stats rows are identical, the dead file's are gone,
+    // and the new file has exactly one fresh row per relation
+    Seq((s"$root/zm", zmBefore), (s"$root/bm", bmBefore)).foreach {
+      case (path, before) =>
+        val after = rowsByFile(path)
+        val untouched = before.keySet - victim.head
+        untouched.foreach { f =>
+          assert(after(f) === before(f), s"$path: stats row of untouched $f changed")
+        }
+        assert(!after.contains(victim.head),
+          s"$path: dead file's fingerprint still in the stats relation")
+        assert(after.keySet.map(IndexStat.canon) ===
+          (untouched + newFile).map(IndexStat.canon))
+    }
+    // and the re-anchored relations still answer correctly + read clean
+    val got = ZoneMap.readPruned(s, table, s"$root/zm",
+        Seq(ZoneMap.Range("doc_id", 140, 199)))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = s.read.parquet(table).filter(col("doc_id").between(140, 199))
+      .collect().map(_.getLong(0)).sorted
+    assert(got === want)
+    IndexAdvisor.catalog(s, table).foreach { e =>
+      val (stale, unseen, _) = IndexAdvisor.stalenessOf(s, table, e)
+      assert(stale.isEmpty && unseen.isEmpty, s"${e.kind} stale after re-anchor")
+    }
+  }
+
+  test("two same-kind registrations are each dispatched from their own " +
+    "catalog entry — neither keeps serving deleted ids (ADVICE r15)") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("takedown_twin")
+    val table = s"$root/vecs"
+    (0 until 120).map(i => (i.toLong, emb(i), emb(i * 31 + 5)))
+      .toDF("doc_id", "emb_a", "emb_b")
+      .coalesce(1).write.parquet(table)
+    val ia = IvfPqIndex(table, s"$root/ivf_a", m = 4, subDim = 4,
+      sampleSize = 8, idCol = "doc_id", vecCol = "emb_a")
+    val ib = IvfPqIndex(table, s"$root/ivf_b", m = 4, subDim = 4,
+      sampleSize = 8, idCol = "doc_id", vecCol = "emb_b")
+    ia.create(s); ib.create(s)
+    IndexAdvisor.register(s, table, "ivfpq", s"$root/ivf_a",
+      Seq("doc_id", "emb_a"), Map("m" -> "4", "subDim" -> "4", "sampleSize" -> "8"))
+    IndexAdvisor.register(s, table, "ivfpq", s"$root/ivf_b",
+      Seq("doc_id", "emb_b"), Map("m" -> "4", "subDim" -> "4", "sampleSize" -> "8"))
+
+    val dead = col("doc_id") % 10 === 9
+    val tomb = s.read.parquet(table).filter(dead).localCheckpoint(true)
+    val retained = s.read.parquet(table).filter(!dead).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    retained.coalesce(1).write.parquet(s"$root/vecs_tmp")
+    ZoneMap.dataFiles(s, table).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/vecs_tmp"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .foreach(f => fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(s"$table/${f.getPath.getName}")))
+
+    val applied = Takedown(s, table, tomb)
+    assert(applied.map(_.path).sorted === Seq(s"$root/ivf_a", s"$root/ivf_b"),
+      "takedown must visit BOTH same-kind registrations, not the first twice")
+    // the erasure contract: neither index's code relation holds a
+    // tombstoned id anymore (pre-fix the second index kept serving them)
+    Seq(ia, ib).foreach { idx =>
+      assert(idx.content(s).filter(col("neighbor_id") % 10 === 9).isEmpty,
+        s"${idx.dir} still serves deleted ids")
+    }
+  }
 }
