@@ -94,18 +94,79 @@ object Multimodal {
     * a real deployment computes it over the grayscale grid; a
     * deployment swaps [[decodeStub]], not the pipeline around it.
     */
-  def dhash60OfBytes(bytes: Array[Byte]): Long = {
+  def dhash60OfBytes(bytes: Array[Byte]): Long =
+    dhashGridOfBytes(bytes, 1, 61)
+
+  /** [[dhash60OfBytes]] generalized to a ROWS×COLS sampling grid over
+    * the decoded payload (VERDICT r15 ask #6) — the shape a real image
+    * dHash has: sample the payload at the rows·cols grid positions
+    * ⌊j·len/(rows·cols)⌋ (row-major j), and set one bit per
+    * WITHIN-ROW adjacent-intensity comparison (bit r·(cols−1)+c,
+    * weight 2^bit, when sample(r,c+1) > sample(r,c), compared
+    * unsigned) — rows·(cols−1) bits total, capped at 63 so the hash
+    * stays integer-exact in a signed long and DuckDB renders it
+    * exactly (x91b's oracle). The 1-D form is the degenerate 1×61
+    * case, bit-for-bit (61 samples, 60 adjacent comparisons — the
+    * x91/x21 convention, oracle-pinned).
+    *
+    * The ⌊⌊kx⌋/k⌋ = ⌊x⌋ upscale invariance holds for EVERY grid: a
+    * nearest-neighbor ×k rendition samples upscaled[⌊j·kn/D⌋] =
+    * orig[⌊⌊j·kn/D⌋/k⌋] = orig[⌊j·n/D⌋] for D = rows·cols — the
+    * original's own grid point — so renditions fingerprint
+    * identically whatever the grid (MultimodalSpec pins the grid form
+    * too). Within-row comparisons mean a row boundary never compares
+    * across semantically-unrelated samples (the property that makes
+    * the 2-D form the production default for images: a vertical
+    * gradient doesn't smear across scanlines). Empty payloads
+    * fingerprint to 0.
+    */
+  def dhashGridOfBytes(bytes: Array[Byte], rows: Int, cols: Int): Long = {
+    require(rows >= 1 && cols >= 2 && rows * (cols - 1) <= 63,
+      s"dhash grid ${rows}x$cols needs rows>=1, cols>=2, rows*(cols-1)<=63")
     if (bytes.isEmpty) return 0L
+    val d = rows.toLong * cols
     var h = 0L
-    var prev = bytes(0) & 0xff // sample 0 at position 0
-    var i = 1
-    while (i <= 60) {
-      val cur = bytes(((i.toLong * bytes.length) / 61L).toInt) & 0xff
-      if (cur > prev) h |= 1L << (i - 1)
-      prev = cur
-      i += 1
+    var bit = 0
+    var r = 0
+    while (r < rows) {
+      var prev = bytes(((r.toLong * cols * bytes.length) / d).toInt) & 0xff
+      var c = 1
+      while (c < cols) {
+        val cur = bytes((((r.toLong * cols + c) * bytes.length) / d).toInt) & 0xff
+        if (cur > prev) h |= 1L << bit
+        prev = cur
+        bit += 1
+        c += 1
+      }
+      r += 1
     }
     h
+  }
+
+  /** The (id, ph) perceptual-fingerprint relation of a payload column
+    * through the partition-batched decode seam — the kernel the
+    * PERSISTED perceptual index runs once per item at create/append
+    * time ([[graft.operators.PerceptualHashIndex]]), so probes never
+    * re-decode. Same seam discipline as [[extractFeatures]]: per-
+    * partition init (where a codec would live), items streamed, no
+    * driver involvement; the fingerprint is [[dhashGridOfBytes]] at
+    * the caller's grid (1×61 default = the x91 form). Null payloads
+    * fingerprint like empty ones (0).
+    */
+  def fingerprints(df: DataFrame, payloadCol: String, idCol: String,
+                   gridRows: Int = 1, gridCols: Int = 61): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val out = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        // per-partition init seam (codec handles, ONNX session, ...)
+        it.map { case (id, b) =>
+          (id, dhashGridOfBytes(
+            if (b == null) Array.emptyByteArray else b, gridRows, gridCols))
+        }
+      }(out)
+      .toDF(idCol, "ph")
   }
 
   /** The perceptual-hash bands for the candidate join: 4 bands of 15
@@ -162,6 +223,15 @@ object Multimodal {
         col("ph").as("ph_a"), col("ph").as("ph_b"), lit(0L).as("hamming"))
     val reps = withRep.filter(col("rep") === col(idCol))
       .select(col(idCol), col("ph"))
+    bandedRepPairs(reps, idCol, maxHamming).unionByName(star)
+  }
+
+  /** The banded rep-vs-rep half of [[perceptualNearDupPairs]], shared
+    * with the PERSISTED index's probe: 4×15-bit band equi-joins over a
+    * hash-distinct (idCol, ph) relation, exact bit_count(xor) confirm.
+    */
+  private def bandedRepPairs(reps: DataFrame, idCol: String,
+                             maxHamming: Long): DataFrame = {
     val banded = reps.select(col(idCol), col("ph"),
         posexplode(array((0 until DHashBands).map(b =>
           shiftright(col("ph"), b * DHashBandBits)
@@ -171,14 +241,38 @@ object Multimodal {
       col("band"), col("bkey"))
     val b = banded.select(col(idCol).as("doc_b"), col("ph").as("ph_b"),
       col("band").as("band_b"), col("bkey").as("bkey_b"))
-    val repPairs = a.join(b,
+    a.join(b,
         col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
           col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "ph_a", "ph_b").distinct()
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-    repPairs.unionByName(star)
+  }
+
+  /** [[perceptualNearDupPairs]] recomputed from a PERSISTED
+    * fingerprint index's two relations instead of a fresh fingerprint
+    * pass ([[graft.operators.PerceptualHashIndex]]'s probe): `fps` is
+    * the doc-level (idCol, ph) relation, `reps` the hash-DISTINCT
+    * kept-representative rows the index maintains — so the decode
+    * stage never re-runs and the star edges come from one ph
+    * equi-join instead of a window over the corpus. Pair set equals
+    * the one-shot operator's whenever kept reps are the group minima
+    * (create-time truth, preserved by monotone-id ingest — the same
+    * caveat [[graft.llm.Dedup.foldIndexDistinct]] documents for
+    * connectivity consumers, except here the rep ID is visible in the
+    * pair listing; x93 pins equality against x91's oracle verbatim).
+    */
+  def perceptualPairsFromIndex(fps: DataFrame, reps: DataFrame,
+                               idCol: String,
+                               maxHamming: Long = 3L): DataFrame = {
+    val star = fps.select(col(idCol), col("ph"))
+      .join(reps.select(col(idCol).as("rep"), col("ph")), Seq("ph"))
+      .filter(col("rep") =!= col(idCol))
+      .select(col("rep").as("doc_a"), col(idCol).as("doc_b"),
+        col("ph").as("ph_a"), col("ph").as("ph_b"), lit(0L).as("hamming"))
+    bandedRepPairs(reps.select(col(idCol), col("ph")), idCol, maxHamming)
+      .unionByName(star)
   }
 
   /** Partition-batched feature extraction: one decoder "session" per

@@ -24,6 +24,9 @@ import graft.sources.IndexAdvisor
   *    what the index now serves.
   *  - sketch → [[MonthlySketchIndex.delete]]: KMV is not subtractive,
   *    so exactly the tombstoned months rebuild from retained rows.
+  *  - perceptual → [[PerceptualHashIndex.delete]]: both fingerprint
+  *    relations tombstone-compacted; representatives re-elected in
+  *    exactly the hash groups whose kept rep died.
   *  - zonemap / bloom → DELTA-PRICED per-file statistics re-anchor
   *    ([[ZoneMap.reanchorStats]]/[[FileBloom.reanchorStats]], VERDICT
   *    r15 ask #3): dead/rewritten files' rows drop, and only the
@@ -113,6 +116,11 @@ object Takedown {
           IndexAdvisor.sketchOf(tablePath, e).delete(spark, tombstones)
           reanchorProv(spark, tablePath, e.path)
           Applied("sketch", e.path, "tombstoned months rebuilt")
+        case "perceptual" =>
+          IndexAdvisor.perceptualOf(tablePath, e).delete(spark, tombstones)
+          reanchorProv(spark, tablePath, e.path)
+          Applied("perceptual", e.path,
+            "fingerprints tombstone-compacted; dead-rep hash groups re-elected")
         case "dedup" =>
           val idx = IndexAdvisor.dedupOf(tablePath, e)
           val labels = priorLabels match {

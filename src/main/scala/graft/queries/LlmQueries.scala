@@ -2308,6 +2308,74 @@ object LlmQueries {
           materialize = false)
         .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
+    }),
+
+    // 2-D dHash over the same multi-rendition corpus as x91 (VERDICT
+    // r15 ask #6): the production grid form — 4×16 row-major samples,
+    // 15 within-row adjacent comparisons per row, 60 bits — through
+    // the SAME decode seam ([[Multimodal.fingerprints]] at grid dials)
+    // and the SAME 4-band pigeonhole join. The ⌊⌊kx⌋/k⌋=⌊x⌋ upscale
+    // identity holds per grid point for ANY grid (MultimodalSpec pins
+    // it), so renditions still collapse to star edges; the oracle
+    // re-derives the 60 grid bits character by character and lists
+    // pairs brute-force over representatives — banding-free, so the
+    // compare proves the grid arithmetic AND the banding completeness
+    // on grid-form hashes at once (the x91 discipline verbatim).
+    "x91b_perceptual_grid_neardup" -> ((s, d) => {
+      import graft.llm.Multimodal.mediaRecordEnc
+      val media = Multimodal.fromDocuments(
+        Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"))
+      val up = Multimodal.resize(media, 2, Multimodal.upscaleStub)
+      val renditions = up.map(r => r.copy(doc_id = r.doc_id + 1000000L))
+      val corrupted = up.filter((r: graft.llm.MediaRecord) => r.doc_id % 5 == 0)
+        .map { r =>
+          val b = r.media.clone()
+          if (b.nonEmpty) b((30L * b.length / 61L).toInt) = 'z'.toByte
+          r.copy(doc_id = r.doc_id + 2000000L, media = b)
+        }
+      val fps = Multimodal.fingerprints(
+        media.unionByName(renditions).unionByName(corrupted).toDF()
+          .select("doc_id", "media"),
+        "media", "doc_id", gridRows = 4, gridCols = 16)
+      Multimodal.perceptualNearDupPairs(fps, "doc_id", "ph", maxHamming = 3L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // The PERSISTED perceptual index probe (VERDICT r15 ask #2): x91's
+    // corpus fingerprinted ONCE at create time into the
+    // PerceptualHashIndex relations (doc-level fps + hash-distinct
+    // kept reps — text dedup's lifecycle discipline), registered in
+    // the table's catalog, and the near-dup listing recomputed from
+    // the PERSISTED state alone through catalog discovery
+    // (IndexAdvisor.perceptualPairsDiscovered) — the decode stage
+    // never re-runs on the probe path. Same answer as x91 VERBATIM
+    // under the same banding-free brute-force oracle: create-time
+    // representatives are group minima, so the index probe's star
+    // edges and banded rep pairs land on exactly the one-shot
+    // operator's rows. Index build is lifecycle fixture; the timed
+    // path is the probe a deployment serves per audit.
+    "x93_perceptual_index_probe" -> ((s, d) => {
+      val root = graft.core.Scratch.cachedDir(s"x93_phidx_$d") { r =>
+        import graft.llm.Multimodal.mediaRecordEnc
+        val media = Multimodal.fromDocuments(
+          Tables.splitForCpu(s, Tables.documents(s, d), "doc_id"))
+        val up = Multimodal.resize(media, 2, Multimodal.upscaleStub)
+        val renditions = up.map(r => r.copy(doc_id = r.doc_id + 1000000L))
+        val corrupted = up.filter((r: graft.llm.MediaRecord) => r.doc_id % 5 == 0)
+          .map { r =>
+            val b = r.media.clone()
+            if (b.nonEmpty) b((30L * b.length / 61L).toInt) = 'z'.toByte
+            r.copy(doc_id = r.doc_id + 2000000L, media = b)
+          }
+        media.unionByName(renditions).unionByName(corrupted).toDF()
+          .select("doc_id", "media").write.parquet(s"$r/media")
+        graft.operators.PerceptualHashIndex(
+          s"$r/media", "media", "doc_id", s"$r/ph").create(s)
+        graft.sources.IndexAdvisor.register(s, s"$r/media", "perceptual",
+          s"$r/ph", Seq("media", "doc_id"))
+      }
+      graft.sources.IndexAdvisor.perceptualPairsDiscovered(s, s"$root/media")
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2345,6 +2413,71 @@ object LlmQueries {
        |codes AS (SELECT vec_id, subspace, code FROM pq_best WHERE rn = 1)""".stripMargin
 
   private val pqCodesCtes: String = pqCodesCtesOver("embeddings")
+
+  /** The 60 dHash bits of the 1-D (1×61) form, re-derived character by
+    * character (ascii(char) == byte for this asserted-ASCII corpus —
+    * the x21 convention): bit i set when sample(i+1) > sample(i) at
+    * positions ⌊j·len/61⌋.
+    */
+  private val x91OneDBits: String = (0 until 60).map { i =>
+    s"CASE WHEN ascii(substr(payload, (${i + 1}*length(payload))//61 + 1, 1)) > " +
+      s"ascii(substr(payload, ($i*length(payload))//61 + 1, 1)) " +
+      s"THEN ${1L << i} ELSE 0 END"
+  }.mkString(" + ")
+
+  /** The 60 bits of the 4×16 row-major GRID form (x91b): grid point
+    * (r,c) samples position ⌊(r·16+c)·len/64⌋; bit r·15+c compares
+    * within-row neighbors — Multimodal.dhashGridOfBytes(_, 4, 16)'s
+    * arithmetic rendered in DuckDB.
+    */
+  private val x91GridBits: String = (for {
+    r <- 0 until 4; c <- 0 until 15
+  } yield
+    s"CASE WHEN ascii(substr(payload, ((${r * 16 + c + 1})*length(payload))//64 + 1, 1)) > " +
+      s"ascii(substr(payload, ((${r * 16 + c})*length(payload))//64 + 1, 1)) " +
+      s"THEN ${1L << (r * 15 + c)} ELSE 0 END").mkString(" + ")
+
+  /** The perceptual near-dup oracle shared by x91/x91b/x93: the
+    * multi-rendition corpus reconstructed in SQL (2× upscale via
+    * repeat(char, 2); the corrupted rendition via a substr splice at
+    * 1-D sample 30's position), fingerprints from `bits`, and the
+    * pair set brute-force over min-id representatives — deliberately
+    * WITHOUT the banding, so the hash match proves the fingerprint
+    * arithmetic, the upscale invariance, and the 4-band pigeonhole's
+    * completeness at once (the x70 discipline).
+    */
+  private def perceptualOracleSql(bits: String): String =
+    s"""WITH up AS (
+       |  SELECT doc_id, CASE WHEN length(text) = 0 THEN '' ELSE
+       |    list_reduce(list_transform(generate_series(1, length(text)),
+       |      j -> repeat(substr(text, CAST(j AS INTEGER), 1), 2)),
+       |      (a, b) -> a || b) END AS u
+       |  FROM documents),
+       |media AS (
+       |  SELECT doc_id, text AS payload FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, u AS payload FROM up
+       |  UNION ALL SELECT doc_id + 2000000,
+       |    CASE WHEN length(u) = 0 THEN u ELSE
+       |      substr(u, 1, CAST((30*length(u))//61 AS INTEGER)) || 'z' ||
+       |      substr(u, CAST((30*length(u))//61 + 2 AS INTEGER)) END AS payload
+       |  FROM up WHERE doc_id % 5 = 0),
+       |ph AS (SELECT doc_id,
+       |  CAST(CASE WHEN length(payload) = 0 THEN 0 ELSE $bits END AS BIGINT) AS ph
+       |  FROM media),
+       |wreps AS (SELECT doc_id, ph, min(doc_id) OVER (PARTITION BY ph) AS rep
+       |          FROM ph),
+       |star AS (SELECT rep AS doc_a, doc_id AS doc_b, ph AS ph_a, ph AS ph_b,
+       |                CAST(0 AS BIGINT) AS hamming
+       |         FROM wreps WHERE rep <> doc_id),
+       |r AS (SELECT doc_id, ph FROM wreps WHERE rep = doc_id),
+       |rp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              a.ph AS ph_a, b.ph AS ph_b,
+       |              CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |       FROM r a JOIN r b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.ph, b.ph)) <= 3)
+       |SELECT doc_a, doc_b, ph_a, ph_b, hamming FROM rp
+       |UNION ALL SELECT doc_a, doc_b, ph_a, ph_b, hamming FROM star
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The full transitive-closure clustering oracle over `documents
     * WHERE keptWhere` — the shared truth for every cluster-maintenance
@@ -3798,44 +3931,18 @@ object LlmQueries {
     // convention), then the pair set brute-force over representatives
     // — deliberately WITHOUT the banding, so the compare proves the
     // 4-band pigeonhole misses nothing (the x70 discipline)
-    "x91_perceptual_neardup" -> {
-      val bits = (0 until 60).map { i =>
-        s"CASE WHEN ascii(substr(payload, (${i + 1}*length(payload))//61 + 1, 1)) > " +
-          s"ascii(substr(payload, ($i*length(payload))//61 + 1, 1)) " +
-          s"THEN ${1L << i} ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH up AS (
-         |  SELECT doc_id, CASE WHEN length(text) = 0 THEN '' ELSE
-         |    list_reduce(list_transform(generate_series(1, length(text)),
-         |      j -> repeat(substr(text, CAST(j AS INTEGER), 1), 2)),
-         |      (a, b) -> a || b) END AS u
-         |  FROM documents),
-         |media AS (
-         |  SELECT doc_id, text AS payload FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, u AS payload FROM up
-         |  UNION ALL SELECT doc_id + 2000000,
-         |    CASE WHEN length(u) = 0 THEN u ELSE
-         |      substr(u, 1, CAST((30*length(u))//61 AS INTEGER)) || 'z' ||
-         |      substr(u, CAST((30*length(u))//61 + 2 AS INTEGER)) END AS payload
-         |  FROM up WHERE doc_id % 5 = 0),
-         |ph AS (SELECT doc_id,
-         |  CAST(CASE WHEN length(payload) = 0 THEN 0 ELSE $bits END AS BIGINT) AS ph
-         |  FROM media),
-         |wreps AS (SELECT doc_id, ph, min(doc_id) OVER (PARTITION BY ph) AS rep
-         |          FROM ph),
-         |star AS (SELECT rep AS doc_a, doc_id AS doc_b, ph AS ph_a, ph AS ph_b,
-         |                CAST(0 AS BIGINT) AS hamming
-         |         FROM wreps WHERE rep <> doc_id),
-         |r AS (SELECT doc_id, ph FROM wreps WHERE rep = doc_id),
-         |rp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |              a.ph AS ph_a, b.ph AS ph_b,
-         |              CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-         |       FROM r a JOIN r b ON a.doc_id < b.doc_id
-         |       WHERE bit_count(xor(a.ph, b.ph)) <= 3)
-         |SELECT doc_a, doc_b, ph_a, ph_b, hamming FROM rp
-         |UNION ALL SELECT doc_a, doc_b, ph_a, ph_b, hamming FROM star
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "x91_perceptual_neardup" -> perceptualOracleSql(x91OneDBits),
+
+    // the SAME corpus/closure as x91 with the 60 bits re-derived on
+    // the 4×16 row-major grid — banding-free brute force again, so
+    // the compare proves the grid arithmetic AND the banding
+    // completeness on grid-form hashes
+    "x91b_perceptual_grid_neardup" -> perceptualOracleSql(x91GridBits),
+
+    // x91's answer VERBATIM: the persisted-index probe must land on
+    // exactly the one-shot operator's rows (create-time reps are
+    // group minima), whatever the index's relation layout
+    "x93_perceptual_index_probe" -> perceptualOracleSql(x91OneDBits),
 
     // x41's ADC arithmetic over corpus∖deleted, quantizers trained on
     // the FULL table's id-prefix sample (frozen — they predate the

@@ -85,12 +85,14 @@ object IndexAdvisor {
 
   /** Every index family this engine persists is registrable — the two
     * planning-time SKIPPING kinds the advisor mounts as FileIndex
-    * layers, and the three CONTRIBUTION kinds it resolves to probe
+    * layers, and the four CONTRIBUTION kinds it resolves to probe
     * handles ([[ivfPqDiscovered]] / [[sketchDiscovered]] /
-    * [[dedupDiscovered]]). VERDICT r12 ask #2: a real deployment
-    * registers every index once and queries never carry paths.
+    * [[dedupDiscovered]] / [[perceptualDiscovered]]). VERDICT r12 ask
+    * #2: a real deployment registers every index once and queries
+    * never carry paths.
     */
-  private val Kinds = Set("zonemap", "bloom", "ivfpq", "sketch", "dedup")
+  private val Kinds =
+    Set("zonemap", "bloom", "ivfpq", "sketch", "dedup", "perceptual")
 
   /** The catalog lives as a tiny parquet relation UNDER the table dir
     * — `_`-prefixed, so every data listing (Spark's own, and
@@ -331,7 +333,7 @@ object IndexAdvisor {
           val (st, un) = both(prov)
           (st, un, quantVerdict(spark, tablePath, e))
         }
-      case "sketch" | "dedup" =>
+      case "sketch" | "dedup" | "perceptual" =>
         val prov = e.path + "_prov"
         if (!pathExists(spark, prov)) (Nil, Nil, false)
         else { val (st, un) = both(prov); (st, un, false) }
@@ -521,6 +523,44 @@ object IndexAdvisor {
           s"dedup registration for $tablePath lacks the 'table' param")),
       path = e.path,
       buckets = e.params.getOrElse("buckets", "32").toInt)
+
+  /** [[ivfPqOf]]'s perceptual twin: the handle a specific catalog row
+    * describes. Columns = (payloadCol, idCol) — the dedup convention;
+    * params carry the dHash sampling grid.
+    */
+  def perceptualOf(tablePath: String, e: CatalogEntry)
+      : graft.operators.PerceptualHashIndex =
+    graft.operators.PerceptualHashIndex(tablePath,
+      payloadCol = e.columns.headOption.getOrElse("media"),
+      idCol = if (e.columns.size > 1) e.columns(1) else "doc_id",
+      dir = e.path,
+      gridRows = e.params.getOrElse("gridRows", "1").toInt,
+      gridCols = e.params.getOrElse("gridCols", "61").toInt)
+
+  /** The registered perceptual-hash (multimodal near-dup) index handle. */
+  def perceptualDiscovered(spark: SparkSession, tablePath: String)
+      : Option[graft.operators.PerceptualHashIndex] =
+    catalog(spark, tablePath).find(_.kind == "perceptual")
+      .map(perceptualOf(tablePath, _))
+
+  /** Perceptual near-duplicate pairs through the table's REGISTERED
+    * perceptual-hash index — x91's answer with the fingerprints read
+    * from the persisted index (decode never re-runs) and the directory
+    * discovered, not passed. Fails loudly when unregistered: there is
+    * no silent fall-through that preserves the cost contract (a fresh
+    * fingerprint pass re-pays the decode stage for the whole corpus).
+    */
+  def perceptualPairsDiscovered(spark: SparkSession, tablePath: String,
+                                maxHamming: Long = 3L,
+                                staleness: String = "warn"): DataFrame = {
+    val e = catalog(spark, tablePath).find(_.kind == "perceptual")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no perceptual index registered for $tablePath — IndexAdvisor" +
+          s".register(..., \"perceptual\", ...) at build time, or use " +
+          s"Multimodal.perceptualNearDupPairs for an ephemeral pass"))
+    checkStaleness(spark, tablePath, e, staleness)
+    perceptualOf(tablePath, e).pairs(spark, maxHamming)
+  }
 
   /** New-batch-vs-corpus near-dup candidates through the table's
     * REGISTERED dedup index — the incremental-ingest join with the

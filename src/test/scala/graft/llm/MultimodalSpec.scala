@@ -92,6 +92,89 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       Seq[Byte](1, 1, 1, 2, 2, 2))
   }
 
+  test("dhashGridOfBytes: 1x61 degenerates to dhash60OfBytes bit-for-bit, " +
+    "matches the row-major definition, and any grid survives upscaling") {
+    val rnd = new scala.util.Random(916L)
+    // the grid-form reference, re-derived independently: D = rows·cols
+    // samples at ⌊j·len/D⌋, within-row adjacent comparisons, row-major
+    // bit order
+    def reference(bytes: Array[Byte], rows: Int, cols: Int): Long =
+      if (bytes.isEmpty) 0L
+      else {
+        val d = rows.toLong * cols
+        (0 until rows).flatMap { r =>
+          (0 until cols - 1).map { c =>
+            val p = bytes((((r.toLong * cols + c) * bytes.length) / d).toInt) & 0xff
+            val n = bytes((((r.toLong * cols + c + 1) * bytes.length) / d).toInt) & 0xff
+            if (n > p) 1L << (r * (cols - 1) + c) else 0L
+          }
+        }.sum
+      }
+    assert(Multimodal.dhashGridOfBytes(Array.empty, 4, 16) === 0L)
+    (1 to 20).foreach { _ =>
+      val bytes = Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      // degenerate 1x61 == the 1-D form (the x91/x21 oracle convention)
+      assert(Multimodal.dhashGridOfBytes(bytes, 1, 61) ===
+        Multimodal.dhash60OfBytes(bytes))
+      Seq((4, 16), (2, 31), (6, 11)).foreach { case (r, c) =>
+        assert(Multimodal.dhashGridOfBytes(bytes, r, c) === reference(bytes, r, c),
+          s"grid ${r}x$c diverged from the definition (len ${bytes.length})")
+      }
+    }
+    // the upscale identity holds for EVERY grid, not just 1x61: a
+    // nearest-neighbor xk rendition samples the original's own grid
+    (1 to 15).foreach { _ =>
+      val img = MediaRecord(1L,
+        Array.fill(1 + rnd.nextInt(400))(rnd.nextInt(256).toByte), "m", "l", "s")
+      Seq(2, 3, 5).foreach { k =>
+        val up = Multimodal.upscaleStub(img, k).media
+        Seq((4, 16), (1, 61), (2, 31)).foreach { case (r, c) =>
+          assert(Multimodal.dhashGridOfBytes(up, r, c) ===
+            Multimodal.dhashGridOfBytes(img.media, r, c),
+            s"grid ${r}x$c upscale x$k changed the fingerprint")
+        }
+      }
+    }
+    // dial guard: >63 bits would overflow the signed-long convention
+    intercept[IllegalArgumentException](
+      Multimodal.dhashGridOfBytes(Array[Byte](1), 8, 16))
+  }
+
+  test("banding completeness holds over GRID fingerprints too: banded " +
+    "candidates equal brute force on 4x16-hashed payloads") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(4816L)
+    // payload corpus with planted renditions (same grid hash) and
+    // light corruptions (a few flipped samples → small hamming)
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(64 + rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      val up = Multimodal.upscaleStub(MediaRecord(i.toLong, base, "m", "l", "s"), 2).media
+      val corrupt = up.clone(); corrupt(rnd.nextInt(corrupt.length)) = 0x7f
+      Seq((i.toLong, base), (i.toLong + 1000L, up), (i.toLong + 2000L, corrupt))
+    }
+    val hashed = rows.map { case (id, b) =>
+      (id, Multimodal.dhashGridOfBytes(b, 4, 16)) }
+    val got = Multimodal.perceptualNearDupPairs(
+        hashed.toDF("doc_id", "ph"), "doc_id", "ph")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val repOf = hashed.groupBy(_._2).map { case (h, g) => h -> g.map(_._1).min }
+    val star = hashed.filter { case (id, h) => repOf(h) != id }
+      .map { case (id, h) => (repOf(h), id, 0L) }.toSet
+    val reps = repOf.toSeq.map { case (h, id) => (id, h) }
+    val brute = (for {
+      (ia, ha) <- reps; (ib, hb) <- reps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === (brute ++ star))
+    // the renditions really did collapse (every upscale shares its
+    // base's hash — the invariance at work inside the operator)
+    assert(hashed.count { case (id, _) => id < 1000 } ===
+      hashed.filter { case (id, _) => id < 1000 }.map(_._2).size)
+    (0 until 60).foreach { i =>
+      assert(hashed.find(_._1 == i).get._2 === hashed.find(_._1 == i + 1000L).get._2)
+    }
+  }
+
   test("perceptual near-dup: banded candidates equal brute force on planted " +
     "hamming neighbors, and exact-dup groups stay linear (star edges)") {
     val s = spark; import s.implicits._

@@ -22,7 +22,7 @@ import graft.SparkTestSession
   */
 class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
 
-  /** One base table all five index kinds can serve: doc_id (bloom
+  /** One base table all six index kinds can serve: doc_id (bloom
     * key, dedup id, vector id), text (dedup corpus), month_sec
     * (sketch month), x (zone dimension), emb (ivfpq vector).
     * Single-file landings so file↔batch is deterministic; returns
@@ -103,6 +103,17 @@ class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
           Seq(c.count().toString,
             c.select("doc_id").distinct().count().toString)
         }),
+      ("perceptual",
+        PerceptualHashIndex(table, "text", "doc_id", s"$root/ph"),
+        (s, idx) => {
+          val p = idx.asInstanceOf[PerceptualHashIndex]
+          // content count first so the digest reflects appends even
+          // when the new landing adds no near-dup pair
+          Seq(p.content(s).count().toString, p.reps(s).count().toString) ++
+            p.pairs(s).orderBy("doc_a", "doc_b").collect()
+              .map(r => s"${r.getLong(0)}<${r.getLong(1)}#${r.getLong(4)}")
+              .toSeq
+        }),
       ("ivfpq",
         IvfPqIndex(table, s"$root/ivf", m = 2, subDim = 4, sampleSize = 4,
           idCol = "doc_id", vecCol = "emb"),
@@ -120,7 +131,7 @@ class PersistedIndexSpec extends AnyFunSuite with SparkTestSession {
     )
   }
 
-  test("create → append → compact → rewrite: the shared lifecycle holds for all five") {
+  test("create → append → compact → rewrite: the shared lifecycle holds for all six") {
     val s = spark
     val root = graft.core.Scratch.dir("pidx")
     val (table, landings) = writeBase(root)

@@ -6,7 +6,7 @@ import graft.SparkTestSession
 import graft.sources.IndexAdvisor
 
 /** One takedown verb across every registered index family (VERDICT
-  * r14 ask #5): a table carrying ALL FIVE kinds goes through a single
+  * r14 ask #5): a table carrying ALL SIX kinds goes through a single
   * [[Takedown.apply]], and each family's post-delete read must equal
   * its own x89/x90/q77-shaped truth over the retained corpus — plus
   * the staleness gate must read CLEAN afterwards (the provenance
@@ -18,7 +18,7 @@ class TakedownSpec extends AnyFunSuite with SparkTestSession {
   private def emb(i: Int, dim: Int = 16): Seq[Float] =
     (0 until dim).map(t => ((i * 13 + t * 7) % 97) / 97.0f - 0.5f)
 
-  test("a five-family takedown: every index answers for corpus∖deleted, " +
+  test("a six-family takedown: every index answers for corpus∖deleted, " +
     "and every staleness signal reads clean") {
     val s = spark; import s.implicits._
     val root = graft.core.Scratch.dir("takedown")
@@ -42,6 +42,7 @@ class TakedownSpec extends AnyFunSuite with SparkTestSession {
       .create(s)
     MinhashDedupIndex(table, "text", "doc_id", "takedown_fp",
       s"$root/fp", buckets = 4).create(s)
+    PerceptualHashIndex(table, "text", "doc_id", s"$root/ph").create(s)
 
     IndexAdvisor.register(s, table, "zonemap", s"$root/zm", Seq("month_sec"))
     IndexAdvisor.register(s, table, "bloom", s"$root/bm", Seq("doc_id"))
@@ -52,6 +53,8 @@ class TakedownSpec extends AnyFunSuite with SparkTestSession {
       Seq("month_sec", "doc_id"), Map("k" -> "64"))
     IndexAdvisor.register(s, table, "dedup", s"$root/fp", Seq("text", "doc_id"),
       Map("table" -> "takedown_fp", "buckets" -> "4"))
+    IndexAdvisor.register(s, table, "perceptual", s"$root/ph",
+      Seq("text", "doc_id"))
 
     // the persisted pre-deletion label fixpoint (scoped relabel input)
     val priorLabels = graft.llm.DedupIndex.relabel(s, "takedown_fp")
@@ -80,7 +83,19 @@ class TakedownSpec extends AnyFunSuite with SparkTestSession {
 
     val applied = Takedown(s, table, tomb, priorLabels = Some(priorLabels))
     assert(applied.map(_.kind).sorted ===
-      Seq("bloom", "dedup", "ivfpq", "sketch", "zonemap"))
+      Seq("bloom", "dedup", "ivfpq", "perceptual", "sketch", "zonemap"))
+
+    // ---- perceptual: no tombstoned fingerprint served, and the pairs
+    // probe equals a fresh one-shot pass over the retained corpus
+    val phIdx = IndexAdvisor.perceptualDiscovered(s, table).get
+    assert(phIdx.content(s).filter(col("doc_id") % 10 === 9).isEmpty)
+    def phPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(phPairs(phIdx.pairs(s)) === phPairs(
+      graft.llm.Multimodal.perceptualNearDupPairs(
+        graft.llm.Multimodal.fingerprints(s.read.parquet(table), "text", "doc_id"),
+        "doc_id", "ph")),
+      "post-takedown perceptual pairs diverged from a fresh retained-corpus pass")
 
     // ---- dedup: the returned labels equal a from-scratch closure
     // over the retained corpus (the x89/x92 truth)
