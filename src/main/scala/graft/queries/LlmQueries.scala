@@ -2419,7 +2419,7 @@ object LlmQueries {
     * the x21 convention): bit i set when sample(i+1) > sample(i) at
     * positions ⌊j·len/61⌋.
     */
-  private val x91OneDBits: String = (0 until 60).map { i =>
+  private[queries] val x91OneDBits: String = (0 until 60).map { i =>
     s"CASE WHEN ascii(substr(payload, (${i + 1}*length(payload))//61 + 1, 1)) > " +
       s"ascii(substr(payload, ($i*length(payload))//61 + 1, 1)) " +
       s"THEN ${1L << i} ELSE 0 END"
@@ -2446,7 +2446,7 @@ object LlmQueries {
     * arithmetic, the upscale invariance, and the 4-band pigeonhole's
     * completeness at once (the x70 discipline).
     */
-  private def perceptualOracleSql(bits: String): String =
+  private[queries] def perceptualOracleSql(bits: String): String =
     s"""WITH up AS (
        |  SELECT doc_id, CASE WHEN length(text) = 0 THEN '' ELSE
        |    list_reduce(list_transform(generate_series(1, length(text)),

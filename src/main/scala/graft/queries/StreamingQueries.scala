@@ -1709,6 +1709,75 @@ object StreamingQueries {
 
       labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
+    }),
+
+    // Streaming PERCEPTUAL-index maintenance (VERDICT r15 ask #7):
+    // the persisted PerceptualHashIndex is created over the base
+    // assets, then each micro-batch of re-ingested renditions LANDS as
+    // base-table files and ONLY those files cross into the index
+    // (PerceptualHashIndex.append decodes the batch alone and folds
+    // hash-distinct reps with the existing-rep-wins rule — the
+    // st23/st25/st28 landing-diff posture). The final merge-on-read
+    // probe must equal the one-shot x91/x93 answer VERBATIM: batch 1
+    // is the 2× upscales (fingerprint-identical by the ⌊⌊kx⌋/k⌋=⌊x⌋
+    // identity, so they fold onto the base groups' reps — which are
+    // global minima, keeping the pair listing exact), batch 2 the
+    // corrupted re-encodes (fresh hashes → new rep rows with ids above
+    // every earlier id). Same banding-free brute-force oracle as x91.
+    "st31_streaming_perceptual_index" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.llm.Multimodal
+      // fresh per invocation — the stream APPENDS to the on-disk
+      // index, so a cached fixture would accumulate duplicate rows
+      // across bench iterations (st29/st30's cached state is read-only)
+      val root = graft.core.Scratch.dir("st31_ph")
+      val table = s"$root/media"
+      Multimodal.fromDocuments(
+          Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")).toDF()
+        .select("doc_id", "media").write.parquet(table)
+      val idx = graft.operators.PerceptualHashIndex(
+        table, "media", "doc_id", s"$root/ph")
+      idx.create(s)
+      // the re-ingest feed, exactly x91's corpus arithmetic: 2×
+      // nearest-neighbor upscales (+1M) and one corrupted sample per
+      // 5th asset (+2M, the splice at 1-D sample 30's position)
+      val feed = graft.core.Scratch.cachedValue(s"st31_feed_fixture_$d") {
+        val base = Tables.documents(s, d).select("doc_id", "text")
+          .as[(Long, String)].collect().toSeq
+        def upscale(t: String): Array[Byte] = {
+          val b = t.getBytes("UTF-8")
+          val out = new Array[Byte](b.length * 2)
+          var i = 0
+          while (i < out.length) { out(i) = b(i / 2); i += 1 }
+          out
+        }
+        val rend = base.map { case (i, t) => (i + 1000000L, upscale(t)) }
+        val corr = base.filter(_._1 % 5 == 0).map { case (i, t) =>
+          val b = upscale(t)
+          if (b.nonEmpty) b((30L * b.length / 61L).toInt) = 'z'.toByte
+          (i + 2000000L, b)
+        }
+        Seq(rend, corr)
+      }
+
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+      withShufflePartitions(s, StreamPartitions) {
+        val q = in.toDF().toDF("doc_id", "media")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val before = graft.operators.ZoneMap.dataFiles(s, table).toSet
+            batch.select("doc_id", "media").write.mode("append").parquet(table)
+            idx.append(s,
+              graft.operators.ZoneMap.dataFiles(s, table).filterNot(before))
+            ()
+          }
+          .start()
+        try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+
+      idx.pairs(s).orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2055,6 +2124,13 @@ object StreamingQueries {
     "st30_streaming_add_delete" ->
       graft.queries.LlmQueries.closureOracleOver(
         "NOT (doc_id % 30 = 0 AND doc_id % 20 <> 10)"),
+
+    // x91's banding-free brute-force oracle verbatim: whatever the
+    // append batching, the persisted perceptual index's merge-on-read
+    // probe must equal the one-shot pass over the final corpus
+    "st31_streaming_perceptual_index" ->
+      graft.queries.LlmQueries.perceptualOracleSql(
+        graft.queries.LlmQueries.x91OneDBits),
 
     // draining the whole directory once = the plain batch aggregate
     "st11_file_stream_agg" ->
