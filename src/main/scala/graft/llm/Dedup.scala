@@ -882,16 +882,20 @@ object Dedup {
       candidatesFromSigs(slice, idCol, minEstE6, assumeUnique = true),
       "doc_a", "doc_b")
 
-  /** [[relabelScopedFromSigs]]' two halves, exposed as a seam so the
-    * spec can prove the SCOPE claim directly: returns (the retained
-    * tombstone-touched signature slice — the ONLY rows fed to the
-    * candidate + CC recompute, and the untouched prior labels — passed
-    * through verbatim, never recomputed).
+  /** [[relabelScopedFromSigs]]' decomposition plus the measured
+    * quantities the COST DISPATCH reads ([[relabelScopedAutoFromSigs]],
+    * VERDICT r15 ask #4): the touched slice, the untouched labels, the
+    * (normalized, possibly-checkpointed) prior label frame, the gated
+    * tombstone side, and the touched-member count the broadcast gate
+    * already paid for.
     */
-  private[graft] def scopedDeleteParts(sigs: DataFrame, tombstones: DataFrame,
-                                       priorLabels: DataFrame, idCol: String,
-                                       materialize: Boolean = true)
-      : (DataFrame, DataFrame) = {
+  private[graft] final case class ScopedParts(
+      slice: DataFrame, untouched: DataFrame, lab: DataFrame,
+      deadSide: DataFrame, touchedDocs: Long, touchedLabels: DataFrame)
+
+  private[graft] def scopedParts(sigs: DataFrame, tombstones: DataFrame,
+                                 priorLabels: DataFrame, idCol: String,
+                                 materialize: Boolean = true): ScopedParts = {
     val lab0 = priorLabels.select(col("node").cast("long").as("node"),
         col("label").cast("long").as("label"))
       .filter(col("node").isNotNull && col("label").isNotNull)
@@ -913,12 +917,87 @@ object Dedup {
     // recompute must see all retained members to re-derive splits
     val touchedDocs = lab.join(tlSide, Seq("label"), "left_semi")
       .select("node").localCheckpoint(true)
-    val tdSide = if (touchedDocs.count() <= 2000000L) broadcast(touchedDocs)
+    val touchedCount = touchedDocs.count()
+    val tdSide = if (touchedCount <= 2000000L) broadcast(touchedDocs)
                  else touchedDocs
     val slice = sigs.select(col(idCol), col("sig"))
       .join(tdSide.withColumnRenamed("node", idCol), Seq(idCol), "left_semi")
       .join(deadSide.withColumnRenamed("node", idCol), Seq(idCol), "left_anti")
-    (slice, untouched.select("node", "label"))
+    ScopedParts(slice, untouched.select("node", "label"), lab, deadSide,
+      touchedCount, touchedLabels)
+  }
+
+  /** [[relabelScopedFromSigs]]' two halves, exposed as a seam so the
+    * spec can prove the SCOPE claim directly: returns (the retained
+    * tombstone-touched signature slice — the ONLY rows fed to the
+    * candidate + CC recompute, and the untouched prior labels — passed
+    * through verbatim, never recomputed).
+    */
+  private[graft] def scopedDeleteParts(sigs: DataFrame, tombstones: DataFrame,
+                                       priorLabels: DataFrame, idCol: String,
+                                       materialize: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val p = scopedParts(sigs, tombstones, priorLabels, idCol, materialize)
+    (p.slice, p.untouched)
+  }
+
+  /** The scoped relabel's MEASURED dispatch floor: below this many
+    * labeled rows the full retained-corpus recompute is itself a
+    * couple of seconds and the scoped path's fixed overhead (~6 small
+    * gate/scan jobs) dominates. SCALE_r16's dispatchsweep: at the 10×
+    * point (50k labeled rows) scoped NEVER clearly wins — 0.82× at
+    * 0.2% touched, 1.05× at 2% — while at 30× (150k rows) it wins
+    * 1.07×/1.28× at the same fractions. 100k splits the measured
+    * 50k–150k bracket.
+    */
+  private[graft] val ScopedMinCorpusRows = 100000L
+
+  /** The touched-FRACTION ceiling for the scoped arm: past it the
+    * "touched slice" approaches the corpus and the scoped path pays
+    * the full recompute's candidate+CC work PLUS its own gate scans.
+    * SCALE_r16's dispatchsweep at the 100× point (500k labeled rows):
+    * scoped 2.25× ahead at 0.02% touched, 1.55× at 2%, already 0.90×
+    * (losing) at 26%, 0.67–0.98× from 39% up. The crossover lies in
+    * (2%, 26%); 0.10 sits inside it, biased toward full because the
+    * full arm's worst mischoice costs a bounded ~1.5× while the
+    * scoped arm's grows with the slice.
+    */
+  private[graft] val ScopedMaxTouchedFraction = 0.10
+
+  /** [[relabelScopedFromSigs]] with the COST DISPATCH in front
+    * (VERDICT r15 ask #4 — callers previously had to eyeball the
+    * crossover themselves): the scoped stitch when the corpus is big
+    * and the touched fraction small; the full retained-corpus
+    * recompute (one candidates+CC pass over sigs∖tombstones — the
+    * [[graft.llm.DedupIndex.relabel]] arm) when the corpus is below
+    * [[ScopedMinCorpusRows]] labeled rows or the takedown touched more
+    * than [[ScopedMaxTouchedFraction]] of them. Both arms return the
+    * same labels by the scoping theorem (DedupSpec pins the equality
+    * through this verb); the dispatch reads only counts the scoped
+    * path's broadcast gates already pay, plus one labeled-row count.
+    */
+  def relabelScopedAutoFromSigs(sigs: DataFrame, tombstones: DataFrame,
+                                priorLabels: DataFrame, idCol: String,
+                                minEstE6: Long = 250000L,
+                                materialize: Boolean = true,
+                                minCorpusRows: Long = ScopedMinCorpusRows,
+                                maxTouchedFraction: Double = ScopedMaxTouchedFraction)
+      : DataFrame = {
+    val p = scopedParts(sigs, tombstones, priorLabels, idCol, materialize)
+    val corpus = p.lab.count()
+    val pickFull = corpus < minCorpusRows ||
+      (corpus > 0L && p.touchedDocs.toDouble / corpus > maxTouchedFraction)
+    ccLog.info(s"relabelScopedAuto: ${if (pickFull) "FULL" else "SCOPED"} arm " +
+      s"(touched ${p.touchedDocs} of $corpus labeled rows)")
+    if (pickFull)
+      connectedComponents(
+        candidatesFromSigs(
+          sigs.select(col(idCol), col("sig"))
+            .join(p.deadSide.withColumnRenamed("node", idCol),
+              Seq(idCol), "left_anti"),
+          idCol, minEstE6, assumeUnique = true),
+        "doc_a", "doc_b")
+    else p.untouched.unionByName(scopedDeltaOf(p.slice, idCol, minEstE6))
   }
 
   /** Remove tombstoned docs from an accumulating SIGNATURE-DISTINCT

@@ -158,6 +158,20 @@ object DedupIndex {
       .write.mode("overwrite").parquet(sigsPathOfDir(spark, toPath))
   }
 
+  /** The table's doc-level (idCol, sig) relation: the `_sigs` sidecar
+    * when present — one row per doc, the scan the delete path is
+    * priced by — falling back to the band-0 slice for pre-sidecar
+    * tables. The input every relabel/scoped verb (and LabelStore's
+    * appendDelete) reads.
+    */
+  def sigsOf(spark: SparkSession, table: String): DataFrame = {
+    val idCol = idColOf(spark, table)
+    val sp = sigsPath(spark, table)
+    if (pathExists(spark, sp)) spark.read.parquet(sp)
+    else spark.table(table).filter(col("band") === 0)
+      .select(col(idCol), col("sig"))
+  }
+
   /** Recompute cluster labels from the index's persisted state alone
     * (no document text): the doc-level `_sigs` sidecar when present —
     * one row per doc, the scan the delete path is priced by — falling
@@ -238,30 +252,38 @@ object DedupIndex {
   def relabelScoped(spark: SparkSession, table: String,
                     tombstones: DataFrame, priorLabels: DataFrame,
                     minEstE6: Long = 250000L,
-                    materialize: Boolean = true): DataFrame = {
-    val idCol = idColOf(spark, table)
-    val sp = sigsPath(spark, table)
-    val sigs =
-      if (pathExists(spark, sp)) spark.read.parquet(sp)
-      else spark.table(table).filter(col("band") === 0)
-        .select(col(idCol), col("sig"))
-    Dedup.relabelScopedFromSigs(sigs, tombstones, priorLabels, idCol,
-      minEstE6, materialize)
-  }
+                    materialize: Boolean = true): DataFrame =
+    Dedup.relabelScopedFromSigs(sigsOf(spark, table), tombstones,
+      priorLabels, idColOf(spark, table), minEstE6, materialize)
+
+  /** [[relabelScoped]] with [[Dedup.relabelScopedAutoFromSigs]]' COST
+    * DISPATCH in front (VERDICT r15 ask #4): small corpora and
+    * large-fraction takedowns fall back to the full retained relabel —
+    * the crossover SCALE_r15/r16 measured, decided from counts the
+    * scoped path's gates already pay.
+    */
+  def relabelScopedAuto(spark: SparkSession, table: String,
+                        tombstones: DataFrame, priorLabels: DataFrame,
+                        minEstE6: Long = 250000L,
+                        materialize: Boolean = true): DataFrame =
+    Dedup.relabelScopedAutoFromSigs(sigsOf(spark, table), tombstones,
+      priorLabels, idColOf(spark, table), minEstE6, materialize)
 
   /** The scoped deletion lifecycle in one call: the SCOPED relabel
-    * (touched components only) plus the physical tombstone [[compact]]
-    * into `toTable` — x89's [[deleteAndRelabel]] shape with the
-    * O(corpus) relabel replaced by the touched-slice recompute. The
-    * labels are materialized BEFORE the compact so the returned frame
-    * never races the rewrite.
+    * (touched components only — behind the [[relabelScopedAuto]] cost
+    * dispatch since round 16, so a tiny corpus or a mass takedown
+    * falls back to the full retained recompute it would lose to) plus
+    * the physical tombstone [[compact]] into `toTable` — x89's
+    * [[deleteAndRelabel]] shape with the O(corpus) relabel replaced by
+    * the touched-slice recompute. The labels are materialized BEFORE
+    * the compact so the returned frame never races the rewrite.
     */
   def deleteAndRelabelScoped(spark: SparkSession, fromTable: String,
                              toTable: String, toPath: String,
                              tombstones: DataFrame, idCol: String,
                              priorLabels: DataFrame,
                              minEstE6: Long = 250000L): DataFrame = {
-    val labels = relabelScoped(spark, fromTable, tombstones, priorLabels,
+    val labels = relabelScopedAuto(spark, fromTable, tombstones, priorLabels,
       minEstE6).localCheckpoint(true)
     compact(spark, fromTable, toTable, toPath, tombstones, idCol)
     labels

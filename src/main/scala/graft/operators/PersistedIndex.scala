@@ -386,12 +386,43 @@ final case class MinhashDedupIndex(tablePath: String, textCol: String,
     * does — so the two verbs differ only in relabel cost, never in
     * answer (TakedownSpec pins the label equality).
     */
+  /** [[deleteScoped]] with the prior labels sourced from — and the
+    * recomputed delta written back to — a persisted
+    * [[graft.llm.LabelStore]] (VERDICT r15 ask #5): the store IS the
+    * "deployment persists the fixpoint next to the index" the scoped
+    * verbs always assumed, so a takedown needs no caller-supplied
+    * labels and its label WRITE cost stays O(touched) — the delta +
+    * drop-set appends, never the stitched table. Returns the
+    * post-delete merge-on-read view (materialized before the
+    * fingerprint compact, like every delete verb here).
+    */
+  def deleteScopedViaStore(spark: SparkSession, tombstones: DataFrame,
+                           storeDir: String,
+                           minEstE6: Long = 250000L): DataFrame = {
+    val next = readGeneration(spark) + 1
+    val prev = currentTable(spark)
+    graft.llm.LabelStore.appendDelete(spark, storeDir,
+      graft.llm.DedupIndex.sigsOf(spark, prev), tombstones, idCol, minEstE6)
+    val labels = graft.llm.LabelStore.read(spark, storeDir)
+      .localCheckpoint(true)
+    graft.llm.DedupIndex.compact(spark, prev,
+      s"${table}_g$next", s"${path}_g$next", tombstones, idCol)
+    writeGeneration(spark, next)
+    spark.sql(s"DROP TABLE IF EXISTS $prev")
+    Provenance.compact(spark, provPath)
+    labels
+  }
+
   def deleteScoped(spark: SparkSession, tombstones: DataFrame,
                    priorLabels: DataFrame,
                    minEstE6: Long = 250000L): DataFrame = {
     val next = readGeneration(spark) + 1
     val prev = currentTable(spark)
-    val labels = graft.llm.DedupIndex.relabelScoped(spark, prev,
+    // relabelScopedAuto, not relabelScoped (round 16): the adapter's
+    // caller (Takedown) shouldn't eyeball the crossover — the cost
+    // dispatch falls back to the full retained relabel when the
+    // corpus is tiny or the takedown touched most of it
+    val labels = graft.llm.DedupIndex.relabelScopedAuto(spark, prev,
         tombstones, priorLabels, minEstE6)
       .localCheckpoint(true)
     graft.llm.DedupIndex.compact(spark, prev,

@@ -11,13 +11,16 @@ import graft.sources.IndexAdvisor
   * discovers the table's registered indexes and dispatches each
   * family's own delete verb:
   *
-  *  - dedup  → [[MinhashDedupIndex.delete]] (tombstone-compact into
-  *    the next generation + relabel), or [[MinhashDedupIndex
-  *    .deleteScoped]] when the caller supplies the persisted prior
-  *    labels — the touched-components-only recompute. Returns the
-  *    recomputed labels. The generation flip rides the `_gen` marker
-  *    at the REGISTERED path, so the catalog row stays valid — no
-  *    re-register needed.
+  *  - dedup  → [[MinhashDedupIndex.deleteScoped]] when the caller
+  *    supplies the persisted prior labels, or [[MinhashDedupIndex
+  *    .deleteScopedViaStore]] when a [[graft.llm.LabelStore]] lives at
+  *    the `<indexPath>_labels` convention (the DEFAULT deployment
+  *    path since round 16 — prior labels read from the store, the
+  *    recomputed delta appended back at O(touched) write cost), else
+  *    [[MinhashDedupIndex.delete]] (full retained relabel). Returns
+  *    the recomputed labels. The generation flip rides the `_gen`
+  *    marker at the REGISTERED path, so the catalog row stays valid —
+  *    no re-register needed.
   *  - ivfpq  → [[IvfPqIndex.delete]]: dirty inverted lists rewritten,
   *    emptied lists removed, quantizers frozen, and the retained-fit
   *    drift input re-evaluated so [[IvfPqIndex.staleQuantizer]] sees
@@ -123,8 +126,16 @@ object Takedown {
             "fingerprints tombstone-compacted; dead-rep hash groups re-elected")
         case "dedup" =>
           val idx = IndexAdvisor.dedupOf(tablePath, e)
+          // prior labels, by precedence (VERDICT r15 ask #5): an
+          // explicit caller frame; else the LabelStore persisted at
+          // the `<indexPath>_labels` convention — the scoped recompute
+          // with O(touched) label writes, no caller bookkeeping; else
+          // the full retained relabel
+          val storeDir = e.path + "_labels"
           val labels = priorLabels match {
             case Some(pl) => idx.deleteScoped(spark, tombstones, pl, minEstE6)
+            case None if graft.llm.LabelStore.exists(spark, storeDir) =>
+              idx.deleteScopedViaStore(spark, tombstones, storeDir, minEstE6)
             case None => idx.delete(spark, tombstones, minEstE6)
           }
           reanchorProv(spark, tablePath, e.path)

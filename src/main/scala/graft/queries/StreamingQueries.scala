@@ -1639,7 +1639,14 @@ object StreamingQueries {
         Dedup.bandIndexDistinctFromSigs(sigs, "doc_id")
           .write.parquet(s"$r/index")
       }
-      var labels = s.read.parquet(s"$root/labels")
+      // the label table lives in a LabelStore (VERDICT r15 ask #5):
+      // prior labels are its merge-on-read view, adds append only the
+      // changed rows, deletes append only the delta + drop set —
+      // O(changed)/O(touched) writes, the persisted-deployment
+      // posture. Fresh dir per invocation: the stream MUTATES the
+      // store on disk (the cached fixture stays read-only).
+      val store = graft.core.Scratch.dir("st30_store")
+      graft.llm.LabelStore.create(s, store, s.read.parquet(s"$root/labels"))
       var sigs = s.read.parquet(s"$root/sigs")
       var index = s.read.parquet(s"$root/index")
       // three batches: add %20==0, delete %30==0, add %20==10 — op
@@ -1672,8 +1679,14 @@ object StreamingQueries {
                 .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
                 .unionByName(Dedup.minhashCandidates(adds, "text", "doc_id")
                   .select("doc_a", "doc_b"))
-              labels = Dedup.incrementalComponents(labels, delta,
-                "doc_a", "doc_b", materialize = false).localCheckpoint(true)
+              // fold against the store's view, write back only the
+              // CHANGED rows (LabelStore.appendChanged — the additions
+              // half of the merge-on-read discipline)
+              val newFix = Dedup.incrementalComponents(
+                  graft.llm.LabelStore.read(s, store), delta,
+                  "doc_a", "doc_b", materialize = false)
+                .localCheckpoint(true)
+              graft.llm.LabelStore.appendChanged(s, store, newFix)
               sigs = sigs.unionByName(Dedup.docSigs(adds, "text", "doc_id"))
                 .localCheckpoint(true)
               index = Dedup.foldIndexDistinct(index,
@@ -1681,18 +1694,16 @@ object StreamingQueries {
                 .localCheckpoint(true)
             }
             if (!dels.isEmpty) {
-              // the SCOPED deletion verb (VERDICT r14 ask #1): only
-              // components containing a tombstone are re-derived from
-              // the retained sigs (splits handled by construction; no
-              // text re-shingled), untouched labels pass through
-              // verbatim; the distinct index re-elects reps only in
-              // sig groups whose kept representative died. Both are
-              // one streamed scan + O(touched) — per-batch cost no
-              // longer ∝ corpus. materialize = false: `labels` is this
-              // loop's own checkpoint (or the parquet fixture)
-              labels = Dedup.relabelScopedFromSigs(sigs, dels, labels,
-                  "doc_id", materialize = false)
-                .localCheckpoint(true)
+              // the SCOPED deletion verb (VERDICT r14 ask #1), owned
+              // by the store since round 16: appendDelete recomputes
+              // only components containing a tombstone from the
+              // retained sigs (splits handled by construction; no
+              // text re-shingled) and appends the delta + drop set —
+              // O(touched) writes; untouched labels pass through at
+              // read time. The distinct index still re-elects reps
+              // only in sig groups whose kept representative died.
+              graft.llm.LabelStore.appendDelete(s, store, sigs, dels,
+                "doc_id")
               index = Dedup.deleteFromIndexDistinct(index, sigs, dels,
                   "doc_id")
                 .localCheckpoint(true)
@@ -1707,7 +1718,8 @@ object StreamingQueries {
         } finally q.stop()
       }
 
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      graft.llm.LabelStore.read(s, store)
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
     }),
 

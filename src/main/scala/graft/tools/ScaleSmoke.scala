@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity, TextFunctions => TF}
+import graft.llm.{Dedup, LabelStore, Similarity, TextFunctions => TF}
 import graft.operators.CmSketch
 
 /** Dev harness: do the heavy operator families keep their shape at
@@ -154,6 +154,7 @@ object ScaleSmoke {
     if (stages("anndelete")) annDeleteStage(spark, sfDir, mult, tmp)
     if (stages("scopeddelete")) scopedDeleteStage(spark, sfDir, mult, tmp)
     if (stages("interleave")) interleaveStage(spark, sfDir, mult, tmp)
+    if (stages("dispatchsweep")) dispatchSweepStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -271,6 +272,74 @@ object ScaleSmoke {
         f"scoped delta must beat the full recompute: $tDelta%.2f vs $tFull%.2f")
   }
 
+  /** Round-16 DISPATCH SWEEP (VERDICT r15 ask #4): the measurement
+    * behind [[Dedup.ScopedMinCorpusRows]] / [[Dedup
+    * .ScopedMaxTouchedFraction]]. For one corpus size, times the
+    * SCOPED relabel against the FULL retained recompute across
+    * tombstone fractions from takedown-sized to mass-delete, prints
+    * the measured (touched fraction → scoped/full walls) table and
+    * what [[Dedup.relabelScopedAutoFromSigs]]' dispatch picks at each
+    * point. Run at several mults, this is the 2-D sweep the constants
+    * were read off of (SCALE_r16): the corpus-rows floor from the
+    * small-mult points (scoped loses below ~100k labeled rows
+    * regardless of fraction — fixed gate-job overhead), the fraction
+    * ceiling from the large-mult points (scoped loses past roughly a
+    * third touched — it pays full's candidate+CC work PLUS the gates).
+    */
+  private def dispatchSweepStage(spark: SparkSession, sfDir: String, mult: Int,
+                                 tmp: String): Unit = {
+    val (corpus, stride) = taggedScaled(spark, sfDir, mult, s"$tmp/dw_docs")
+    println(s"dispatchsweep corpus: ${corpus.count()} docs ($mult tagged copies)")
+    timed("dispatchsweep state build (one-time: sigs + prior labels)") {
+      val sigd = Dedup.docSigs(corpus, "text", "doc_id")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      sigd.write.mode("overwrite").parquet(s"$tmp/dw_sigs")
+      Dedup.connectedComponents(
+          Dedup.candidatesFromSigs(sigd, "doc_id", assumeUnique = true),
+          "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$tmp/dw_labels")
+    }
+    val sigs = spark.read.parquet(s"$tmp/dw_sigs")
+    val labels = spark.read.parquet(s"$tmp/dw_labels")
+    val labeled = labels.count()
+    val cases = Seq(
+      ("copy0 %200==3 (takedown-sized)",
+        corpus.filter(col("doc_id") < stride && col("doc_id") % 200 === 3)),
+      ("all %50==3", corpus.filter(col("doc_id") % 50 === 3)),
+      ("all %25==3", corpus.filter(col("doc_id") % 25 === 3)),
+      ("all %12==3", corpus.filter(col("doc_id") % 12 === 3)),
+      ("all %8==3", corpus.filter(col("doc_id") % 8 === 3)),
+      ("all %3==0 (mass delete)", corpus.filter(col("doc_id") % 3 === 0)))
+    cases.foreach { case (name, t0) =>
+      val tombs = t0.select("doc_id").localCheckpoint(true)
+      val parts = Dedup.scopedParts(sigs, tombs, labels, "doc_id",
+        materialize = false)
+      val frac = if (labeled == 0) 0.0 else parts.touchedDocs.toDouble / labeled
+      val (scoped, tScoped) = timed(f"  scoped [$name]") {
+        val l = Dedup.relabelScopedFromSigs(sigs, tombs, labels, "doc_id",
+            materialize = false)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        l.count(); l
+      }
+      val (full, tFull) = timed(f"  full   [$name]") {
+        val l = Dedup.connectedComponents(
+            Dedup.candidatesFromSigs(
+              sigs.join(broadcast(tombs), Seq("doc_id"), "left_anti"),
+              "doc_id", assumeUnique = true), "doc_a", "doc_b")
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        l.count(); l
+      }
+      val cs = labelCk(scoped); val cf = labelCk(full)
+      require(cs == cf, s"dispatchsweep[$name]: scoped != full: $cs vs $cf")
+      val pick = if (labeled < Dedup.ScopedMinCorpusRows ||
+          frac > Dedup.ScopedMaxTouchedFraction) "FULL" else "SCOPED"
+      println(f"  [$name] touched ${parts.touchedDocs}%d / $labeled%d " +
+        f"(${frac * 100}%.2f%%): scoped $tScoped%.2f s vs full $tFull%.2f s " +
+        f"(${tFull / tScoped}%.2fx); dispatch picks $pick " +
+        f"(labels checksum-identical)")
+    }
+  }
+
   /** Round-15 STREAMING ADD+DELETE INTERLEAVE point (VERDICT r14 ask
     * #7 — st30's posture with measured walls) in the PERSISTED
     * merge-on-read form a deployment runs: sigs and the
@@ -294,30 +363,35 @@ object ScaleSmoke {
     println(s"interleave corpus: ${corpus.count()} docs ($mult tagged copies)")
     val sigsDir = s"$tmp/il_sigs"
     val idxDir = s"$tmp/il_index"
+    // the LABEL side now lives in a LabelStore (VERDICT r15 ask #5 —
+    // round 15 re-derived this stage's stitch discipline inline; the
+    // store owns it: base + delta/drop appends + tombstone sidecar)
+    val store = s"$tmp/il_store"
     timed("interleave state build (one-time: sigs + distinct index + labels)") {
       val sigd = Dedup.docSigs(corpus, "text", "doc_id")
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       sigd.write.mode("overwrite").parquet(sigsDir)
       Dedup.bandIndexDistinctFromSigs(sigd, "doc_id")
         .write.mode("overwrite").parquet(idxDir)
-      Dedup.connectedComponents(
-          Dedup.candidatesFromSigs(sigd, "doc_id", assumeUnique = true),
-          "doc_a", "doc_b")
-        .write.mode("overwrite").parquet(s"$tmp/il_labels")
+      LabelStore.create(spark, store, Dedup.connectedComponents(
+        Dedup.candidatesFromSigs(sigd, "doc_id", assumeUnique = true),
+        "doc_a", "doc_b"))
     }
-    var labels = spark.read.parquet(s"$tmp/il_labels")
-    // the accumulated tombstone set (batch-sized; a table service
-    // keeps it as a sidecar) — every reader anti-joins it
-    var tombAcc = spark.emptyDataFrame
+    // the accumulated tombstone set is the STORE's sidecar now —
+    // every sig/index reader anti-joins it (merge-on-read)
+    def tombAcc = LabelStore.tombstones(spark, store)
+      .withColumnRenamed("node", "doc_id")
     def sigsView = {
+      val t = tombAcc
       val s0 = spark.read.parquet(sigsDir)
-      if (tombAcc.isEmpty) s0
-      else s0.join(broadcast(tombAcc), Seq("doc_id"), "left_anti")
+      if (t.isEmpty) s0
+      else s0.join(broadcast(t), Seq("doc_id"), "left_anti")
     }
     def indexView = {
+      val t = tombAcc
       val i0 = spark.read.parquet(idxDir)
-      if (tombAcc.isEmpty) i0
-      else i0.join(broadcast(tombAcc), Seq("doc_id"), "left_anti")
+      if (t.isEmpty) i0
+      else i0.join(broadcast(t), Seq("doc_id"), "left_anti")
     }
     val addWalls = Seq.newBuilder[Double]
     val delWalls = Seq.newBuilder[Double]
@@ -340,9 +414,11 @@ object ScaleSmoke {
           .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
           .unionByName(Dedup.minhashCandidates(batch, "text", "doc_id")
             .select("doc_a", "doc_b"))
-        labels = Dedup.incrementalComponents(labels, delta, "doc_a", "doc_b",
-          materialize = false).localCheckpoint(true)
-        labels.count()
+        val newFix = Dedup.incrementalComponents(LabelStore.read(spark, store),
+            delta, "doc_a", "doc_b", materialize = false)
+          .localCheckpoint(true)
+        // the store writes ONLY the changed rows + their old labels
+        LabelStore.appendChanged(spark, store, newFix)
         val batchSigs = Dedup.docSigs(batch, "text", "doc_id")
           .localCheckpoint(true)
         batchSigs.write.mode("append").parquet(sigsDir)
@@ -354,25 +430,29 @@ object ScaleSmoke {
       // DELETE: ~25 copy-0 docs from the TAGGED pool (%200 residues 53
       // and 103 are ≡ 3 mod 50), fixed across mult — touched
       // components, never corpus scans; writes = the re-elected reps
+      // plus the store's delta/drop/tombstone batch (O(touched))
       val tombs = sigsView.filter(col("doc_id") < stride &&
           col("doc_id") % 200 === (50 * k + 3).toLong)
         .select("doc_id").localCheckpoint(true)
       val (_, tDel) = timed(s"interleave DELETE batch $k " +
-        s"(${tombs.count()} tombstones: scoped relabel + rep re-elect append)") {
+        s"(${tombs.count()} tombstones: store appendDelete + rep re-elect append)") {
         val preSigs = sigsView
-        labels = Dedup.relabelScopedFromSigs(preSigs, tombs, labels, "doc_id",
-          materialize = false).localCheckpoint(true)
-        labels.count()
+        // index re-election FIRST: sigsView/indexView are LAZY plans
+        // anchored on the store's tombstone sidecar, and appendDelete
+        // is what lands this batch's tombstones — run after it, the
+        // views would already exclude the dead reps and the
+        // re-election would see nothing to re-elect
         Dedup.reElectIndexRows(indexView, preSigs, tombs, "doc_id")
           .write.mode("append").parquet(idxDir)
-        tombAcc = (if (tombAcc.isEmpty) tombs
-                   else tombAcc.unionByName(tombs)).localCheckpoint(true)
+        LabelStore.appendDelete(spark, store, preSigs, tombs, "doc_id")
       }
       delWalls += tDel
     }
     val live = batchDirs.result().map(spark.read.parquet(_))
       .foldLeft(corpus)(_ unionByName _)
       .join(broadcast(tombAcc), Seq("doc_id"), "left_anti")
+    val labels = LabelStore.read(spark, store)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (fullLabels, _) =
       timed("interleave FULL RE-RUN control (final live set)") {
         val l = Dedup.connectedComponents(
@@ -394,6 +474,14 @@ object ScaleSmoke {
     require(idxDiff == 0,
       s"index view != from-scratch rebuild ($idxDiff rows differ)")
     println("  merge-on-read index view row-identical to a from-scratch rebuild")
+    // the store's scheduled fold: compact preserves the answer and
+    // clears the delta chain (the compaction-cadence pass)
+    val (_, tCompact) = timed("interleave LabelStore.compact (scheduled fold)") {
+      LabelStore.compact(spark, store)
+    }
+    val cc = labelCk(LabelStore.read(spark, store))
+    require(cc == ci, s"LabelStore.compact changed the read: $cc vs $ci")
+    println(f"  store compact preserved the read (fold wall $tCompact%.2f s)")
     val (as, ds) = (addWalls.result(), delWalls.result())
     println(f"  add walls: ${as.map(w => f"$w%.2f").mkString(", ")} s; " +
       f"delete walls: ${ds.map(w => f"$w%.2f").mkString(", ")} s")

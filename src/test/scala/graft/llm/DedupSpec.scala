@@ -345,6 +345,41 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(noop === prior.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
   }
 
+  test("cost dispatch: both arms of relabelScopedAutoFromSigs return the " +
+    "same labels, and the thresholds pick the expected arm") {
+    val s = spark; import s.implicits._
+    // the bridge fixture again: deleting 3 splits {1..5} into {1,2}/{4,5}
+    val aHalf = (1L to 12L); val shared = (501L to 512L)
+    val sigs = sigDocs(
+      1L -> (aHalf ++ (21L to 32L)), 2L -> (aHalf ++ (21L to 32L)),
+      3L -> (aHalf ++ shared),
+      4L -> ((301L to 312L) ++ shared), 5L -> ((301L to 312L) ++ shared),
+      10L -> ((601L to 612L) ++ (701L to 712L)),
+      11L -> ((601L to 612L) ++ (701L to 712L)))
+    val prior = Dedup.connectedComponents(
+      Dedup.candidatesFromSigs(sigs, "doc_id", assumeUnique = true),
+      "doc_a", "doc_b").localCheckpoint(true)
+    val tomb = Seq(3L).toDF("doc_id")
+    def run(minRows: Long, maxFrac: Double) =
+      Dedup.relabelScopedAutoFromSigs(sigs, tomb, prior, "doc_id",
+          minCorpusRows = minRows, maxTouchedFraction = maxFrac)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L)
+    // forced-FULL (corpus floor unmet) == forced-SCOPED (thresholds
+    // wide open) == the split truth: the dispatch never changes the
+    // answer, only the cost
+    assert(run(minRows = Long.MaxValue, maxFrac = 1.0) === want, "FULL arm")
+    assert(run(minRows = 0L, maxFrac = 1.0) === want, "SCOPED arm")
+    // the fraction ceiling also forces FULL (5 of 7 labeled rows
+    // touched > any reasonable ceiling) — same answer
+    assert(run(minRows = 0L, maxFrac = 0.1) === want, "fraction-forced FULL arm")
+    // the production defaults on this 7-row corpus pick FULL (below
+    // the measured floor) — and still the same labels
+    assert(Dedup.relabelScopedAutoFromSigs(sigs, tomb, prior, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === want)
+  }
+
   test("scoped delete relabel + scoped index delete equal from-scratch " +
     "recomputes across randomized deletion batches") {
     val s = spark; import s.implicits._

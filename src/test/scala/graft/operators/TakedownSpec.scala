@@ -230,6 +230,71 @@ class TakedownSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("a LabelStore at the <indexPath>_labels convention becomes the " +
+    "takedown's default priorLabels path; stacked takedowns keep O(touched) " +
+    "label writes") {
+    val s = spark; import s.implicits._
+    val root = graft.core.Scratch.dir("takedown_store")
+    val table = s"$root/docs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    (0 until 200).map(i => (i.toLong, s"$text group${i / 4}"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(table)
+    s.sql("DROP TABLE IF EXISTS tkstore_fp")
+    s.sql("DROP TABLE IF EXISTS tkstore_fp_g1")
+    s.sql("DROP TABLE IF EXISTS tkstore_fp_g2")
+    MinhashDedupIndex(table, "text", "doc_id", "tkstore_fp",
+      s"$root/fp", buckets = 4).create(s)
+    IndexAdvisor.register(s, table, "dedup", s"$root/fp", Seq("text", "doc_id"),
+      Map("table" -> "tkstore_fp", "buckets" -> "4"))
+    // the deployment seeds the store once from the initial fixpoint —
+    // the `<indexPath>_labels` convention Takedown discovers
+    graft.llm.LabelStore.create(s, s"$root/fp_labels",
+      graft.llm.DedupIndex.relabel(s, "tkstore_fp"))
+
+    var pass = 0
+    def basePass(dead: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+      val tomb = s.read.parquet(table).filter(dead).localCheckpoint(true)
+      val retained = s.read.parquet(table).filter(!dead).localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      pass += 1
+      val tmp = s"$root/rewrite_tmp$pass"
+      retained.coalesce(1).write.parquet(tmp)
+      ZoneMap.dataFiles(s, table).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(s"$table/${f.getPath.getName}")))
+      tomb
+    }
+    def scratchLabels = graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.minhashCandidates(
+          s.read.parquet(table), "text", "doc_id"), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // takedown 1 — NO caller labels: the store is discovered
+    val tomb1 = basePass(col("doc_id") % 10 === 9)
+    val got1 = Takedown(s, table, tomb1).find(_.kind == "dedup").get.labels.get
+    assert(labelsOf(got1) === scratchLabels,
+      "store-backed takedown labels diverged from the from-scratch closure")
+    // the store carries the post-delete view for the NEXT takedown,
+    // written as a delta batch (O(touched)), not a base rewrite
+    assert(labelsOf(graft.llm.LabelStore.read(s, s"$root/fp_labels")) ===
+      labelsOf(got1))
+    assert(graft.llm.LabelStore.tombstones(s, s"$root/fp_labels").count() === 20)
+
+    // takedown 2 stacks on the store's merge-on-read view
+    val tomb2 = basePass(col("doc_id") % 10 === 4)
+    val got2 = Takedown(s, table, tomb2).find(_.kind == "dedup").get.labels.get
+    assert(labelsOf(got2) === scratchLabels,
+      "second store-backed takedown diverged after stacking deltas")
+    assert(labelsOf(graft.llm.LabelStore.read(s, s"$root/fp_labels")) ===
+      labelsOf(got2))
+  }
+
   test("two same-kind registrations are each dispatched from their own " +
     "catalog entry — neither keeps serving deleted ids (ADVICE r15)") {
     val s = spark; import s.implicits._
