@@ -155,6 +155,7 @@ object ScaleSmoke {
     if (stages("scopeddelete")) scopedDeleteStage(spark, sfDir, mult, tmp)
     if (stages("interleave")) interleaveStage(spark, sfDir, mult, tmp)
     if (stages("dispatchsweep")) dispatchSweepStage(spark, sfDir, mult, tmp)
+    if (stages("perceptual")) perceptualStage(spark, sfDir, mult, tmp)
 
     println(s"final driver heap: ${heapMb()} MB")
     spark.stop()
@@ -485,6 +486,83 @@ object ScaleSmoke {
     val (as, ds) = (addWalls.result(), delWalls.result())
     println(f"  add walls: ${as.map(w => f"$w%.2f").mkString(", ")} s; " +
       f"delete walls: ${ds.map(w => f"$w%.2f").mkString(", ")} s")
+  }
+
+  /** Round-16 PERSISTED-PERCEPTUAL-INDEX point (VERDICT r15 ask #2's
+    * scale row): the index's whole value is that the DECODE pass runs
+    * once at create/append time — so the append wall must be
+    * batch-sized (flat in corpus size), the probe must beat the
+    * fresh-operator control (which re-decodes and re-windows the
+    * corpus per query), and a takedown must re-elect only dead-rep
+    * hash groups with the post-delete probe equal to a fresh pass over
+    * the retained corpus.
+    */
+  private def perceptualStage(spark: SparkSession, sfDir: String, mult: Int,
+                              tmp: String): Unit = {
+    import graft.llm.Multimodal
+    import graft.operators.PerceptualHashIndex
+    val base = graft.queries.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val table = s"$tmp/ph_media"
+    val corpus = scaled(base, "doc_id", mult, table)
+    println(s"perceptual media corpus: ${corpus.count()} items " +
+      s"($mult x ${base.count()})")
+    val idx = PerceptualHashIndex(table, "media", "doc_id", s"$tmp/ph_idx")
+    timed("perceptual CREATE (one-time full decode + rep election)") {
+      idx.create(spark)
+    }
+    // the landing: one base-sized batch, ids above every live id; every
+    // 5th item an exact payload duplicate of a live doc (folds to the
+    // existing rep — zero new rep rows for those hashes)
+    val before = graft.operators.ZoneMap.dataFiles(spark, table).toSet
+    base.select((col("doc_id") + lit(stride * (mult + 1).toLong)).as("doc_id"),
+        when(col("doc_id") % 5 === 0, col("media"))
+          .otherwise(concat(col("media"), col("doc_id").cast("string")
+            .cast("binary"))).as("media"))
+      .write.mode("append").parquet(table)
+    val landed = graft.operators.ZoneMap.dataFiles(spark, table)
+      .filterNot(before)
+    timed(s"perceptual APPEND (${landed.size} file(s) — batch decode only)") {
+      idx.append(spark, landed)
+    }
+    val (nPairs, tProbe) = timed("perceptual PROBE from persisted state") {
+      idx.pairs(spark).count()
+    }
+    val (nFresh, tFresh) = timed("perceptual fresh-operator CONTROL " +
+      "(re-decode + window + band join per query)") {
+      Multimodal.perceptualNearDupPairs(
+        Multimodal.fingerprints(spark.read.parquet(table), "media", "doc_id"),
+        "doc_id", "ph").count()
+    }
+    require(nPairs == nFresh,
+      s"index probe != fresh operator: $nPairs vs $nFresh pairs")
+    println(f"  probe $tProbe%.2f s vs fresh control $tFresh%.2f s " +
+      f"(${tFresh / tProbe}%.2fx), $nPairs pairs, answers equal")
+    // the takedown: ~25 copy-0 docs — REPS of their cross-copy exact
+    // groups (copy-0 ids are group minima), so every one forces a
+    // re-election; post-delete probe equals a fresh pass over retained
+    val tombs = corpus.filter(col("doc_id") < stride &&
+        col("doc_id") % 200 === 3)
+      .select("doc_id").localCheckpoint(true)
+    timed(s"perceptual DELETE (${tombs.count()} dead-rep tombstones)") {
+      idx.delete(spark, tombs)
+    }
+    val (nPost, _) = timed("perceptual post-delete probe") {
+      idx.pairs(spark).count()
+    }
+    val (nPostFresh, _) = timed("perceptual post-delete fresh CONTROL") {
+      Multimodal.perceptualNearDupPairs(
+        Multimodal.fingerprints(
+          spark.read.parquet(table)
+            .join(broadcast(tombs), Seq("doc_id"), "left_anti"),
+          "media", "doc_id"),
+        "doc_id", "ph").count()
+    }
+    require(nPost == nPostFresh,
+      s"post-delete probe != fresh retained pass: $nPost vs $nPostFresh")
+    println(s"  post-delete probe equals the fresh retained-corpus pass " +
+      s"($nPost pairs)")
   }
 
   /** Round-14 ANN-DELETION point (x90's scale row): at deployment
