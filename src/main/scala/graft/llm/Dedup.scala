@@ -726,6 +726,30 @@ object Dedup {
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
                             aCol: String, bCol: String,
                             materialize: Boolean = true): DataFrame = {
+    val p = incCcParts(labels, newEdges, aCol, bCol, materialize)
+    // second streamed scan: relabel ONLY rows whose label is remapped
+    // (broadcast hash join, no exchange of the label table); rows of
+    // untouched components coalesce through unchanged
+    val updatedOld = p.lab
+      .join(p.remapSide, col("label") === col("old_label"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"))
+    updatedOld.unionByName(p.newNodes)
+  }
+
+  /** [[incrementalComponents]]' shared prelude: canonicalized inputs,
+    * the touched-endpoint slice, and the label-level CC remap — built
+    * once, consumed by both the full-table form and the merge-on-read
+    * [[incrementalComponentsDelta]] form.
+    */
+  private final case class IncCcParts(lab: DataFrame, ends: DataFrame,
+                                      touched: DataFrame, remap: DataFrame,
+                                      remapSide: DataFrame,
+                                      newNodes: DataFrame)
+
+  private def incCcParts(labels: DataFrame, newEdges: DataFrame,
+                         aCol: String, bCol: String,
+                         materialize: Boolean): IncCcParts = {
     // canonicalize both inputs once (the long cast + null drop rule
     // connectedComponents documents); labels feed two streamed scans,
     // edges feed the resolve join + the new-node set — data-sized
@@ -773,17 +797,11 @@ object Dedup {
     val merged = connectedComponents(labelEdges, "la", "lb")
     val remap = merged.select(col("node").as("old_label"),
       col("label").as("new_label"))
+      .localCheckpoint(true)
     // same measured gate as endsSide: remap is label-graph-sized
     // (bounded by the batch's touched labels + new ids), so the
     // broadcast is the common case and the shuffle the mega-batch one
     val remapSide = if (remap.count() <= 2000000L) broadcast(remap) else remap
-    // second streamed scan: relabel ONLY rows whose label is remapped
-    // (broadcast hash join, no exchange of the label table); rows of
-    // untouched components coalesce through unchanged
-    val updatedOld = lab
-      .join(remapSide, col("label") === col("old_label"), "left")
-      .select(col("node"),
-        coalesce(col("new_label"), col("label")).as("label"))
     // endpoints not in the label table enter the output with their
     // merged label (they were their own label-graph nodes, so remap
     // always covers them). The anti-join runs against `touched` —
@@ -794,7 +812,39 @@ object Dedup {
     val newNodes = ends.join(touched.select("node"), Seq("node"), "left_anti")
       .join(remapSide, col("node") === col("old_label"), "left")
       .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
-    updatedOld.unionByName(newNodes)
+    IncCcParts(lab, ends, touched, remap, remapSide, newNodes)
+  }
+
+  /** [[incrementalComponents]]' MERGE-ON-READ form (the additions-side
+    * twin of [[relabelScopedDelta]]): returns (the CHANGED label rows
+    * alone — existing rows whose component was remapped, relabeled,
+    * plus the batch's new nodes — and the DROPPED pre-batch labels of
+    * those changed rows). The full post-fold table is
+    * (prior ∖ rows of dropped labels) ∪ delta — exactly
+    * [[graft.llm.LabelStore]]'s stitch — and the drop invariant holds
+    * because min-label components relabel ATOMICALLY: every row of a
+    * dropped old label is remapped, hence in the delta.
+    *
+    * Scale: the corpus-sized relabel scan (and its full-table
+    * materialization) disappears — the one streamed label scan here
+    * feeds the batch-sized changed-rows join, so a maintenance loop's
+    * per-batch WRITE and COMPUTE are both O(touched components), with
+    * the full table reconstructed lazily at read time.
+    */
+  def incrementalComponentsDelta(labels: DataFrame, newEdges: DataFrame,
+                                 aCol: String, bCol: String,
+                                 materialize: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val p = incCcParts(labels, newEdges, aCol, bCol, materialize)
+    val changed = p.remap.filter(col("old_label") =!= col("new_label"))
+      .localCheckpoint(true)
+    val chSide = if (changed.count() <= 2000000L) broadcast(changed)
+                 else changed
+    val changedRows = p.lab
+      .join(chSide, col("label") === col("old_label"))
+      .select(col("node"), col("new_label").as("label"))
+    (changedRows.unionByName(p.newNodes),
+      changed.select(col("old_label").as("label")))
   }
 
   /** The DELETION-side complement of [[incrementalComponents]], SCOPED

@@ -93,14 +93,20 @@ object LabelStore {
     val ss = seqs(spark, dir)
     if (ss.isEmpty) base
     else {
-      // one gate for the whole chain: drop sets are touched-label-sized
-      // (takedown batches), but a mass delete must degrade to shuffle
-      // joins, not a driver OOM — the 2M rule
-      val totalDrop = ss.map(n =>
-        spark.read.parquet(s"$dir/drop/seq=$n").count()).sum
+      // one broadcast gate for the whole chain: drop sets are
+      // touched-label-sized (takedown batches), but a mass delete must
+      // degrade to shuffle joins, not a driver OOM. Gated on the drop
+      // dirs' TOTAL FILE BYTES (a driver-side listing — read() is on
+      // the per-batch hot path and must not pay a count job per
+      // outstanding batch); 64 MB of parquet'd labels is far under
+      // any broadcast limit and far over any takedown's touched set.
+      val f = fs(spark, dir)
+      val dropBytes = ss.map(n =>
+        f.getContentSummary(new Path(s"$dir/drop/seq=$n")).getLength).sum
       ss.foldLeft(base) { (acc, n) =>
         val drop0 = spark.read.parquet(s"$dir/drop/seq=$n")
-        val drop = if (totalDrop <= 2000000L) broadcast(drop0) else drop0
+        val drop = if (dropBytes <= 64L * 1024 * 1024) broadcast(drop0)
+                   else drop0
         acc.join(drop, Seq("label"), "left_anti")
           .unionByName(spark.read.parquet(s"$dir/delta/seq=$n"))
       }.select("node", "label") // the label-join key moved to the front
@@ -133,9 +139,20 @@ object LabelStore {
     */
   def appendDelete(spark: SparkSession, dir: String, sigs: DataFrame,
                    tombstones: DataFrame, idCol: String,
-                   minEstE6: Long = 250000L): Unit = {
+                   minEstE6: Long = 250000L): Unit =
+    appendDelete(spark, dir, sigs, tombstones, idCol, minEstE6,
+      read(spark, dir))
+
+  /** [[appendDelete]] against a caller-held current view — the
+    * hot-loop overload: a maintenance loop that just computed
+    * [[read]] for its own consumers passes it in instead of paying
+    * the stitch plan construction (and its listing) again per batch.
+    */
+  def appendDelete(spark: SparkSession, dir: String, sigs: DataFrame,
+                   tombstones: DataFrame, idCol: String,
+                   minEstE6: Long, current: DataFrame): Unit = {
     val n = seqs(spark, dir).lastOption.getOrElse(-1) + 1
-    val parts = Dedup.scopedParts(sigs, tombstones, read(spark, dir), idCol,
+    val parts = Dedup.scopedParts(sigs, tombstones, current, idCol,
       materialize = false)
     // the delta reads the label state the writes below extend — land
     // it before anything else moves (the compact rule, O(touched))
@@ -149,6 +166,22 @@ object LabelStore {
       .write.parquet(s"$dir/tombs/seq=$n")
   }
 
+  /** Append a PRECOMPUTED (delta, dropLabels) batch — the zero-diff
+    * writer for producers that emit the changed rows directly
+    * ([[Dedup.incrementalComponentsDelta]] for additions;
+    * [[Dedup.relabelScopedDelta]] + its touched labels for deletions
+    * when the caller manages tombstones itself). The caller owns the
+    * drop invariant: every surviving row of a dropped label must be in
+    * `delta`.
+    */
+  def appendDelta(spark: SparkSession, dir: String, delta: DataFrame,
+                  dropLabels: DataFrame): Unit = {
+    val n = seqs(spark, dir).lastOption.getOrElse(-1) + 1
+    norm(delta).write.parquet(s"$dir/delta/seq=$n")
+    dropLabels.select(col("label").cast("long").as("label")).distinct()
+      .write.parquet(s"$dir/drop/seq=$n")
+  }
+
   /** Fold an ADDITIONS batch's updated label table in at
     * O(changed-rows) write cost: `newLabels` is the post-fold fixpoint
     * (e.g. [[Dedup.incrementalComponents]]' output over the store's
@@ -160,16 +193,23 @@ object LabelStore {
     * ([[appendDelete]]), not this verb's.
     */
   def appendChanged(spark: SparkSession, dir: String,
-                    newLabels: DataFrame): Unit = {
+                    newLabels: DataFrame): Unit =
+    appendChanged(spark, dir, newLabels, read(spark, dir))
+
+  /** [[appendChanged]] against a caller-held current view (the
+    * hot-loop overload, like [[appendDelete]]'s).
+    */
+  def appendChanged(spark: SparkSession, dir: String,
+                    newLabels: DataFrame, current: DataFrame): Unit = {
     val n = seqs(spark, dir).lastOption.getOrElse(-1) + 1
-    val cur = read(spark, dir)
-    val delta = norm(newLabels).join(cur, Seq("node", "label"), "left_anti")
-      .localCheckpoint(true)
-    val drop = cur.join(delta.select("node"), Seq("node"), "left_semi")
-      .select("label").distinct()
+    val delta = norm(newLabels)
+      .join(current, Seq("node", "label"), "left_anti")
       .localCheckpoint(true)
     delta.write.parquet(s"$dir/delta/seq=$n")
-    drop.write.parquet(s"$dir/drop/seq=$n")
+    // single consumer (its own write) — no checkpoint job needed
+    current.join(delta.select("node"), Seq("node"), "left_semi")
+      .select("label").distinct()
+      .write.parquet(s"$dir/drop/seq=$n")
   }
 
   /** Fold the outstanding batches into the base and clear them — the

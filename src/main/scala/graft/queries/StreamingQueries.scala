@@ -1679,14 +1679,15 @@ object StreamingQueries {
                 .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
                 .unionByName(Dedup.minhashCandidates(adds, "text", "doc_id")
                   .select("doc_a", "doc_b"))
-              // fold against the store's view, write back only the
-              // CHANGED rows (LabelStore.appendChanged — the additions
-              // half of the merge-on-read discipline)
-              val newFix = Dedup.incrementalComponents(
-                  graft.llm.LabelStore.read(s, store), delta,
-                  "doc_a", "doc_b", materialize = false)
-                .localCheckpoint(true)
-              graft.llm.LabelStore.appendChanged(s, store, newFix)
+              // fold against the store's view and write back ONLY the
+              // changed rows + dropped labels — the delta producer
+              // (incrementalComponentsDelta) emits them directly from
+              // its own remap, so the full post-fold table is never
+              // materialized or diffed; read() reconstructs it lazily
+              val (chg, dropped) = Dedup.incrementalComponentsDelta(
+                graft.llm.LabelStore.read(s, store), delta,
+                "doc_a", "doc_b", materialize = false)
+              graft.llm.LabelStore.appendDelta(s, store, chg, dropped)
               sigs = sigs.unionByName(Dedup.docSigs(adds, "text", "doc_id"))
                 .localCheckpoint(true)
               index = Dedup.foldIndexDistinct(index,

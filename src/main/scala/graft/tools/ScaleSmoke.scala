@@ -415,11 +415,13 @@ object ScaleSmoke {
           .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
           .unionByName(Dedup.minhashCandidates(batch, "text", "doc_id")
             .select("doc_a", "doc_b"))
-        val newFix = Dedup.incrementalComponents(LabelStore.read(spark, store),
-            delta, "doc_a", "doc_b", materialize = false)
-          .localCheckpoint(true)
-        // the store writes ONLY the changed rows + their old labels
-        LabelStore.appendChanged(spark, store, newFix)
+        // the store writes ONLY the changed rows + their old labels,
+        // emitted directly by the delta producer — the full post-fold
+        // table is never materialized or diffed
+        val (chg, dropped) = Dedup.incrementalComponentsDelta(
+          LabelStore.read(spark, store), delta, "doc_a", "doc_b",
+          materialize = false)
+        LabelStore.appendDelta(spark, store, chg, dropped)
         val batchSigs = Dedup.docSigs(batch, "text", "doc_id")
           .localCheckpoint(true)
         batchSigs.write.mode("append").parquet(sigsDir)
@@ -445,7 +447,8 @@ object ScaleSmoke {
         // re-election would see nothing to re-elect
         Dedup.reElectIndexRows(indexView, preSigs, tombs, "doc_id")
           .write.mode("append").parquet(idxDir)
-        LabelStore.appendDelete(spark, store, preSigs, tombs, "doc_id")
+        LabelStore.appendDelete(spark, store, preSigs, tombs, "doc_id",
+          250000L, LabelStore.read(spark, store).localCheckpoint(true))
       }
       delWalls += tDel
     }

@@ -119,4 +119,34 @@ class LabelStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(delta1 === Set((1L, 1L), (10L, 1L), (11L, 1L)),
       "the additions delta must carry exactly the changed/new rows")
   }
+
+  test("appendDelta(incrementalComponentsDelta) — the zero-diff additions " +
+    "writer — stitches to exactly the full fold's table") {
+    val s = spark; import s.implicits._
+    val dir = graft.core.Scratch.dir("labelstore3")
+    val prior = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("node", "label")
+      .localCheckpoint(true)
+    // new node 50 bridges components {1,2} and {10,11}; {20,21} is
+    // untouched and must ride the stitch verbatim
+    val edges = Seq((50L, 2L), (50L, 10L)).toDF("a", "b")
+    val want = Dedup.incrementalComponents(prior, edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    LabelStore.create(s, dir, prior)
+    val (chg, dropped) = Dedup.incrementalComponentsDelta(prior, edges, "a", "b")
+    LabelStore.appendDelta(s, dir, chg, dropped)
+    assert(labelsOf(LabelStore.read(s, dir)) === want)
+    // the delta carried only the merged components' rows + the new
+    // node — never the untouched component or the unchanged-label rows
+    val deltaRows = s.read.parquet(s"$dir/delta/seq=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deltaRows === Set((10L, 1L), (11L, 1L), (50L, 1L)),
+      s"delta must be the remapped rows + the new node, got $deltaRows")
+    // the drop set: the losing component's label, plus the new node's
+    // label-graph self-label (50) — vacuously safe: a base row with
+    // label 50 would mean node 50 was already clustered, contradicting
+    // it being new, so dropping it is a no-op by construction
+    assert(s.read.parquet(s"$dir/drop/seq=0")
+      .collect().map(_.getLong(0)).toSet === Set(10L, 50L))
+  }
 }
