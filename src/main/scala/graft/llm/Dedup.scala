@@ -392,8 +392,22 @@ object Dedup {
     */
   def incrementalCandidates(newDocs: DataFrame, index: DataFrame,
                             textCol: String, idCol: String,
-                            minEstE6: Long = 250000L): DataFrame = {
-    val n = bandIndex(newDocs, textCol, idCol)
+                            minEstE6: Long = 250000L): DataFrame =
+    incrementalCandidatesFromSigs(
+      docSigs(newDocs, textCol, idCol), index, idCol, minEstE6)
+
+  /** [[incrementalCandidates]] over an ALREADY-COMPUTED batch
+    * signature relation ([[docSigs]] shape) — so a maintenance loop
+    * that needs the batch's signatures for several consumers (the
+    * probe here, the sigs-sidecar fold, the distinct-index fold —
+    * st29/st30's per-batch shape) pays the text→signature kernel
+    * ONCE per batch and derives everything from the cached frame,
+    * instead of re-shingling the batch per consumer.
+    */
+  def incrementalCandidatesFromSigs(newSigs: DataFrame, index: DataFrame,
+                                    idCol: String,
+                                    minEstE6: Long = 250000L): DataFrame = {
+    val n = bandIndexFromSigs(newSigs.select(col(idCol), col("sig")), idCol)
       .select(col(idCol).as("new_id"), col("sig").as("sig_n"),
         col("band"), col("bkey"))
     val o = index
@@ -502,7 +516,11 @@ object Dedup {
     val p = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true, DataSized)
+      // LAZY checkpoint + count: the count is the action that
+      // materializes it — one pass, not two (the round loop's own
+      // documented fusion, applied to every checkpoint-then-count
+      // site this round)
+      .localCheckpoint(false, DataSized)
     val nPairs = p.count()
     if (nPairs <= driverMaxPairs) {
       ccLog.info(s"connectedComponents: driver union-find path " +
@@ -514,7 +532,7 @@ object Dedup {
     val edges0 = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true, DataSized)
+      .localCheckpoint(false, DataSized) // lazy: nEdges materializes it
     // Right-size the iteration width from the MEASURED edge count (the
     // checkpoint above makes the count free): per-round frames are
     // O(|E|) rows, and driving a 2.5k-row graph through 32-way
@@ -534,7 +552,7 @@ object Dedup {
     val labelSum = sum(col("label").cast("decimal(38,0)"))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: nNodes materializes it
     // The label table's row count never changes across rounds (same
     // node set, labels only decrease), so the broadcast decision is
     // measured ONCE against the side actually being broadcast: 2M
@@ -543,6 +561,31 @@ object Dedup {
     // 30–40× more edges than nodes, so a 100k-node graph was paying
     // per-round O(|E|) shuffle joins its label table never required.
     val nNodes = labels.count()
+    // AQE OFF for the round loop alone (restored in the finally): the
+    // loop already makes every call AQE exists to make — iteration
+    // width right-sized from the MEASURED edge count above, the label
+    // side broadcast on a MEASURED row count below, and the groupBy
+    // key (node) cannot skew since the label table is one row per
+    // node. What AQE adds per round here is only stage-by-stage
+    // scheduling: each round's plan ran as 2–3 query-stage jobs
+    // instead of 1, and at 15 rounds that fixed latency was half the
+    // operator's wall (x20b probe: 84 jobs / 6.2 s with AQE, 42 jobs /
+    // 3.9 s without, labels identical). Scoped narrowly so every
+    // NON-loop plan — including the candidate pipeline that feeds
+    // this operator — keeps AQE's coalescing/skew handling.
+    // ... and with AQE off, the loop must size its own reduce side:
+    // per-round exchanges (the groupBy) run at the MEASURED width
+    // `parts` instead of the session's core-count default — the exact
+    // number AQE's coalescing produced, now set statically (scale-
+    // adaptive: a 100 TB edge list computes parts = |E|/500k).
+    val sess = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqePrev = sess.conf.get(aqeKey)
+    val shufPrev = sess.conf.get(shufKey)
+    sess.conf.set(aqeKey, "false")
+    sess.conf.set(shufKey, parts.toString)
+    try {
     var converged = false
     var round = 0
     var lastSum = labels.agg(labelSum).head().get(0)
@@ -581,7 +624,13 @@ object Dedup {
       labels = next
       round += 1
     }
+    ccLog.info(s"connectedComponents: fixpoint after $round rounds " +
+      s"($nNodes nodes, $nEdges directed edges)")
     labels
+    } finally {
+      sess.conf.set(aqeKey, aqePrev)
+      sess.conf.set(shufKey, shufPrev)
+    }
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
@@ -761,7 +810,9 @@ object Dedup {
     val e = newEdges.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .localCheckpoint(true)
+      // lazy: ends.count() below materializes e's cache on the way —
+      // one pass over the candidate producer instead of two
+      .localCheckpoint(false)
     // the touched endpoints' current labels: ONE streamed scan of the
     // label table against the broadcast endpoint set — the batch-sized
     // output is all later stages ever see of the corpus.
@@ -772,7 +823,7 @@ object Dedup {
     // the same 2M-row gate the CC label table uses.
     val ends = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val endsSide = if (ends.count() <= 2000000L) broadcast(ends) else ends
     val touched = lab.join(endsSide, Seq("node"), "left_semi")
       .localCheckpoint(true)
@@ -797,7 +848,7 @@ object Dedup {
     val merged = connectedComponents(labelEdges, "la", "lb")
     val remap = merged.select(col("node").as("old_label"),
       col("label").as("new_label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the gate count materializes it
     // same measured gate as endsSide: remap is label-graph-sized
     // (bounded by the batch's touched labels + new ids), so the
     // broadcast is the common case and the shuffle the mega-batch one
@@ -837,7 +888,7 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     val p = incCcParts(labels, newEdges, aCol, bCol, materialize)
     val changed = p.remap.filter(col("old_label") =!= col("new_label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val chSide = if (changed.count() <= 2000000L) broadcast(changed)
                  else changed
     val changedRows = p.lab
@@ -953,20 +1004,22 @@ object Dedup {
     // tombstones: two consumers (label lookup + slice anti-join),
     // batch-sized — default storage level
     val dead = tombstones.select(col(idCol).cast("long").as("node"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false) // lazy: the gate count materializes it
     val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
     // labels of components containing a tombstone: one streamed label
     // scan; a tombstoned doc absent from the labels was a CC singleton
     // — no pairs, nothing to recompute for it
     val touchedLabels = lab.join(deadSide, Seq("node"), "left_semi")
-      .select("label").distinct().localCheckpoint(true)
+      .select("label").distinct()
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val tlSide = if (touchedLabels.count() <= 2000000L) broadcast(touchedLabels)
                  else touchedLabels
     val untouched = lab.join(tlSide, Seq("label"), "left_anti")
     // every member of a touched component, tombstoned or not — the
     // recompute must see all retained members to re-derive splits
     val touchedDocs = lab.join(tlSide, Seq("label"), "left_semi")
-      .select("node").localCheckpoint(true)
+      .select("node")
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val touchedCount = touchedDocs.count()
     val tdSide = if (touchedCount <= 2000000L) broadcast(touchedDocs)
                  else touchedDocs
@@ -1080,7 +1133,8 @@ object Dedup {
     // overload rebuilt, re-counted, and re-checkpointed the identical
     // frame — two extra eager jobs per delete batch on the hot
     // maintenance path).
-    val dead = tombstones.select(col(idCol)).distinct().localCheckpoint(true)
+    val dead = tombstones.select(col(idCol)).distinct()
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
     index.join(deadSide, Seq(idCol), "left_anti")
       .unionByName(reElectRows(index, retainedSigs, deadSide, idCol))
@@ -1097,7 +1151,8 @@ object Dedup {
     */
   def reElectIndexRows(index: DataFrame, retainedSigs: DataFrame,
                        tombstones: DataFrame, idCol: String): DataFrame = {
-    val dead = tombstones.select(col(idCol)).distinct().localCheckpoint(true)
+    val dead = tombstones.select(col(idCol)).distinct()
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
     reElectRows(index, retainedSigs, deadSide, idCol)
   }
@@ -1112,7 +1167,8 @@ object Dedup {
     val deadRepSigs = index
       .filter(col("band") === 0 && col("sig").getItem(0).isNotNull)
       .join(deadSide, Seq(idCol), "left_semi")
-      .select("sig").distinct().localCheckpoint(true)
+      .select("sig").distinct()
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val drsSide = if (deadRepSigs.count() <= 2000000L) broadcast(deadRepSigs)
                   else deadRepSigs
     bandIndexDistinctFromSigs(

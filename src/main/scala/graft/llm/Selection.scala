@@ -85,10 +85,26 @@ object Selection {
     val buckets = weights.length
     val wLit = typedLit(weights.toSeq)
     docs
+      // STAGED projections: the token array must be a materialized
+      // attribute before the shingle lambda consumes it. The previous
+      // inline `wordShingles(tokens(text))` captured the split()
+      // EXPRESSION inside the (interpreted) transform lambda, so every
+      // element_at re-ran split(text) — O(tokens²) per document, the
+      // exact trap importanceWeights' scaladoc documents (measured
+      // 3.3 s → 0.6 s on the sf0.1 bench entry). CollapseProject
+      // leaves the boundary alone because the alias is non-cheap and
+      // multiply-referenced; values are unchanged (same grams, same
+      // hashes — x75's oracle hash pins it).
+      .select(col(idCol), TF.tokens(col(textCol)).as("toks"))
+      // ≡ size(bs) >= 1 (a w=2 shingle exists iff ≥2 tokens), but
+      // keyed on the TOKEN count: the old bs-sized filter was pushed
+      // below the projections and re-ran the whole inline shingle
+      // expression per row just to test emptiness
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), TF.wordShingles(col("toks"), 2).as("grams"))
       .select(col(idCol),
-        transform(TF.wordShingles(TF.tokens(col(textCol)), 2),
+        transform(col("grams"),
           g => pmod(TF.hash60(g), lit(buckets.toLong))).as("bs"))
-      .filter(size(col("bs")) >= 1)
       .select(col(idCol), size(col("bs")).cast("long").as("n_grams"),
         aggregate(col("bs"), lit(0L),
           (acc, b) => acc + element_at(wLit, (b + 1L).cast("int"))).as("score_e6"))

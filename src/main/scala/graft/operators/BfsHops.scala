@@ -32,13 +32,25 @@ object BfsHops {
       .localCheckpoint(true) // consumed every round
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L))
+      .localCheckpoint(false) // lazy: the gate count materializes it
+    // the distance frame is one row per reached node — broadcast it
+    // into the frontier join when its MEASURED size provably fits
+    // (the connectedComponents gate): the O(|E|) edge list then never
+    // shuffles and each round pays exactly one exchange (the min
+    // aggregation). The count doubles as the checkpoint-materializing
+    // action (lazy + count = one pass), and past the gate the join
+    // degrades to the shuffle form a planet-sized frontier needs.
+    // Join strategy never changes the min-lattice values.
+    var nDist = dist.count()
     for (_ <- 1 to maxHops) {
-      val frontier = dist
+      val distSide = if (nDist <= 2000000L) broadcast(dist) else dist
+      val frontier = distSide
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
       dist = dist.union(frontier)
         .groupBy("node").agg(min("hops").as("hops"))
-        .localCheckpoint(true) // flatten lineage per round
+        .localCheckpoint(false) // lazy: the count below materializes it
+      nDist = dist.count()
     }
     dist
   }

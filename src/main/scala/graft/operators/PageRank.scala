@@ -50,7 +50,21 @@ object PageRank {
       .localCheckpoint(true)
     val n = nodes.count() // scalar: the teleport base needs |V|
     val base = (1000000000L - dampE2 * 10000000L) / n
+    // checkpointed: consumed every round — without it each round's
+    // plan re-runs the degree aggregation over the edge list
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    // rank-side frames are one row per node — broadcast them when the
+    // MEASURED |V| provably fits (the connectedComponents nNodes
+    // gate): each round then pays exactly ONE exchange (the contrib
+    // aggregation) instead of shuffling the O(|E|) edge list by src
+    // and the node table twice more. Past the gate every join
+    // degrades to the shuffle form a 100 TB graph needs anyway; a
+    // deployment at that scale persists edges bucketed by src (the
+    // scaladoc note) and skips the exchange that way. Join strategy
+    // never changes values — the e9 integer arithmetic is unchanged.
+    def nodeSized(df: DataFrame): DataFrame =
+      if (n <= 2000000L) broadcast(df) else df
 
     var ranks = nodes.withColumn("rank_e9", lit(1000000000L / n))
     for (_ <- 1 to iters) {
@@ -59,13 +73,13 @@ object PageRank {
       // integer division must stay integer to match the oracle bit-
       // for-bit
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+        .join(nodeSized(ranks.withColumnRenamed("node", "src")), "src")
+        .join(nodeSized(outdeg), "src")
         .select(col("dst").as("node"),
           expr("rank_e9 div outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("s"))
       ranks = nodes
-        .join(contribs, Seq("node"), "left_outer")
+        .join(nodeSized(contribs), Seq("node"), "left_outer")
         .select(col("node"),
           (lit(base) + expr(s"($dampE2 * coalesce(s, 0L)) div 100"))
             .as("rank_e9"))

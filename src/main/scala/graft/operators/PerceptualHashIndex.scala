@@ -142,7 +142,7 @@ final case class PerceptualHashIndex(tablePath: String, payloadCol: String,
     */
   def delete(spark: SparkSession, tombstones: DataFrame): Unit = {
     val dead = tombstones.select(col(idCol).cast("long").as(idCol))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false) // lazy: the gate count materializes it
     val deadSide = if (dead.count() <= 2000000L) broadcast(dead) else dead
     // eager checkpoints before the overwrites: both plans read the
     // directories being rewritten (the compact rule)
@@ -152,7 +152,8 @@ final case class PerceptualHashIndex(tablePath: String, payloadCol: String,
     // groups whose kept rep died: ∝ tombstones, batch-sized
     val deadRepPhs = spark.read.parquet(repsPath)
       .join(deadSide, Seq(idCol), "left_semi")
-      .select("ph").distinct().localCheckpoint(true)
+      .select("ph").distinct()
+      .localCheckpoint(false) // lazy: the gate count materializes it
     val drpSide = if (deadRepPhs.count() <= 2000000L) broadcast(deadRepPhs)
                   else deadRepPhs
     val reElected = repsOf(

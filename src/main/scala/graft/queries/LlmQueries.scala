@@ -2148,17 +2148,31 @@ object LlmQueries {
       val docs = Tables.splitForCpu(s, Tables.documents(s, d), "doc_id")
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
+      // ONE text→signature pass per side (the round-16 sig-reuse
+      // rule): the old corpus' sigs feed both its labels and the
+      // distinct index; the batch's sigs feed both candidate probes —
+      // the previous shape ran the minhash kernel twice over EACH
+      // side. DISK_ONLY: the sig relation is corpus-sized (the
+      // data-sized checkpoint rule). Values unchanged
+      // (minhashCandidates ≡ candidatesFromSigs∘docSigs by definition;
+      // the full-closure oracle pins the clusters).
+      val oldSigs = Dedup.docSigs(old, "text", "doc_id")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val batchSigs = Dedup.docSigs(batch, "text", "doc_id")
+        .localCheckpoint(true)
       val oldLabels = Dedup.connectedComponents(
-        Dedup.minhashCandidates(old, "text", "doc_id"), "doc_a", "doc_b")
+        Dedup.candidatesFromSigs(oldSigs, "doc_id", assumeUnique = true),
+        "doc_a", "doc_b")
       // the SIGNATURE-DISTINCT index (bandIndexDistinct): same
       // connectivity as the member-level index — identical sigs carry
       // identical bands — at (distinct sigs)/(docs) the join size; the
       // full-closure oracle below proves the equality, since the
       // resulting CLUSTERS must still match the member-level truth
-      val newVsOld = Dedup.incrementalCandidates(batch,
-          Dedup.bandIndexDistinct(old, "text", "doc_id"), "text", "doc_id")
+      val newVsOld = Dedup.incrementalCandidatesFromSigs(batchSigs,
+          Dedup.bandIndexDistinctFromSigs(oldSigs, "doc_id"), "doc_id")
         .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
-      val newVsNew = Dedup.minhashCandidates(batch, "text", "doc_id")
+      val newVsNew = Dedup.candidatesFromSigs(batchSigs, "doc_id",
+          materialize = false, assumeUnique = true)
         .select("doc_a", "doc_b")
       Dedup.incrementalComponents(oldLabels,
           newVsOld.unionByName(newVsNew), "doc_a", "doc_b")

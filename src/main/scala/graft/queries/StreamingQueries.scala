@@ -40,11 +40,41 @@ object StreamingQueries {
     * each key's state lives). A production deployment sizes this to
     * keys/partition, exactly like batch shuffle sizing.
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+  /** @param noDataBatches keep Spark's no-data micro-batches ON for
+    *   entries whose protocol depends on watermark-driven state action
+    *   BETWEEN data batches: st05's TTL dedup re-sends old keys in the
+    *   very next data batch and needs the eviction to have happened
+    *   before it (dropDuplicatesWithinWatermark evicts at batch start
+    *   from the PREVIOUS batch's watermark — without the no-data batch
+    *   the re-sent generation would still see live state and drop).
+    *   Every other protocol closes windows through data batches.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int,
+                                       noDataBatches: Boolean = false)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // no-data micro-batches OFF for the bounded oracle feeds (round-16
+    // optimization): each processAllAvailable otherwise appends one
+    // extra NO-DATA batch per data batch — a full execution of the
+    // stateful plan (state load/commit across every partition × every
+    // stateful operator) whose only purpose is low-latency emission on
+    // an IDLE stream. Every st* protocol here already closes windows
+    // through DATA batches (the two-sentinel discipline: "event-time
+    // timeouts fire batch N+1 after the batch-N watermark passes
+    // them"), so the emitted rows are identical — the DuckDB oracles
+    // pin that — and the per-entry wall drops by the cost of one
+    // stateful-plan execution per trigger (measured: st06 5.3→3.1 s,
+    // st15 5.5→3.7, st27 7.3→5.2, st16 5.0→3.5, row counts equal).
+    // A throughput-oriented deployment sets exactly this knob; the
+    // latency-sensitive default stays untouched outside the scope.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val ndPrev = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
+    s.conf.set(ndKey, noDataBatches.toString)
+    try f finally {
+      s.conf.set(key, prev)
+      s.conf.set(ndKey, ndPrev)
+    }
   }
 
   private val StreamPartitions = 8
@@ -250,7 +280,7 @@ object StreamingQueries {
       val sentinel = (-1L, t0 + 5L * 86400L)
 
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
-      withShufflePartitions(s, StreamPartitions) {
+      withShufflePartitions(s, StreamPartitions, noDataBatches = true) {
         val q = in.toDF().toDF("k", "sec")
           .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
           .withWatermark("ts", "2 days")
@@ -1563,12 +1593,21 @@ object StreamingQueries {
         val q = in.toDF().toDF("doc_id", "text")
           .writeStream
           .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
-            // three consumers (probe, internal candidates, index fold)
-            val batch = batch0.localCheckpoint(true)
-            val delta = Dedup.incrementalCandidates(batch, index,
-                "text", "doc_id")
+            // ONE text→signature pass per batch: the probe, the
+            // internal candidates, and the distinct-index fold all
+            // consume the same checkpointed (doc_id, sig) frame via
+            // the FromSigs verbs — the round-16 sig-reuse rule; the
+            // old shape re-ran the minhash kernel (split+shingle+md5
+            // ×24) three times per batch, and at real batch sizes the
+            // kernel IS the batch's compute. Values are unchanged
+            // (bandIndex ≡ bandIndexFromSigs∘docSigs by definition).
+            val batchSigs = Dedup.docSigs(batch0, "text", "doc_id")
+              .localCheckpoint(true)
+            val delta = Dedup.incrementalCandidatesFromSigs(batchSigs,
+                index, "doc_id")
               .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
-              .unionByName(Dedup.minhashCandidates(batch, "text", "doc_id")
+              .unionByName(Dedup.candidatesFromSigs(batchSigs, "doc_id",
+                  materialize = false, assumeUnique = true)
                 .select("doc_a", "doc_b"))
             // materialize = false: `labels` is the parquet fixture on
             // the first batch and this loop's own checkpoint after —
@@ -1581,7 +1620,7 @@ object StreamingQueries {
             // representative (connectivity identical; the probe above
             // already edge-connected this batch's copy to it)
             index = Dedup.foldIndexDistinct(index,
-                Dedup.bandIndexDistinct(batch, "text", "doc_id"), "doc_id")
+                Dedup.bandIndexDistinctFromSigs(batchSigs, "doc_id"), "doc_id")
               .localCheckpoint(true)
             ()
           }
@@ -1674,10 +1713,18 @@ object StreamingQueries {
             val adds = batch.filter(col("op") === "add").select("doc_id", "text")
             val dels = batch.filter(col("op") === "del").select("doc_id")
             if (!adds.isEmpty) {
-              val delta = Dedup.incrementalCandidates(adds, index,
-                  "text", "doc_id")
+              // ONE text→signature pass per add batch (the st29
+              // sig-reuse rule): probe, internal candidates, the sigs
+              // sidecar fold and the distinct-index fold all read the
+              // same checkpointed (doc_id, sig) frame — the old shape
+              // ran the minhash kernel four times per batch
+              val addSigs = Dedup.docSigs(adds, "text", "doc_id")
+                .localCheckpoint(true)
+              val delta = Dedup.incrementalCandidatesFromSigs(addSigs,
+                  index, "doc_id")
                 .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
-                .unionByName(Dedup.minhashCandidates(adds, "text", "doc_id")
+                .unionByName(Dedup.candidatesFromSigs(addSigs, "doc_id",
+                    materialize = false, assumeUnique = true)
                   .select("doc_a", "doc_b"))
               // fold against the store's view and write back ONLY the
               // changed rows + dropped labels — the delta producer
@@ -1688,10 +1735,10 @@ object StreamingQueries {
                 graft.llm.LabelStore.read(s, store), delta,
                 "doc_a", "doc_b", materialize = false)
               graft.llm.LabelStore.appendDelta(s, store, chg, dropped)
-              sigs = sigs.unionByName(Dedup.docSigs(adds, "text", "doc_id"))
+              sigs = sigs.unionByName(addSigs)
                 .localCheckpoint(true)
               index = Dedup.foldIndexDistinct(index,
-                  Dedup.bandIndexDistinct(adds, "text", "doc_id"), "doc_id")
+                  Dedup.bandIndexDistinctFromSigs(addSigs, "doc_id"), "doc_id")
                 .localCheckpoint(true)
             }
             if (!dels.isEmpty) {
