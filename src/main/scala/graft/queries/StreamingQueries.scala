@@ -1728,7 +1728,11 @@ object StreamingQueries {
             val batch = batch0.localCheckpoint(true)
             val adds = batch.filter(col("op") === "add").select("doc_id", "text")
             val dels = batch.filter(col("op") === "del").select("doc_id")
-            if (!adds.isEmpty) {
+            // one aggregation decides both arms (the two isEmpty probes
+            // were two jobs per batch on the hot maintenance path)
+            val ops = batch.groupBy("op").count().collect()
+              .map(r => r.getString(0)).toSet
+            if (ops("add")) {
               // ONE text→signature pass per add batch (the st29
               // sig-reuse rule): probe, internal candidates, the sigs
               // sidecar fold and the distinct-index fold all read the
@@ -1757,7 +1761,7 @@ object StreamingQueries {
                   Dedup.bandIndexDistinctFromSigs(addSigs, "doc_id"), "doc_id")
                 .localCheckpoint(true)
             }
-            if (!dels.isEmpty) {
+            if (ops("del")) {
               // the SCOPED deletion verb (VERDICT r14 ask #1), owned
               // by the store since round 16: appendDelete recomputes
               // only components containing a tombstone from the

@@ -36,6 +36,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.isEmpty) // single-token docs have empty shingle sets
   }
 
+  test("incrementalCandidatesFromSigs over docSigs == incrementalCandidates " +
+    "(the round-16 one-sig-pass-per-batch seam)") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs((1L, text), (2L, "other words entirely different here"),
+      (3L, text + " extra"))
+    val index = Dedup.bandIndex(corpus, "text", "doc_id")
+    val batch = docs((10L, text), (11L, "no match for this one at all"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("new_id", "old_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val direct = rows(Dedup.incrementalCandidates(batch, index, "text", "doc_id"))
+    val viaSigs = rows(Dedup.incrementalCandidatesFromSigs(
+      Dedup.docSigs(batch, "text", "doc_id"), index, "doc_id"))
+    assert(direct.nonEmpty)
+    assert(viaSigs === direct)
+  }
+
+  test("connectedComponents' distributed loop restores the session confs " +
+    "it scopes (AQE + shuffle partitions), success or failure") {
+    val s = spark
+    val aqePrev = s.conf.get("spark.sql.adaptive.enabled")
+    val shufPrev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "13")
+      val pairs = docs((1L, "x"), (2L, "y")).select(
+        col("doc_id").as("doc_a"), (col("doc_id") + 10L).as("doc_b"))
+      // driverMaxPairs = -1 forces the DISTRIBUTED loop (the scoped arm)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxPairs = -1L).collect()
+      assert(s.conf.get("spark.sql.adaptive.enabled") === "true")
+      assert(s.conf.get("spark.sql.shuffle.partitions") === "13")
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      s.conf.set("spark.sql.shuffle.partitions", shufPrev)
+    }
+  }
+
   test("incremental dedup fires only new-vs-old pairs against the index") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val other = "completely different words entirely here now for this doc"
